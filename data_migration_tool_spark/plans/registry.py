@@ -1,0 +1,48 @@
+"""Central registry mapping query names → (Spark builder, DuckDB oracle).
+
+``__spark_entry__`` re-exports this for the driver's correctness gate.
+Oracle SQL is ``None`` for genuinely non-SQL-expressible ops (the driver
+then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_migration_tool_spark.plans import relational as R
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+_DEFS: list[QueryDef] = [
+    QueryDef("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL, ("agg", "tpch")),
+    QueryDef("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL, ("join", "topk")),
+    QueryDef("q5_local_supplier_volume", R.q5_local_supplier_volume, R.Q5_SQL, ("join",)),
+    QueryDef("latest_event_per_user", R.latest_event_per_user, R.LATEST_EVENT_SQL, ("window",)),
+    QueryDef("top_order_per_customer", R.top_order_per_customer, R.TOP_ORDER_SQL, ("window",)),
+    QueryDef("customers_without_orders", R.customers_without_orders, R.CUST_NO_ORDERS_SQL, ("antijoin",)),
+    QueryDef("suppliers_with_shipments", R.suppliers_with_shipments, R.SUPPLIERS_SEMI_SQL, ("semijoin",)),
+    QueryDef("nation_customer_roster", R.nation_customer_roster, R.NATION_ROSTER_SQL, ("stringagg",)),
+    QueryDef("fully_open_customers", R.fully_open_customers, R.FULLY_OPEN_SQL, ("having",)),
+    QueryDef("order_line_union_counts", R.order_line_union_counts, R.UNION_COUNTS_SQL, ("union",)),
+    QueryDef("order_priority_buckets", R.order_priority_buckets, R.PRIORITY_BUCKETS_SQL, ("scalar",)),
+    QueryDef("event_props_json", R.event_props_json, R.EVENT_JSON_SQL, ("json",)),
+    QueryDef("events_last_day_window", R.events_last_day_window, R.EVENTS_WINDOW_SQL, ("incremental",)),
+    QueryDef("order_reconciliation", R.order_reconciliation, R.ORDER_RECON_SQL, ("validation",)),
+]
+
+QUERIES: dict[str, QueryDef] = {d.name: d for d in _DEFS}
+
+
+def register(defs: list[QueryDef]) -> None:
+    for d in defs:
+        QUERIES[d.name] = d

@@ -1,0 +1,502 @@
+"""Headline relational plans — the audit-SQL and workload shapes of the
+reference (SURVEY §2.2-§2.8) instantiated over the TPC-H-ish testdata.
+
+Each plan is a (DataFrame builder, DuckDB oracle SQL) pair registered in
+``plans.registry``. Builders are pure DataFrame API: Catalyst gets a full
+declarative plan (pushdown/pruning/join-selection free), and every
+aggregate over doubles goes through the exact-decimal pattern
+(``functions.scalars.dsum``) so values are bit-stable at any parallelism.
+
+Scale notes are given per plan ("at 100 TB:" comments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions.scalars import (
+    davg,
+    dsum,
+    ordered_string_agg,
+)
+from data_migration_tool_spark.tables import load_table
+
+
+def _disc_price():
+    """``l_extendedprice * (1 - l_discount)`` computed entirely in
+    decimal. Casting a *computed* double to decimal is not portable
+    across engines (different scaling/rounding paths); casting the raw
+    2-decimal inputs is, and decimal multiplication is then exact in any
+    engine. Result scale 4, exact."""
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    return price * disc
+
+
+def _charge():
+    """``l_extendedprice * (1 - l_discount) * (1 + l_tax)`` — exact
+    decimal, scale 6."""
+    tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    return _disc_price() * tax
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (SURVEY A1/A5/A6 aggregate shape; flagship)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate scan. At 100 TB: single shuffle on 6 tiny groups
+    with map-side partial aggregation; filter + 7-column projection reach
+    the parquet scan (PushedFilters / ReadSchema)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    charge = _charge()
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: join + grouped agg + top-k (SURVEY J1 + A8 + O-limits)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ orders ⨝ lineitem. At 100 TB: customer-filter side is
+    small → AQE converts to broadcast; orders⨝lineitem shuffles on
+    orderkey; top-k is a TakeOrdered, no global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: 6-table join (SURVEY J1 broadcast chain)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→(customer, supplier)→orders→lineitem with the TPC-H
+    "local supplier" constraint. At 100 TB: region/nation/supplier are
+    broadcast dims; the only big shuffle is orders⨝lineitem."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Latest-row-per-key window (SURVEY A3: replaces correlated MAX subquery)
+# ---------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (user_id, ts desc). At 100 TB: one shuffle on
+    user_id; no correlated subquery re-scan like the reference's SQL."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-1 order per customer (window top-k per group)
+# ---------------------------------------------------------------------------
+
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+TOP_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: rerun protocol shape (SURVEY J2 — "tables not yet loaded")
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the reference's restartability anti-join
+    (constants.py:28-38). At 100 TB: null-aware-free anti join, AQE can
+    broadcast the loaded-keys side when small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-join membership filter (SURVEY P10/U4)
+# ---------------------------------------------------------------------------
+
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > F.lit(45)
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+SUPPLIERS_SEMI_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (SURVEY A4 — STRING_AGG ... ORDER BY)
+# ---------------------------------------------------------------------------
+
+def nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(c_name ORDER BY c_custkey) per nation — the reference's
+    clustering-column concat (constants.py:54-64). At 100 TB: per-group
+    array_sort after partial collect_list; no window, single shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.groupBy("c_nationkey").agg(
+        ordered_string_agg("c_name", "c_custkey").alias("customers"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+NATION_ROSTER_SQL = """
+SELECT c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY c_custkey) AS customers,
+       COUNT(*) AS n_customers
+FROM customer WHERE c_custkey < 300
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + HAVING with conditional sum (SURVEY A2)
+# ---------------------------------------------------------------------------
+
+def fully_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's schema-validation-success query shape
+    (teradata_data_load_dag.py:133-150): groups where no row failed."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_finished"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_finished") == 0)
+        .select("o_custkey", "n_orders")
+    )
+
+
+FULLY_OPEN_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL of two sources (SURVEY U1) + distinct (A5)
+# ---------------------------------------------------------------------------
+
+def order_line_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.lit("order").alias("src")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.lit("line").alias("src")
+    )
+    return o.unionByName(l).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
+UNION_COUNTS_SQL = """
+SELECT src, COUNT(*) AS n_rows, COUNT(DISTINCT key) AS n_keys
+FROM (
+  SELECT o_orderkey AS key, 'order' AS src FROM orders
+  UNION ALL
+  SELECT l_orderkey AS key, 'line' AS src FROM lineitem
+)
+GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: split/offset, regexp, case-when (SURVEY F1/F5/F7)
+# ---------------------------------------------------------------------------
+
+def order_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT(x,'-')[SAFE_OFFSET(1)] + regexp_extract + CASE WHEN — the
+    reference's audit-query scalar vocabulary over its log tables."""
+    o = load_table(spark, sf_dir, "orders")
+    pr_word = F.try_element_at(F.split(F.col("o_orderpriority"), "-"), F.lit(2))
+    pr_num = F.regexp_extract(F.col("o_orderpriority"), "^([0-9]+)", 1).cast("int")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(
+            pr_num.alias("priority_num"),
+            pr_word.alias("priority_word"),
+            bucket.alias("price_bucket"),
+        )
+        .groupBy("priority_num", "priority_word", "price_bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+PRIORITY_BUCKETS_SQL = """
+SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS priority_num,
+       string_split(o_orderpriority, '-')[2] AS priority_word,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (SURVEY F3 — JSON_EXTRACT_SCALAR over a JSON column)
+# ---------------------------------------------------------------------------
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select(k.alias("k_bucket"), "value")
+        .withColumn("k_bucket", (F.col("k_bucket") % 10))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+EVENT_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed incremental consumption (SURVEY ST2 — 1-day lookback)
+# ---------------------------------------------------------------------------
+
+def events_last_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files-in-window query (constants.py:84-90): rows whose ts lies in
+    (max_ts - 1 day, max_ts]. At 100 TB: the scalar max is a tiny agg
+    broadcast into the filter; with date-partitioned storage this prunes
+    to the last partitions."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("ts") <= F.col("max_ts"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = """
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, mx
+WHERE ts > max_ts - INTERVAL 1 DAY AND ts <= max_ts
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-outer source↔target compare (SURVEY J6 — DVT row validation join)
+# ---------------------------------------------------------------------------
+
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source↔target full-outer on primary key with match classification —
+    the DVT row-validation shape. "Target" simulates a partial load
+    (orders with totalprice ≥ 1000). At 100 TB: sort-merge join on the
+    PK, both sides shuffle-partitioned identically."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").alias("src_key"), F.col("o_totalprice").alias("src_price")
+    )
+    tgt = o.filter(F.col("o_totalprice") >= 1000).select(
+        F.col("o_orderkey").alias("tgt_key"), F.col("o_totalprice").alias("tgt_price")
+    )
+    joined = src.join(tgt, src.src_key == tgt.tgt_key, "full_outer")
+    status = (
+        F.when(F.col("src_key").isNull(), "target_only")
+        .when(F.col("tgt_key").isNull(), "source_only")
+        .when(F.col("src_price") == F.col("tgt_price"), "match")
+        .otherwise("mismatch")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+ORDER_RECON_SQL = """
+WITH src AS (SELECT o_orderkey AS src_key, o_totalprice AS src_price FROM orders),
+     tgt AS (SELECT o_orderkey AS tgt_key, o_totalprice AS tgt_price FROM orders WHERE o_totalprice >= 1000)
+SELECT CASE WHEN src_key IS NULL THEN 'target_only'
+            WHEN tgt_key IS NULL THEN 'source_only'
+            WHEN src_price = tgt_price THEN 'match'
+            ELSE 'mismatch' END AS status,
+       COUNT(*) AS n_rows
+FROM src FULL OUTER JOIN tgt ON src_key = tgt_key
+GROUP BY 1
+"""

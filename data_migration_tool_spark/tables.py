@@ -1,0 +1,88 @@
+"""Table loading & registration.
+
+The reference's unit of work is the schema-qualified table backed by files
+on object storage (SURVEY §1.1); here a table is a parquet directory/file
+under a scale-factor dir, registered as a temp view so both the DataFrame
+API and ``spark.sql`` can reach it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore them to
+    micros timestamps. Footer-only read, negligible cost."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 — directory datasets etc.
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Parquet scan → columnar, pushdown-capable."""
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # runtime-settable; required even when the caller built the
+        # session without our defaults (e.g. the driver's own session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # truncate (not round) to micros — matches how micros-native
+        # engines surface nanos data
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TPCH_TABLES,
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after itself.
+
+    Views are lazy: registration costs only a schema read, so calling this
+    per-query is cheap and keeps every query self-contained.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
