@@ -27,8 +27,10 @@ def canonical_string(col: Column, dtype: T.DataType) -> Column:
     """
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         return col.cast("decimal(30,6)").cast("string")
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if isinstance(dtype, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
     return col.cast("string")
 
 

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from data_migration_tool_spark.plans import relational as R
+from data_migration_tool_spark.plans import validationq as V
 
 
 @dataclass(frozen=True)
@@ -38,6 +39,10 @@ _DEFS: list[QueryDef] = [
     QueryDef("event_props_json", R.event_props_json, R.EVENT_JSON_SQL, ("json",)),
     QueryDef("events_last_day_window", R.events_last_day_window, R.EVENTS_WINDOW_SQL, ("incremental",)),
     QueryDef("order_reconciliation", R.order_reconciliation, R.ORDER_RECON_SQL, ("validation",)),
+    QueryDef("dvt_column_validation", V.dvt_column_validation, V.DVT_COLUMN_SQL, ("dvt",)),
+    QueryDef("dvt_row_validation", V.dvt_row_validation, V.DVT_ROW_SQL, ("dvt",)),
+    QueryDef("dvt_schema_validation", V.dvt_schema_validation, None, ("dvt",)),
+    QueryDef("dvt_custom_query_validation", V.dvt_custom_query_validation, V.DVT_CUSTOM_SQL, ("dvt",)),
 ]
 
 QUERIES: dict[str, QueryDef] = {d.name: d for d in _DEFS}

@@ -1,0 +1,275 @@
+"""Validation operators as registry queries (SURVEY A6/A7/J6, UD4).
+
+Each entry drives the real operators in ``operators.validation`` against
+the testdata, simulating a "migrated target" by deterministic drift
+(key-modular row drops / value changes — multiplications by 2 so doubles
+stay exact). The DuckDB oracle replicates the *operator's contract* —
+aggregate compare semantics, NULL-safe canonical row hashing — so the
+validator itself is validated (SURVEY §5: "the validator validates
+itself").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.operators.validation import (
+    ValidationSpec,
+    column_validation,
+    row_validation,
+    schema_validation,
+)
+from data_migration_tool_spark.tables import load_table
+
+
+def _drifted_lineitem(l: DataFrame) -> DataFrame:
+    """Simulated migrated lineitem: doubled quantity on ~2% of rows."""
+    return l.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 50 == 0, F.col("l_quantity") * 2.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+
+def dvt_column_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped column validation (A6): count/sum/min/max/avg per
+    l_returnflag, source vs drifted target, 0.1% threshold.
+
+    At 100 TB: two map-side-combined groupBys + a broadcast-able join on
+    the tiny group domain — no row-level data movement at all."""
+    l = load_table(spark, sf_dir, "lineitem")
+    spec = ValidationSpec(
+        validation_type="column",
+        source_table="lineitem",
+        target_table="lineitem_migrated",
+        count_cols=["*"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        min_cols=["l_extendedprice"],
+        max_cols=["l_quantity"],
+        avg_cols=["l_quantity"],
+        grouped_columns=["l_returnflag"],
+        threshold=0.1,
+    )
+    res = column_validation(l, _drifted_lineitem(l), spec)
+    return res.select(
+        "validation_name",
+        "aggregation_type",
+        "source_column_name",
+        "group_by_columns",
+        F.col("source_agg_value").cast("double").alias("source_agg_value"),
+        F.col("target_agg_value").cast("double").alias("target_agg_value"),
+        "pct_difference",
+        "validation_status",
+    )
+
+
+DVT_COLUMN_SQL = """
+WITH tgt_rows AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 50 = 0 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS count_star,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+    CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+    CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_returnflag
+),
+t AS (
+  SELECT l_returnflag,
+    COUNT(*) AS count_star,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+    CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+    CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+  FROM tgt_rows GROUP BY l_returnflag
+),
+j AS (SELECT s.*, t.count_star AS t_count_star, t.sum_qty AS t_sum_qty,
+             t.sum_price AS t_sum_price, t.min_price AS t_min_price,
+             t.max_qty AS t_max_qty, t.avg_qty AS t_avg_qty,
+             json_object('l_returnflag', s.l_returnflag) AS gjson
+      FROM s JOIN t ON s.l_returnflag = t.l_returnflag),
+m AS (
+  SELECT 'count:*' AS validation_name, 'count' AS aggregation_type, '*' AS source_column_name, gjson,
+         CAST(count_star AS DOUBLE) AS sv, CAST(t_count_star AS DOUBLE) AS tv FROM j
+  UNION ALL
+  SELECT 'sum:l_quantity', 'sum', 'l_quantity', gjson, sum_qty, t_sum_qty FROM j
+  UNION ALL
+  SELECT 'sum:l_extendedprice', 'sum', 'l_extendedprice', gjson, sum_price, t_sum_price FROM j
+  UNION ALL
+  SELECT 'min:l_extendedprice', 'min', 'l_extendedprice', gjson, min_price, t_min_price FROM j
+  UNION ALL
+  SELECT 'max:l_quantity', 'max', 'l_quantity', gjson, max_qty, t_max_qty FROM j
+  UNION ALL
+  SELECT 'avg:l_quantity', 'avg', 'l_quantity', gjson, avg_qty, t_avg_qty FROM j
+)
+SELECT validation_name, aggregation_type, source_column_name,
+       gjson AS group_by_columns,
+       sv AS source_agg_value, tv AS target_agg_value,
+       ABS(tv - sv) / ABS(sv) * 100.0 AS pct_difference,
+       CASE WHEN ABS(tv - sv) / ABS(sv) * 100.0 <= 0.1 THEN 'success' ELSE 'fail' END AS validation_status
+FROM m
+"""
+
+
+def _drifted_orders(o: DataFrame) -> DataFrame:
+    """Simulated migrated orders: ~1% dropped, ~1% price-doubled, ~1%
+    extra rows with shifted keys."""
+    kept = o.filter(F.col("o_orderkey") % 101 != 0)
+    modified = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    extra = o.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    return modified.unionByName(extra)
+
+
+def dvt_row_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-hash validation (A7/J6): NULL-safe canonical md5 per PK,
+    full-outer join, per-status counts.
+
+    At 100 TB: both sides reduce to (pk, 16-byte hash) in-scan before
+    the sort-merge join — minimal shuffle for a full-table compare."""
+    o = load_table(spark, sf_dir, "orders")
+    spec = ValidationSpec(
+        validation_type="row",
+        source_table="orders",
+        target_table="orders_migrated",
+        primary_keys=["o_orderkey"],
+        hash_cols=["*"],
+    )
+    detail = row_validation(o, _drifted_orders(o), spec, detail=True)
+    return detail.groupBy("row_status").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+DVT_ROW_SQL = """
+WITH fp_src AS (
+  SELECT o_orderkey, md5(concat_ws('␟',
+      CAST(o_custkey AS VARCHAR),
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'),
+      o_orderpriority, o_orderstatus,
+      CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR))) AS fp
+  FROM orders
+),
+tgt_rows AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+fp_tgt AS (
+  SELECT o_orderkey, md5(concat_ws('␟',
+      CAST(o_custkey AS VARCHAR),
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'),
+      o_orderpriority, o_orderstatus,
+      CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR))) AS fp
+  FROM tgt_rows
+)
+SELECT CASE WHEN s.fp IS NULL THEN 'target_only'
+            WHEN t.fp IS NULL THEN 'source_only'
+            WHEN s.fp = t.fp THEN 'match'
+            ELSE 'mismatch' END AS row_status,
+       COUNT(*) AS n_rows
+FROM fp_src s FULL OUTER JOIN fp_tgt t ON s.o_orderkey = t.o_orderkey
+GROUP BY 1
+"""
+
+
+def dvt_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema validation (dvt/main.py:40): lineitem vs a migrated copy
+    with one column retyped, one dropped, one added. Non-SQL op →
+    rows-only driver check; pytest covers exact expectations."""
+    l = load_table(spark, sf_dir, "lineitem")
+    migrated = (
+        l.withColumn("l_quantity", F.col("l_quantity").cast("decimal(15,2)"))
+        .drop("l_tax")
+        .withColumn("load_ts", F.current_timestamp())
+    )
+    spec = ValidationSpec(
+        validation_type="schema",
+        source_table="lineitem",
+        target_table="lineitem_migrated",
+        exclusion_columns=["l_comment"],
+        allow_list="double:decimal(15,2)",
+    )
+    return schema_validation(spark, l, migrated, spec).select(
+        "source_column_name",
+        F.col("source_agg_value").alias("source_type"),
+        F.col("target_agg_value").alias("target_type"),
+        "validation_status",
+    )
+
+
+def dvt_custom_query_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-query validation (UD4/dvt/main.py:50-56): user SQL on both
+    sides, column-compared. Source = revenue per flag from lineitem;
+    target = the same from a drifted copy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("li_src")
+    _drifted_lineitem(l).createOrReplaceTempView("li_tgt")
+    from data_migration_tool_spark.operators.validation import (
+        custom_query_validation,
+    )
+
+    spec = ValidationSpec(
+        validation_type="custom query",
+        source_table="li_src",
+        target_table="li_tgt",
+        count_cols=["*"],
+        sum_cols=["sum_qty"],
+        threshold=0.5,
+    )
+    res = custom_query_validation(
+        spark,
+        """SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           FROM li_src GROUP BY l_returnflag""",
+        """SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           FROM li_tgt GROUP BY l_returnflag""",
+        spec,
+    )
+    return res.select(
+        "validation_name",
+        "aggregation_type",
+        F.col("source_agg_value").cast("double").alias("source_agg_value"),
+        F.col("target_agg_value").cast("double").alias("target_agg_value"),
+        "validation_status",
+    )
+
+
+DVT_CUSTOM_SQL = """
+WITH s AS (
+  SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_returnflag
+),
+t AS (
+  SELECT l_returnflag, CAST(SUM(CAST(CASE WHEN l_orderkey % 50 = 0 THEN l_quantity * 2 ELSE l_quantity END AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_returnflag
+),
+sa AS (SELECT CAST(COUNT(*) AS DOUBLE) AS count_star, CAST(SUM(CAST(sum_qty AS DECIMAL(30,6))) AS DOUBLE) AS sum_sum_qty FROM s),
+ta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS count_star, CAST(SUM(CAST(sum_qty AS DECIMAL(30,6))) AS DOUBLE) AS sum_sum_qty FROM t),
+m AS (
+  SELECT 'count:*' AS validation_name, 'count' AS aggregation_type, sa.count_star AS sv, ta.count_star AS tv FROM sa, ta
+  UNION ALL
+  SELECT 'sum:sum_qty', 'sum', sa.sum_sum_qty, ta.sum_sum_qty FROM sa, ta
+)
+SELECT validation_name, aggregation_type, sv AS source_agg_value, tv AS target_agg_value,
+       CASE WHEN ABS(tv - sv) / ABS(sv) * 100.0 <= 0.5 THEN 'success' ELSE 'fail' END AS validation_status
+FROM m
+"""

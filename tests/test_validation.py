@@ -1,0 +1,182 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.operators.spec import parse_spec_rows
+from data_migration_tool_spark.operators.validation import (
+    ValidationSpec,
+    column_validation,
+    row_validation,
+    schema_validation,
+)
+
+SPEC_CSV = """header line 1
+header line 2
+ddl,column,db.emp,tgt.emp,,,fail,,emp_no>100,,,emp_no,commission,,salary,,dept_no,,Y,10,,,,,
+ddl,row,db.emp2,tgt.emp2,,,,emp_no,,,,,,,,,,,,,*,,,Y,100
+"""
+
+
+def test_spec_parser():
+    specs = parse_spec_rows(SPEC_CSV)
+    assert set(specs) == {"db.emp", "db.emp2"}
+    s = specs["db.emp"]
+    assert s.validation_type == "column"
+    assert s.filters == "emp_no>100"
+    assert s.count_cols == ["emp_no"]
+    assert s.sum_cols == ["commission"]
+    assert s.max_cols == ["salary"]
+    assert s.grouped_columns == ["dept_no"]
+    assert s.cast_to_bigint is True
+    assert s.threshold == 10.0
+    r = specs["db.emp2"]
+    assert r.validation_type == "row"
+    assert r.primary_keys == ["emp_no"]
+    assert r.hash_cols == ["*"]
+    assert r.use_random_row is True
+    assert r.random_row_batch_size == 100
+
+
+def test_schema_validation_exact(spark):
+    src = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
+    tgt = spark.createDataFrame([(1, "a", 1)], "id int, name string, v int")
+    res = schema_validation(spark, src, tgt).collect()
+    by_col = {r["source_column_name"]: r["validation_status"] for r in res}
+    assert by_col == {"id": "success", "name": "success", "v": "fail"}
+    # allow-list rescues the type change
+    res2 = schema_validation(
+        spark, src, tgt, ValidationSpec(allow_list="double:int")
+    ).collect()
+    assert all(r["validation_status"] == "success" for r in res2)
+
+
+def test_column_validation_threshold(spark):
+    src = spark.createDataFrame([(1, 100.0), (2, 200.0)], "id int, v double")
+    tgt = spark.createDataFrame([(1, 100.0), (2, 202.0)], "id int, v double")
+    spec = ValidationSpec(sum_cols=["v"], threshold=1.0)
+    res = {r["validation_name"]: r for r in column_validation(src, tgt, spec).collect()}
+    r = res["sum:v"]
+    assert r["validation_status"] == "success"  # 0.67% <= 1%
+    assert float(r["source_agg_value"]) == 300.0
+    spec0 = ValidationSpec(sum_cols=["v"], threshold=0.0)
+    res0 = {r["validation_name"]: r for r in column_validation(src, tgt, spec0).collect()}
+    assert res0["sum:v"]["validation_status"] == "fail"
+
+
+def test_column_validation_missing_group(spark):
+    src = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v int")
+    tgt = spark.createDataFrame([("a", 1)], "g string, v int")
+    spec = ValidationSpec(count_cols=["*"], grouped_columns=["g"])
+    res = column_validation(src, tgt, spec).collect()
+    status = {r["group_by_columns"]: r["validation_status"] for r in res}
+    assert status['{"g":"a"}'] == "success"
+    assert status['{"g":"b"}'] == "fail"
+
+
+def test_row_validation_statuses(spark):
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "pk int, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (4, "w")], "pk int, v string"
+    )
+    spec = ValidationSpec(primary_keys=["pk"], hash_cols=["*"])
+    detail = row_validation(src, tgt, spec, detail=True)
+    got = {r["pk"]: r["row_status"] for r in detail.collect()}
+    assert got == {1: "match", 2: "mismatch", 3: "source_only", 4: "target_only"}
+    summary = row_validation(src, tgt, spec).first()
+    assert summary["validation_status"] == "fail"
+    assert summary["source_agg_value"] == "4"  # total keys
+    assert summary["target_agg_value"] == "1"  # matched
+
+
+def test_row_validation_random_row_seeded(spark):
+    rows = [(i, f"v{i}") for i in range(100)]
+    src = spark.createDataFrame(rows, "pk int, v string")
+    spec = ValidationSpec(
+        primary_keys=["pk"], hash_cols=["*"], use_random_row=True,
+        random_row_batch_size=10, random_seed=7,
+    )
+    d1 = sorted(r["pk"] for r in row_validation(src, src, spec, detail=True).collect())
+    d2 = sorted(r["pk"] for r in row_validation(src, src, spec, detail=True).collect())
+    assert len(d1) == 10
+    assert d1 == d2  # seeded → reproducible
+    assert all(
+        r["row_status"] == "match"
+        for r in row_validation(src, src, spec, detail=True).collect()
+    )
+
+
+def test_audit_log_roundtrip(spark, tmp_path):
+    from data_migration_tool_spark.audit import AuditLog
+    from data_migration_tool_spark.audit.queries import (
+        dvt_passed_tables,
+        tables_to_load,
+        validation_run_summary,
+    )
+    import datetime
+
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    t0 = datetime.datetime(2026, 1, 1)
+    audit.insert_rows(
+        "hive_ddl_metadata",
+        [
+            {"run_id": "r1", "start_time": t0, "database": "db", "table": "t1",
+             "format": "parquet", "ddl_extracted": "YES"},
+            {"run_id": "r1", "start_time": t0, "database": "db", "table": "t2",
+             "format": "csv", "ddl_extracted": "YES"},
+        ],
+    )
+    audit.insert_rows(
+        "hive_bqload_audit",
+        [{"load_dtm": t0, "run_id": "r1", "hive_db_name": "db",
+          "tablename": "t1", "load_status": "PASS"}],
+    )
+    todo = [r["table"] for r in tables_to_load(audit).collect()]
+    assert todo == ["t2"]  # t1 already PASS-loaded → anti-joined away
+
+    audit.insert_rows(
+        "dmt_dvt_results",
+        [
+            {"run_id": "r1", "source_table_name": "db.t1",
+             "validation_status": "success"},
+            {"run_id": "r1", "source_table_name": "db.t2",
+             "validation_status": "success"},
+            {"run_id": "r1", "source_table_name": "db.t2",
+             "validation_status": "fail"},
+        ],
+    )
+    ok = [r["source_table_name"] for r in dvt_passed_tables(audit).collect()]
+    assert ok == ["db.t1"]
+    summ = {
+        r["source_table_name"]: r["table_status"]
+        for r in validation_run_summary(audit).collect()
+    }
+    assert summ == {"db.t1": "PASS", "db.t2": "FAIL"}
+
+
+def test_ordered_stringagg_queries(spark):
+    from data_migration_tool_spark.audit.queries import (
+        clustering_columns,
+        schema_strings,
+    )
+
+    cols = spark.createDataFrame(
+        [
+            ("t", "b_col", 2, "NO", None),
+            ("t", "a_col", 1, "YES", None),
+            ("t", "c_col", 3, "NO", 1),
+        ],
+        "table_name string, column_name string, ordinal_position int,"
+        " is_partitioning_column string, clustering_ordinal_position int",
+    )
+    ss = schema_strings(
+        cols.withColumn("data_type", F.lit("STRING"))
+    ).first()
+    assert ss["schema_string"] == "a_col:STRING,b_col:STRING,c_col:STRING"
+    cc = {
+        (r["table_name"], r["kind"]): r["columns"]
+        for r in clustering_columns(cols).collect()
+    }
+    assert cc[("t", "partition")] == "a_col"
+    assert cc[("t", "cluster")] == "c_col"
