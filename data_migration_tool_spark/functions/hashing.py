@@ -34,6 +34,17 @@ def canonical_string(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+def md5_int32(col: Column, salt: int | None = None) -> Column:
+    """Portable 32-bit integer hash: first 8 hex chars of md5 → bigint.
+
+    Slower than xxhash/murmur but identical in every engine that has
+    md5 — the property the dedup/minhash operators need for oracle
+    parity. ``salt`` prefixes the input (family of hash functions)."""
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def null_safe_concat(df: DataFrame, cols: list[str] | None = None) -> Column:
     """NULL-safe, type-canonical concatenation of ``cols`` (default all)."""
     names = cols or df.columns

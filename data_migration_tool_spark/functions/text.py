@@ -43,7 +43,10 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     """
     toks = tokens(col)
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+The reference dedups only at table/file granularity (audit anti-joins);
+a training-data engine needs document-level dedup. All operators work on
+a DataFrame with (id, text) columns and are built from shuffles that
+scale linearly with corpus size:
+
+- ``exact_dedup``          — normalize → md5 fingerprint → groupBy.
+  One shuffle on the 16-byte fingerprint; at 100 TB this is the
+  cheapest possible exact dedup (no text comparison after hashing).
+- ``minhash_signatures`` / ``lsh_candidate_pairs`` / ``minhash_lsh_dedup``
+  — shingle → k salted min-hashes → band keys → bucket self-join →
+  exact Jaccard verify on candidates only. The self-join is on band
+  buckets, so cost is Σ bucket² — the LSH contract — instead of n².
+- ``simhash`` — per-bit majority vote over token hashes; near-dup
+  bucketing by Hamming distance on a 16-bit signature.
+- ``ngram_jaccard_pairs`` — exact pairwise Jaccard via an inverted
+  shingle index (explode → self-join on shingle → per-pair counts).
+  Quadratic in the worst case; intended for verify stages and small
+  candidate sets, with LSH as the scale path.
+
+All hashes are md5-derived (``functions.hashing.md5_int32``) so a SQL
+oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions.hashing import md5_int32
+from data_migration_tool_spark.functions.scalars import ordered_string_agg
+from data_migration_tool_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, keep_id, n_dups): one row per distinct normalized
+    text; ``keep_id`` = min id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_set(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+# Affine min-hash family h_i(x) = (a_i*h(x) + b_i) mod P over one base
+# md5 hash — one md5 per shingle instead of k. P prime > 2^32; a_i < 2^31
+# keeps a*h + b inside int64 for h < 2^32. Deterministic constants so SQL
+# oracles can embed the same table.
+MINHASH_P = 4294967311
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """(seed, a, b) rows for the affine family, identical across engines."""
+    out = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % (2**31 - 1) or 1
+        b = (2654435761 * i + 1013904223) % MINHASH_P
+        out.append((i, a, b))
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """(id, band, band_key): k affine min-hashes grouped into bands of
+    ``band_rows``, each band keyed by the md5 of its ordered min-hash
+    list. Two docs share a band_key iff the band's min-hashes all agree."""
+    spark = shingles.sparkSession
+    seeds = spark.createDataFrame(
+        minhash_params(num_hashes), "seed int, a long, b long"
+    )
+    base = shingles.select(F.col(id_col), md5_int32(F.col("shingle")).alias("h"))
+    hashed = base.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "seed",
+        ((F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)).alias("h"),
+    )
+    minh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
+    return (
+        minh.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(ordered_string_agg(F.col("minh").cast("string"), "seed")).alias(
+                "band_key"
+            )
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket. The join key
+    is (band, band_key) so cost follows bucket sizes, not n²."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |∩| from a shingle-equality
+    join restricted to the pairs, sizes from per-doc counts."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline → (id_a, id_b, jaccard) pairs over the
+    threshold. Candidates come from LSH buckets; Jaccard is exact."""
+    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
+    bands = minhash_signatures(sh, id_col, num_hashes, band_rows)
+    cand = lsh_candidate_pairs(bands, id_col)
+    return jaccard_verify(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash): per-bit majority vote over (multiset) token hashes.
+    Near-dups differ in few bits; at scale, group by rotated bit-bands
+    to find candidates (same trick as LSH bands)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = md5_int32(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via the inverted index (no LSH). Use for
+    verification / small sets; ``minhash_lsh_dedup`` is the scale path."""
+    sh = shingle_set(df, id_col, text_col, shingle_n)
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

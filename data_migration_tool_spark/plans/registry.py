@@ -13,7 +13,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from data_migration_tool_spark.plans import relational as R
+from data_migration_tool_spark.plans import textq as TQ
 from data_migration_tool_spark.plans import validationq as V
+from data_migration_tool_spark.plans import vectorq as VQ
 
 
 @dataclass(frozen=True)
@@ -43,6 +45,18 @@ _DEFS: list[QueryDef] = [
     QueryDef("dvt_row_validation", V.dvt_row_validation, V.DVT_ROW_SQL, ("dvt",)),
     QueryDef("dvt_schema_validation", V.dvt_schema_validation, None, ("dvt",)),
     QueryDef("dvt_custom_query_validation", V.dvt_custom_query_validation, V.DVT_CUSTOM_SQL, ("dvt",)),
+    QueryDef("doc_token_stats", TQ.doc_token_stats, TQ.DOC_TOKEN_STATS_SQL, ("text",)),
+    QueryDef("doc_quality_scores", TQ.doc_quality_scores, TQ.DOC_QUALITY_SQL, ("text",)),
+    QueryDef("doc_language_id", TQ.doc_language_id, TQ.DOC_LANG_SQL, ("text",)),
+    QueryDef("doc_token_frequencies", TQ.doc_token_frequencies, TQ.DOC_TOKEN_FREQ_SQL, ("text",)),
+    QueryDef("doc_exact_dedup", TQ.doc_exact_dedup, TQ.DOC_EXACT_DEDUP_SQL, ("dedup",)),
+    QueryDef("doc_minhash_lsh_dedup", TQ.doc_minhash_lsh_dedup, TQ.DOC_MINHASH_SQL, ("dedup",)),
+    QueryDef("doc_ngram_jaccard_pairs", TQ.doc_ngram_jaccard_pairs, TQ.DOC_NGRAM_JACCARD_SQL, ("dedup",)),
+    QueryDef("doc_simhash", TQ.doc_simhash, TQ.DOC_SIMHASH_SQL, ("dedup",)),
+    QueryDef("knn_brute_force", VQ.knn_brute_force, VQ.KNN_BRUTE_SQL, ("ann",)),
+    QueryDef("embedding_cosine_stats", VQ.embedding_cosine_stats, VQ.EMB_COS_STATS_SQL, ("ann",)),
+    QueryDef("embedding_near_dups", VQ.embedding_near_dups, VQ.EMB_NEAR_DUP_SQL, ("dedup", "ann")),
+    QueryDef("ivf_ann_topk", VQ.ivf_ann_topk, VQ.IVF_ANN_SQL, ("ann",)),
 ]
 
 QUERIES: dict[str, QueryDef] = {d.name: d for d in _DEFS}

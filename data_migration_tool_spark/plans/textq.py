@@ -1,0 +1,239 @@
+"""Text-analysis and dedup plans over the ``documents`` table, each with
+a DuckDB oracle replicating the exact operator semantics (portable
+md5-derived hashes, deterministic integer-ratio doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions import text as TX
+from data_migration_tool_spark.operators import dedup as DD
+from data_migration_tool_spark.operators import textops as TO
+from data_migration_tool_spark.tables import load_table
+
+# Shared SQL fragments — tokenization and shingling twins of
+# functions.text.tokens / word_shingles.
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks WHERE len(tk) >= 3
+)
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (explode-free: all array expressions in-scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.token_stats(d)
+
+
+DOC_TOKEN_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         / CAST(greatest(len(tk), 1) AS DOUBLE) AS avg_token_len
+FROM toks
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band + stopword-ratio band)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.quality_scores(d)
+
+
+_SW = "('the','a','of','and','to','in')"
+DOC_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+m AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CAST(len(list_filter(tk, t -> t IN {_SW})) AS DOUBLE)
+           / CAST(greatest(len(tk), 1) AS DOUBLE) AS stopword_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, stopword_ratio,
+  CAST(CASE WHEN (n_tokens BETWEEN 20 AND 2000)
+        AND (stopword_ratio >= 0.01 AND stopword_ratio <= 0.6) THEN 1.0
+       WHEN (n_tokens BETWEEN 20 AND 2000)
+         OR (stopword_ratio >= 0.01 AND stopword_ratio <= 0.6) THEN 0.5
+       ELSE 0.0 END AS DOUBLE) AS quality
+FROM m
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        TO.language_id(d)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_MARKER_SCORES = ",\n".join(
+    f"  len(list_filter(tk, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+    for lang, markers in sorted(TX.LANG_MARKERS.items())
+)
+_LANGS = sorted(TX.LANG_MARKERS)
+DOC_LANG_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+{_MARKER_SCORES},
+  greatest({', '.join('s_' + lang for lang in _LANGS)}) AS best
+  FROM toks
+)
+SELECT lang,
+  CASE {' '.join(f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANGS)}
+       ELSE 'und' END AS predicted_lang,
+  COUNT(*) AS n_docs
+FROM sc
+GROUP BY 1, 2
+"""
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 fingerprint groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d)
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4-row bands) candidate generation with
+    exact Jaccard verify ≥ 0.5 — the scale-path near-dup detector.
+
+    At 100 TB: shingle explode is map-side; min-hash agg is one shuffle
+    on doc_id; band self-join cost follows bucket sizes (Σb²), never n²;
+    exact verify touches candidate pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_dedup(d, threshold=0.5)
+
+
+_SEED_VALUES = ", ".join(f"({s}, {a}, {b})" for s, a, b in DD.minhash_params(16))
+DOC_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT * FROM (VALUES {_SEED_VALUES}) AS t(seed, a, b)),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+hashed AS (
+  SELECT doc_id, seed, (a * h + b) % {DD.MINHASH_P} AS h
+  FROM base, seeds
+),
+minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM minh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes na ON na.doc_id = c.id_a
+JOIN sizes nb ON nb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted shingle
+    index — the verify-stage twin of the LSH path."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+DOC_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (per-bit majority over token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash(d, bits=16)
+
+
+_SIMHASH_VOTES = ",\n".join(
+    f"  SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(16)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+DOC_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+{_SIMHASH_VOTES}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def doc_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode/unnest — SURVEY J4 shape
+    applied to text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.token_frequencies(d, top_n=20)
+
+
+DOC_TOKEN_FREQ_SQL = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""

@@ -1,0 +1,118 @@
+"""Embedding similarity plans over the ``embeddings`` table
+(vec_id, embedding array<float>, label), with DuckDB oracles.
+
+Cosine math runs in double precision with sequential accumulation on
+both engines (Spark: zip_with + aggregate; DuckDB:
+list_cosine_similarity over DOUBLE[]), so similarity values agree to
+the last bit on identical inputs; rank outputs additionally tolerate
+fp noise except at exact ties (broken by neighbor id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions.vectors import cosine_similarity
+from data_migration_tool_spark.operators import similarity as SIM
+from data_migration_tool_spark.tables import load_table
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries.
+    At 100 TB: queries broadcast, corpus scanned once, per-partition
+    top-k before the final window (Catalyst's TakeOrdered per group)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(q, e, k=5)
+
+
+KNN_BRUTE_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+) WHERE rank <= 5
+"""
+
+
+def embedding_cosine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of (i, i+250) pairs, rounded to 6 — value-level coverage of
+    the vector math (rank outputs alone would hide magnitude bugs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    b = e.select((F.col("vec_id") - 250).alias("id_a"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cos_sim"),
+        )
+    )
+
+
+EMB_COS_STATS_SQL = """
+SELECT a.vec_id AS id_a,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
+WHERE a.vec_id < 250
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.45 (ids only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.45)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: 8 centroid vectors (vec_id < 8), corpus
+    assigned to max-cosine cells, queries (vec_id < 10) search only
+    their own cell — the 1000-executor scale path where each cell is a
+    co-located partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8)
+    assigned = SIM.ivf_assign(e, centroids)
+    queries = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(queries, assigned, centroids, k=3)
+
+
+IVF_ANN_SQL = """
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM assigned q JOIN assigned c ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 3
+"""

@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.operators import dedup as DD
+from data_migration_tool_spark.operators import multimodal as MM
+from data_migration_tool_spark.operators import similarity as SIM
+from data_migration_tool_spark.operators import textops as TO
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different words about spark engines and data pipelines"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    res = {r["keep_id"]: r["n_dups"] for r in DD.exact_dedup(_docs(spark)).collect()}
+    assert res[1] == 2  # docs 1 and 4 collapse
+    assert res[2] == 1 and res[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = DD.minhash_lsh_dedup(_docs(spark), threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup always pairs
+    assert (1, 2) in got or (2, 4) in got  # near-dup caught by LSH
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dup_property(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[1], sigs[2]) <= hamming(sigs[1], sigs[3])
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    v = _vecs(spark)
+    res = SIM.brute_force_topk(v.filter(F.col("vec_id") == 0), v, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in res.collect()]
+    assert got[0] == (1, 1)  # nearest to e_x is the 0.9/0.1 vector
+
+
+def test_ivf_routes_to_cell(spark):
+    v = _vecs(spark)
+    centroids = v.filter(F.col("vec_id").isin(0, 2, 4))
+    assigned = SIM.ivf_assign(v, centroids)
+    cells = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    assert cells[1] == 0 and cells[3] == 2
+    topk = SIM.ivf_topk(v.filter(F.col("vec_id") == 1), assigned, centroids, k=1)
+    assert topk.first()["neighbor_id"] == 0  # searches within cell 0 only
+
+
+def test_embedding_near_dup_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(_vecs(spark), threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs and (0, 4) not in pairs
+
+
+def test_token_stats_and_quality(spark):
+    d = _docs(spark)
+    stats = {r["doc_id"]: r for r in TO.token_stats(d).collect()}
+    assert stats[1]["n_tokens"] == 13
+    assert stats[1]["n_distinct_tokens"] == 11  # 'the' ×3
+    q = {r["doc_id"]: r for r in TO.quality_scores(d).collect()}
+    assert 0 < q[1]["stopword_ratio"] < 1
+
+
+def test_multimodal_feature_extract(spark):
+    media = MM.synthetic_media(spark, n=30)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[0]["features"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in by_id[0]["features"])
+    # deterministic: same content → same sha and features
+    f2 = MM.extract_features(media).collect()
+    assert {r["media_id"]: r["content_sha"] for r in f2} == {
+        r["media_id"]: r["content_sha"] for r in feats
+    }
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synthetic_media(spark, n=9)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    counts = {}
+    for r in rows:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    for mid, n in counts.items():
+        assert n == (durations[mid] + 999) // 1000

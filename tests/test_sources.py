@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.audit import AuditLog
+from data_migration_tool_spark.sources.bulk_load import (
+    TableLoadSpec,
+    bulk_load,
+    load_table,
+)
+from data_migration_tool_spark.sources.incremental import (
+    incremental_append,
+    parse_db_table,
+    stage_files,
+)
+from data_migration_tool_spark.sources.readers import read_table
+from data_migration_tool_spark.sources.writers import write_table
+
+
+def test_csv_x01_delimiter_and_schema_string(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("1\x01alice\x012.5\n2\x01bob\x013.5\n")
+    df = read_table(
+        spark, str(p), fmt="csv", delimiter="\x01",
+        schema_ddl="id INT, name STRING, score DOUBLE",
+    )
+    rows = df.orderBy("id").collect()
+    assert [r["name"] for r in rows] == ["alice", "bob"]
+    assert df.schema.simpleString() == "struct<id:int,name:string,score:double>"
+
+
+def test_csv_skip_rows(spark, tmp_path):
+    p = tmp_path / "spec.csv"
+    p.write_text("junk header\nmore junk\n1,a\n2,b\n")
+    df = read_table(
+        spark, str(p), fmt="csv", schema_ddl="id STRING, v STRING", skip_rows=2
+    )
+    assert sorted(r["v"] for r in df.collect()) == ["a", "b"]
+
+
+def test_partition_discovery_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)], "id int, dt string, v double"
+    )
+    out = str(tmp_path / "part_tbl")
+    write_table(src, out, partition_by=["dt"])
+    assert os.path.isdir(os.path.join(out, "dt=2024-01-01"))
+    back = read_table(spark, out)
+    # partition column type inference kicks in: dt comes back as DateType
+    assert {str(r["dt"]) for r in back.collect()} == {"2024-01-01", "2024-01-02"}
+
+
+def test_bulk_load_with_rerun_and_size_guard(spark, tmp_path):
+    audit = AuditLog(spark, str(tmp_path / "logs"))
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    spark.createDataFrame([(1, "x")], "id int, v string").write.parquet(
+        str(srcdir / "t1")
+    )
+    spark.createDataFrame([(2, "y")], "id int, v string").write.parquet(
+        str(srcdir / "t2")
+    )
+    wh = str(tmp_path / "wh")
+    specs = [
+        TableLoadSpec("db", "t1", str(srcdir / "t1")),
+        TableLoadSpec("db", "t2", str(srcdir / "t2")),
+    ]
+    r1 = bulk_load(spark, specs, wh, audit)
+    assert r1 == {"db.t1": "PASS", "db.t2": "PASS"}
+    # rerun skips both via audit anti-join
+    r2 = bulk_load(spark, specs, wh, audit)
+    assert r2 == {"db.t1": "SKIP", "db.t2": "SKIP"}
+    # size guard → FAIL row with reason
+    st = load_table(
+        spark, TableLoadSpec("db", "big", str(srcdir / "t1")), wh, audit,
+        max_bytes=10,
+    )
+    assert st == "FAIL"
+    fail = (
+        audit.table("hive_bqload_audit")
+        .filter(F.col("tablename") == "big")
+        .first()
+    )
+    assert "exceeds" in fail["reason_for_failure"]
+
+
+def test_parse_db_table():
+    assert parse_db_table("/landing/salesdb/orders/part-001.parquet") == (
+        "salesdb",
+        "orders",
+    )
+    assert parse_db_table("noslashes") is None
+
+
+def test_incremental_stage_and_append(spark, tmp_path):
+    audit = AuditLog(spark, str(tmp_path / "logs"))
+    landing = tmp_path / "landing" / "salesdb" / "orders"
+    landing.mkdir(parents=True)
+    spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1).write.parquet(
+        str(tmp_path / "tmp_out")
+    )
+    pq = next(
+        f for f in os.listdir(tmp_path / "tmp_out") if f.endswith(".parquet")
+    )
+    os.rename(tmp_path / "tmp_out" / pq, landing / "f1.parquet")
+
+    t0 = datetime.datetime(2026, 1, 2, 12, 0, 0)
+    audit.insert_rows(
+        "hive_pubsub_audit",
+        [
+            {
+                "subscription_name": "s",
+                "message_id": "m1",
+                "publish_time": t0,
+                "data": '{"name": "%s", "bucket": "local"}' % str(landing / "f1.parquet"),
+                "attributes": "{}",
+            }
+        ],
+    )
+    rows = stage_files(audit, str(tmp_path / "staging"), run_time=t0)
+    assert len(rows) == 1 and rows[0]["file_copy_status"] == "PASS"
+    assert rows[0]["hive_db"] == "salesdb" and rows[0]["table_name"] == "orders"
+    # rerun within same window: nothing new to copy
+    assert stage_files(audit, str(tmp_path / "staging"), run_time=t0) == []
+
+    loaded = incremental_append(spark, audit, str(tmp_path / "wh"))
+    assert loaded == {"salesdb.orders": 1}
+    back = spark.read.parquet(str(tmp_path / "wh" / "salesdb" / "orders"))
+    assert back.count() == 1

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import json
+import os
+
+from data_migration_tool_spark.streaming.file_stream import (
+    deduped_stream,
+    run_events_stream_demo,
+    watch_config_dir,
+    windowed_event_counts,
+)
+
+
+def test_windowed_event_counts_batch(spark, tables):
+    out = windowed_event_counts(tables["events"]).collect()
+    assert len(out) > 0
+    assert all(r["window_end"] > r["window_start"] for r in out)
+    total = sum(r["n_events"] for r in out)
+    assert total == tables["events"].count()
+
+
+def test_deduped_stream_batch(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    assert deduped_stream(df, ["k"]).count() == 2
+
+
+def test_events_streaming_end_to_end(spark, tmp_path):
+    rows = run_events_stream_demo(
+        spark, "/root/testdata/sf0.001/events.parquet", str(tmp_path)
+    )
+    assert len(rows) > 0
+    # streaming result must equal the batch computation
+    from data_migration_tool_spark.tables import load_table
+
+    batch = windowed_event_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted([tuple(r) for r in rows], key=lambda t: (t[0], t[2])) == sorted(
+        [tuple(r) for r in batch], key=lambda t: (t[0], t[2])
+    )
+
+
+def test_watch_config_dir_dispatch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "cfg1.json").write_text(json.dumps({"type": "ddl", "source": "hive"}))
+    (landing / "cfg2.json").write_text(json.dumps({"type": "data", "source": "td"}))
+    seen: list[str] = []
+
+    def dispatch(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen.append(json.loads(r["value"])["type"])
+
+    q = watch_config_dir(
+        spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
+    )
+    q.awaitTermination(60)
+    assert sorted(seen) == ["data", "ddl"]
+    # restart with same checkpoint: nothing re-dispatched (exactly-once)
+    seen.clear()
+    q2 = watch_config_dir(
+        spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
+    )
+    q2.awaitTermination(60)
+    assert seen == []
+    # new file arrives → only it is dispatched
+    (landing / "cfg3.json").write_text(json.dumps({"type": "sql", "source": "rs"}))
+    q3 = watch_config_dir(
+        spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
+    )
+    q3.awaitTermination(60)
+    assert seen == ["sql"]
