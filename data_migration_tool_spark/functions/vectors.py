@@ -2,8 +2,14 @@
 
 All JVM-side via higher-order functions (``zip_with`` + ``aggregate``) —
 no Python in the hot path. Products/accumulation happen in double with a
-fixed left-to-right order, so results are deterministic and match a
-DuckDB oracle computing ``list_dot_product(a::DOUBLE[], b::DOUBLE[])``.
+fixed left-to-right order starting at 0.0, so results are deterministic
+and match a DuckDB oracle computing
+``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`` bit-for-bit.
+
+(Measured note: an unrolled ``element_at`` chain for a known dim is ~10×
+SLOWER than the HOF form here — the 64-term expression falls out of
+whole-stage codegen and pays per-element interpreted dispatch, while the
+HOF loop runs tight over the array. Don't "optimize" back to it.)
 """
 
 from __future__ import annotations

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.functions.hashing import md5_int32
-from data_migration_tool_spark.functions.scalars import ordered_string_agg
 from data_migration_tool_spark.functions.text import fingerprint, tokens, word_shingles
+from data_migration_tool_spark.partitioning import spread
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,11 +49,12 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def shingle_set(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
+    """Distinct (id, shingle) pairs — the inverted-index input.
+    Input is spread first: shingling+hashing is the map-heavy stage and
+    must not run at a small file's single-partition parallelism."""
     return (
-        df.select(
-            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
-        )
+        spread(df)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -83,26 +84,45 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, band, band_key): k affine min-hashes grouped into bands of
     ``band_rows``, each band keyed by the md5 of its ordered min-hash
-    list. Two docs share a band_key iff the band's min-hashes all agree."""
-    spark = shingles.sparkSession
-    seeds = spark.createDataFrame(
-        minhash_params(num_hashes), "seed int, a long, b long"
-    )
+    list. Two docs share a band_key iff the band's min-hashes all agree.
+
+    Execution shape: all k affine transforms are projections over the
+    ONE base md5 per shingle, aggregated as k ``min`` columns in a
+    single groupBy(id) — one shuffle of map-side-combined partials (k+1
+    columns × n_docs groups), no k× row explosion, no second shuffle.
+    Band keys are then a pure projection (md5 of the comma-joined
+    min-hashes in seed order — same text DuckDB's
+    ``string_agg(... ORDER BY seed)`` produces)."""
+    params = minhash_params(num_hashes)
     base = shingles.select(F.col(id_col), md5_int32(F.col("shingle")).alias("h"))
-    hashed = base.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col),
-        "seed",
-        ((F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)).alias("h"),
-    )
-    minh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
-    return (
-        minh.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(ordered_string_agg(F.col("minh").cast("string"), "seed")).alias(
-                "band_key"
+    mins = base.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{s}"
             )
-        )
+            for s, a, b in params
+        ]
+    )
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{i * band_rows + j}").cast("string")
+                            for j in range(band_rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return mins.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -176,7 +196,7 @@ def simhash(
     """(id, simhash): per-bit majority vote over (multiset) token hashes.
     Near-dups differ in few bits; at scale, group by rotated bit-bands
     to find candidates (same trick as LSH bands)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = md5_int32(F.col("tok"))
     votes = [
         F.sum(
