@@ -27,6 +27,21 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once per row and pass it to ``fn`` as a bound
+    lambda variable.
+
+    Catalyst re-evaluates a named subexpression that appears inside a
+    higher-order-function lambda once PER ELEMENT (lambda bodies are
+    interpreted outside whole-stage codegen, with no common-subexpression
+    elimination). Wrapping the value in a 1-element array and
+    ``transform``-ing it rebinds it as a NamedLambdaVariable, which IS
+    evaluated exactly once — turning e.g. shingling from O(tokens²) per
+    row back into O(tokens). Works for any data type, including structs.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization; empty strings filtered."""
     return F.filter(F.split(_c(col), " "), lambda t: t != F.lit(""))
@@ -39,24 +54,33 @@ def token_count(col: str | Column) -> Column:
 def word_shingles(col: str | Column, n: int = 3) -> Column:
     """n-token shingles as strings (for MinHash / Jaccard dedup).
 
-    Built by index over the token array — pure codegen, no UDF.
+    Built by index over the token array — pure Catalyst, no UDF. The
+    token array is bound once per row (see ``bind``); referencing
+    ``tokens(col)`` directly inside the transform lambda would re-split
+    the text for every element_at — O(tokens²) per row.
     """
-    toks = tokens(col)
-    k = F.size(toks) - F.lit(n - 1)
-    # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+
+    def shingles_of(toks: Column) -> Column:
+        k = F.size(toks) - F.lit(n - 1)
+        # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+
+    return bind(tokens(col), shingles_of)
+
+
+def _stopword_ratio_of(toks: Column) -> Column:
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
 def stopword_ratio(col: str | Column) -> Column:
-    toks = tokens(col)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return bind(tokens(col), _stopword_ratio_of)
 
 
 def quality_score(col: str | Column) -> Column:
@@ -65,34 +89,53 @@ def quality_score(col: str | Column) -> Column:
     Mirrors the shape of heuristic quality filters in large-scale corpus
     pipelines; exact logic is fixed so the oracle can replicate it.
     """
-    n = token_count(col)
-    length_ok = (n >= F.lit(20)) & (n <= F.lit(2000))
-    sw = stopword_ratio(col)
-    sw_ok = (sw >= F.lit(0.01)) & (sw <= F.lit(0.6))
-    return (
-        F.when(length_ok & sw_ok, F.lit(1.0))
-        .when(length_ok | sw_ok, F.lit(0.5))
-        .otherwise(F.lit(0.0))
-    )
+
+    def score_of(toks: Column) -> Column:
+        measures = F.struct(
+            F.size(toks).cast("bigint").alias("n"),
+            _stopword_ratio_of(toks).alias("sw"),
+        )
+
+        def band(m: Column) -> Column:
+            n, sw = m["n"], m["sw"]
+            length_ok = (n >= F.lit(20)) & (n <= F.lit(2000))
+            sw_ok = (sw >= F.lit(0.01)) & (sw <= F.lit(0.6))
+            return (
+                F.when(length_ok & sw_ok, F.lit(1.0))
+                .when(length_ok | sw_ok, F.lit(0.5))
+                .otherwise(F.lit(0.0))
+            )
+
+        return bind(measures, band)
+
+    return bind(tokens(col), score_of)
 
 
 def predicted_lang(col: str | Column) -> Column:
     """Marker-word language ID: argmax of per-language marker hits,
     ties broken by language code order, 'und' when no marker hits."""
-    toks = tokens(col)
+    langs = sorted(LANG_MARKERS)
 
-    def marker_hits(markers: tuple[str, ...]) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    def lang_of(toks: Column) -> Column:
+        scores = F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+                for lang in langs
+            ]
+        )
 
-    scores = [
-        (lang, marker_hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    expr = F.lit("und")
-    # reversed so earlier language codes win ties
-    for lang, s in reversed(scores):
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+        def argmax(sc: Column) -> Column:
+            best = F.array_max(sc)
+            expr = F.lit("und")
+            # reversed so earlier language codes win ties
+            for i in reversed(range(len(langs))):
+                s = F.element_at(sc, i + 1)
+                expr = F.when((s == best) & (best > 0), F.lit(langs[i])).otherwise(expr)
+            return expr
+
+        return bind(scores, argmax)
+
+    return bind(tokens(col), lang_of)
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -13,18 +13,23 @@ from data_migration_tool_spark.functions import text as TX
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    toks = TX.tokens(text_col)
+    def stats_of(toks):
+        return F.struct(
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+            (
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+                ).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)).cast("double")
+            ).alias("avg_token_len"),
+        )
+
+    # one bound evaluation of the token array per row; CollapseProject
+    # keeps the struct alias intact (non-cheap expr referenced 3×)
     return df.select(
-        F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        (
-            F.aggregate(
-                F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-            ).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        ).alias("avg_token_len"),
-    )
+        F.col(id_col), TX.bind(TX.tokens(text_col), stats_of).alias("_s")
+    ).select(id_col, "_s.n_tokens", "_s.n_distinct_tokens", "_s.avg_token_len")
 
 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
