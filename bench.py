@@ -28,8 +28,17 @@ def main() -> None:
 
     spark = get_spark(app_name="dmt-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/session so the first measured query isn't charged for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM: run every query once at the smallest SF so codegen +
+    # JIT compile before measurement. Executors on a real cluster are
+    # long-lived and warm; without this, whichever query first touches a
+    # cold kernel (e.g. interpreted higher-order-function eval) absorbs
+    # seconds of one-time compile cost and timings flap run-to-run.
+    warm_dir = "/root/testdata/sf0.001"
+    for qdef in QUERIES.values():
+        try:
+            qdef.builder(spark, warm_dir).count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
 
     timings: dict[str, float] = {}
     for name, qdef in QUERIES.items():

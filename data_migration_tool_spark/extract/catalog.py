@@ -86,6 +86,8 @@ def extract_catalog_ddls(
     rows: list[dict] = []
     now = __import__("datetime").datetime.now(__import__("datetime").timezone.utc)
     for t in spark.catalog.listTables(database):
+        if t.isTemporary:  # session temp views are not catalog tables
+            continue
         qualified = f"{database}.{t.name}"
         try:
             meta = table_metadata(spark, qualified)
@@ -122,6 +124,8 @@ def columns_info(spark: SparkSession, database: str) -> DataFrame:
     Built from catalog metadata; tiny, broadcastable."""
     rows = []
     for t in spark.catalog.listTables(database):
+        if t.isTemporary:
+            continue
         for i, c in enumerate(spark.catalog.listColumns(f"{database}.{t.name}")):
             rows.append(
                 (t.name, c.name, c.dataType, i + 1, "YES" if c.isPartition else "NO")
