@@ -67,11 +67,16 @@ def _decode_bytes(content: bytes, kind: str, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 8, feature_type: str = "float"
+) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
     Pattern: dedup on content hash BEFORE decode (each distinct blob is
     decoded once), then the cheap features join back to all rows.
+
+    ``feature_type``: ``float`` (storage-friendly) or ``double`` (when
+    downstream compares values bit-exactly — float32 narrowing rounds).
     """
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = hashed.select("content_sha", "kind", "content").dropDuplicates(
@@ -89,7 +94,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     decoded = distinct_blobs.mapInPandas(
-        decode, "content_sha string, features array<float>"
+        decode, f"content_sha string, features array<{feature_type}>"
     )
     return (
         hashed.join(decoded, "content_sha")

@@ -12,7 +12,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_migration_tool_spark.plans import mediaq as MQ
 from data_migration_tool_spark.plans import relational as R
+from data_migration_tool_spark.plans import streamq as SQ
 from data_migration_tool_spark.plans import textq as TQ
 from data_migration_tool_spark.plans import validationq as V
 from data_migration_tool_spark.plans import vectorq as VQ
@@ -29,7 +31,11 @@ class QueryDef:
 _DEFS: list[QueryDef] = [
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL, ("agg", "tpch")),
     QueryDef("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL, ("join", "topk")),
+    QueryDef("q4_order_priority", R.q4_order_priority, R.Q4_SQL, ("semijoin", "tpch")),
     QueryDef("q5_local_supplier_volume", R.q5_local_supplier_volume, R.Q5_SQL, ("join",)),
+    QueryDef("q6_forecast_revenue", R.q6_forecast_revenue, R.Q6_SQL, ("agg", "pushdown")),
+    QueryDef("q10_returned_items", R.q10_returned_items, R.Q10_SQL, ("join", "topk")),
+    QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
     QueryDef("latest_event_per_user", R.latest_event_per_user, R.LATEST_EVENT_SQL, ("window",)),
     QueryDef("top_order_per_customer", R.top_order_per_customer, R.TOP_ORDER_SQL, ("window",)),
     QueryDef("customers_without_orders", R.customers_without_orders, R.CUST_NO_ORDERS_SQL, ("antijoin",)),
@@ -57,6 +63,16 @@ _DEFS: list[QueryDef] = [
     QueryDef("embedding_cosine_stats", VQ.embedding_cosine_stats, VQ.EMB_COS_STATS_SQL, ("ann",)),
     QueryDef("embedding_near_dups", VQ.embedding_near_dups, VQ.EMB_NEAR_DUP_SQL, ("dedup", "ann")),
     QueryDef("ivf_ann_topk", VQ.ivf_ann_topk, VQ.IVF_ANN_SQL, ("ann",)),
+    QueryDef(
+        "events_stream_daily_counts",
+        SQ.events_stream_daily_counts,
+        SQ.EVENTS_STREAM_DAILY_SQL,
+        ("streaming",),
+    ),
+    QueryDef(
+        "media_feature_extract", MQ.media_feature_extract, MQ.MEDIA_FEATURES_SQL, ("media",)
+    ),
+    QueryDef("media_frame_plan", MQ.media_frame_plan, MQ.MEDIA_FRAMES_SQL, ("media",)),
 ]
 
 QUERIES: dict[str, QueryDef] = {d.name: d for d in _DEFS}
