@@ -110,9 +110,22 @@ def schema_validation(
     excl = {c.lower() for c in spec.exclusion_columns}
     allowed: set[tuple[str, str]] = set()
     if spec.allow_list:
-        for pair in spec.allow_list.split(","):
+        # split on commas at paren depth 0 only — type names like
+        # decimal(15,2) carry commas of their own
+        pairs, depth, cur = [], 0, []
+        for ch in spec.allow_list:
+            if ch == "," and depth == 0:
+                pairs.append("".join(cur))
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+        pairs.append("".join(cur))
+        for pair in pairs:
             s, _, t = pair.partition(":")
-            allowed.add((s.strip().lower(), t.strip().lower()))
+            if s.strip():
+                allowed.add((s.strip().lower(), t.strip().lower()))
 
     src = {f.name.lower(): f.dataType.simpleString() for f in source.schema.fields}
     tgt = {f.name.lower(): f.dataType.simpleString() for f in target.schema.fields}

@@ -49,7 +49,7 @@ _DEFS: list[QueryDef] = [
     QueryDef("order_reconciliation", R.order_reconciliation, R.ORDER_RECON_SQL, ("validation",)),
     QueryDef("dvt_column_validation", V.dvt_column_validation, V.DVT_COLUMN_SQL, ("dvt",)),
     QueryDef("dvt_row_validation", V.dvt_row_validation, V.DVT_ROW_SQL, ("dvt",)),
-    QueryDef("dvt_schema_validation", V.dvt_schema_validation, None, ("dvt",)),
+    QueryDef("dvt_schema_validation", V.dvt_schema_validation, V.DVT_SCHEMA_SQL, ("dvt",)),
     QueryDef("dvt_custom_query_validation", V.dvt_custom_query_validation, V.DVT_CUSTOM_SQL, ("dvt",)),
     QueryDef("doc_token_stats", TQ.doc_token_stats, TQ.DOC_TOKEN_STATS_SQL, ("text",)),
     QueryDef("doc_quality_scores", TQ.doc_quality_scores, TQ.DOC_QUALITY_SQL, ("text",)),

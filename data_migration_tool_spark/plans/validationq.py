@@ -192,8 +192,11 @@ GROUP BY 1
 
 def dvt_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema validation (dvt/main.py:40): lineitem vs a migrated copy
-    with one column retyped, one dropped, one added. Non-SQL op →
-    rows-only driver check; pytest covers exact expectations."""
+    with one column retyped, one dropped, one added. The oracle
+    re-derives the expected compare from DuckDB's information_schema
+    over the same parquet (type names mapped to Spark simpleStrings),
+    so the operator's semantics — exclusions, allow-list, missing-column
+    fails — are independently replicated, not hardcoded."""
     l = load_table(spark, sf_dir, "lineitem")
     migrated = (
         l.withColumn("l_quantity", F.col("l_quantity").cast("decimal(15,2)"))
@@ -213,6 +216,38 @@ def dvt_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_agg_value").alias("target_type"),
         "validation_status",
     )
+
+
+DVT_SCHEMA_SQL = """
+WITH src AS (
+  SELECT lower(column_name) AS col,
+         CASE data_type
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'INTEGER' THEN 'int'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+           ELSE lower(data_type) END AS t
+  FROM information_schema.columns WHERE table_name = 'lineitem'
+),
+tgt AS (
+  SELECT col, CASE col WHEN 'l_quantity' THEN 'decimal(15,2)' ELSE t END AS t
+  FROM src WHERE col <> 'l_tax'
+  UNION ALL SELECT 'load_ts', 'timestamp'
+),
+joined AS (
+  SELECT coalesce(s.col, g.col) AS source_column_name,
+         s.t AS source_type, g.t AS target_type
+  FROM src s FULL OUTER JOIN tgt g ON s.col = g.col
+  WHERE coalesce(s.col, g.col) <> 'l_comment'
+)
+SELECT source_column_name, source_type, target_type,
+       CASE WHEN source_type IS NULL OR target_type IS NULL THEN 'fail'
+            WHEN source_type = target_type
+              OR (source_type = 'double' AND target_type = 'decimal(15,2)')
+            THEN 'success' ELSE 'fail' END AS validation_status
+FROM joined
+"""
 
 
 def dvt_custom_query_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
