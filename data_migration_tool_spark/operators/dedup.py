@@ -190,6 +190,60 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (id, cluster_id) where
+    cluster_id = min id in the connected component. The survivor-
+    selection step after LSH — "keep one doc per cluster" is
+    ``filter(id == cluster_id)``.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds (near-dup components are tiny — a handful of
+    rounds). Per round: one join + one groupBy, both partitioned by
+    node id; ``localCheckpoint`` truncates the growing lineage so the
+    plan stays O(1) per round. At billion-edge scale swap the loop body
+    for large-star/small-star (same fixpoint contract, O(log n)
+    rounds); the interface and the oracle stay the same.
+    """
+    fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    rev = pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -57,6 +57,7 @@ _DEFS: list[QueryDef] = [
     QueryDef("doc_token_frequencies", TQ.doc_token_frequencies, TQ.DOC_TOKEN_FREQ_SQL, ("text",)),
     QueryDef("doc_exact_dedup", TQ.doc_exact_dedup, TQ.DOC_EXACT_DEDUP_SQL, ("dedup",)),
     QueryDef("doc_minhash_lsh_dedup", TQ.doc_minhash_lsh_dedup, TQ.DOC_MINHASH_SQL, ("dedup",)),
+    QueryDef("doc_dup_clusters", TQ.doc_dup_clusters, TQ.DOC_DUP_CLUSTERS_SQL, ("dedup", "iterative")),
     QueryDef("doc_ngram_jaccard_pairs", TQ.doc_ngram_jaccard_pairs, TQ.DOC_NGRAM_JACCARD_SQL, ("dedup",)),
     QueryDef("doc_simhash", TQ.doc_simhash, TQ.DOC_SIMHASH_SQL, ("dedup",)),
     QueryDef("knn_brute_force", VQ.knn_brute_force, VQ.KNN_BRUTE_SQL, ("ann",)),

@@ -128,8 +128,10 @@ def doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEED_VALUES = ", ".join(f"({s}, {a}, {b})" for s, a, b in DD.minhash_params(16))
-DOC_MINHASH_SQL = f"""
-WITH {_SHINGLES_CTE},
+# Reusable CTE chain ending in lsh_pairs(id_a, id_b, jaccard ≥ 0.5) —
+# shared by the pair query and the dup-cluster (connected components)
+# oracle.
+_MINHASH_CTES = f"""{_SHINGLES_CTE},
 seeds AS (SELECT * FROM (VALUES {_SEED_VALUES}) AS t(seed, a, b)),
 base AS (
   SELECT doc_id,
@@ -158,13 +160,48 @@ common AS (
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY c.id_a, c.id_b
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+  FROM common c
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+)"""
+
+DOC_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
+"""
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH-verified pairs resolved to connected
+    components by iterative min-label propagation (cluster_id = min
+    doc_id in the component). The oracle replicates the fixpoint with a
+    recursive CTE (transitive closure → min reachable id), so the
+    iterative Spark algorithm is value-checked against a declarative
+    definition of the same clustering."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
+    return DD.dup_clusters(pairs)
+
+
+DOC_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
 )
-SELECT c.id_a, c.id_b,
-       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
-FROM common c
-JOIN sizes na ON na.doc_id = c.id_a
-JOIN sizes nb ON nb.doc_id = c.id_b
-WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 

@@ -126,3 +126,14 @@ def test_frame_sample_plan(spark):
         counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
     for mid, n in counts.items():
         assert n == (durations[mid] + 999) // 1000
+
+
+def test_dup_clusters_min_propagation(spark):
+    from data_migration_tool_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3, pair 10-11, isolated pair 20-21 linked via 21-22
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (21, 22), (20, 21)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
