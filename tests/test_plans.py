@@ -1,0 +1,108 @@
+"""Physical-plan regression tests — the scale contract, codified.
+
+These assert the *shape* Catalyst produces, not results: predicates
+reach the parquet scans, column pruning holds, small sides broadcast,
+PK compares sort-merge, hot relational/text paths contain no Python
+nodes, and whole-stage codegen covers the scan+agg pipelines. A change
+that silently de-optimizes a plan (e.g. a cast that blocks pushdown, a
+UDF that sneaks into a JVM path) fails here long before it would show
+up in a 100 TB bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_migration_tool_spark.plans.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name].builder(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+    assert "LessThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # exactly the 7 needed columns reach the scan — no full-row read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in read[0]
+    assert "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_q3_broadcasts_filtered_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed, not post-scan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q10_nation_broadcast(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_row_validation_is_sort_merge_on_pk(spark):
+    plan = _plan(spark, "dvt_row_validation")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_semi_join_for_exists(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "dvt_column_validation",
+        "dvt_row_validation",
+        "doc_exact_dedup",
+        "doc_minhash_lsh_dedup",
+        "doc_token_stats",
+        "doc_language_id",
+        "events_last_day_window",
+    ],
+)
+def test_no_python_in_jvm_paths(spark, name):
+    """Relational / validation / text plans must stay JVM-side — any
+    Python eval node here is an accidental UDF on the hot path."""
+    plan = _plan(spark, name)
+    assert "Python" not in plan, f"{name} plan contains a Python node"
+
+
+def test_q1_single_shuffle_with_map_side_combine(spark):
+    simple = _plan(spark, "q1_pricing_summary", mode="simple")
+    # one Exchange total, fed by partial aggregation: the shuffle carries
+    # (6 groups × partial states), never rows
+    assert simple.count("Exchange") == 1
+    assert "partial_sum" in simple
+    # projection happens below the shuffle
+    assert simple.index("Project") > simple.index("Exchange")
+
+
+def test_arrow_kernels_where_intended(spark):
+    """The ANN/media paths DO use Arrow-batched Python — assert the node
+    type is the Arrow map, not row-at-a-time BatchEvalPython."""
+    for name in ("knn_brute_force", "media_feature_extract"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
