@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none). Each property is an invariant
+the engine's cross-engine exactness claims rest on:
+
+- exact-decimal aggregation is partitioning-invariant (bit-equal under
+  any parallelism),
+- row hashing distinguishes NULL placement and value boundaries,
+- ordered string aggregation equals the sequential model,
+- the batch maker partitions losslessly.
+
+Examples are kept small (Spark job per example); the point is the
+random structure, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions.hashing import row_md5
+from data_migration_tool_spark.functions.scalars import dsum, ordered_string_agg
+from data_migration_tool_spark.orchestrate.batching import run_batches
+
+MONEY = st.decimals(
+    min_value=-10**9, max_value=10**9, places=2, allow_nan=False, allow_infinity=False
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(MONEY, min_size=1, max_size=200), st.integers(1, 7))
+def test_dsum_partitioning_invariant(spark, values, nparts):
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    a = df.coalesce(1).agg(dsum("x").alias("s")).first().s
+    b = df.repartition(nparts).agg(dsum("x").alias("s")).first().s
+    assert a == b  # bit-equal, not approx — decimal accumulation is exact
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.text(max_size=5)),
+                  st.one_of(st.none(), st.text(max_size=5))),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_row_md5_injective_on_distinct_rows(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(row_md5(df).alias("h")).collect()
+    assert len({r.h for r in out}) == len(set(rows))
+
+
+def test_row_md5_null_vs_empty_vs_sentinel_like(spark):
+    # the classic concat_ws collisions must NOT collide here
+    rows = [(None, "x"), ("x", None), ("", "x"), ("x", ""), (None, None), ("", "")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    hashes = [r.h for r in df.select(row_md5(df).alias("h")).collect()]
+    assert len(set(hashes)) == len(rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.text(min_size=1, max_size=6)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ordered_string_agg_matches_sequential_model(spark, pairs):
+    df = spark.createDataFrame(pairs, "ord int, val string")
+    got = df.agg(ordered_string_agg("val", "ord").alias("s")).first().s
+    expected = ",".join(v for _, v in sorted(pairs))
+    assert got == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(), max_size=100), st.integers(1, 17))
+def test_run_batches_lossless_partition(items, batch_size):
+    batches = list(run_batches(items, batch_size))
+    flat = [x for _, chunk in batches for x in chunk]
+    assert flat == items
+    assert all(len(chunk) <= batch_size for _, chunk in batches)
+    assert all(len(chunk) == batch_size for _, chunk in batches[:-1])
