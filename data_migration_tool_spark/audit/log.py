@@ -102,6 +102,23 @@ KNOWN_SCHEMAS: dict[str, T.StructType] = {
         ("execution_start_time", T.TimestampType()),
         ("gcs_source_path", T.StringType()),
     ),
+    # per-file + aggregate translation stats (reference
+    # batch_sql_translation.py:289-354; terraform translation bq_schemas)
+    "dmt_translation_results": _schema(
+        ("unique_id", T.StringType()),
+        ("input_file_name", T.StringType()),
+        ("status", T.StringType()),
+        ("error_details", T.StringType()),
+        ("warning_count", T.IntegerType()),
+        ("execution_start_time", T.TimestampType()),
+    ),
+    "dmt_translation_aggregated_results": _schema(
+        ("unique_id", T.StringType()),
+        ("total_files", T.IntegerType()),
+        ("successful_files", T.IntegerType()),
+        ("failed_files", T.IntegerType()),
+        ("execution_start_time", T.TimestampType()),
+    ),
     "dmt_report_table": _schema(
         ("unique_id", T.StringType()),
         ("source_db", T.StringType()),

@@ -149,3 +149,95 @@ def test_config_drop_to_report(spark, env):
     assert statuses == ["Success", "Success"]
     loads2 = env["audit"].table("hive_bqload_audit").collect()
     assert len(loads2) == 2  # no new load rows — both tables were SKIP
+
+
+def test_translation_config_drop_ddl_then_dml(spark, env, tmp_path):
+    """SURVEY §3.1 steps 5-6 as one in-process chain: a type=ddl config
+    over the reference's TPC-H Teradata corpus creates real Spark tables;
+    a type=dml config then translates + dry-runs the DML samples against
+    them, with translationErrorFilterRules turning known-ignorable
+    errors into a Success run."""
+    import shutil
+
+    from data_migration_tool_spark.orchestrate.pipelines import (
+        sql_translation_pipeline,
+    )
+
+    ctl = Controller(env["audit"])
+    ctl.register(C.BATCH_TRANSLATE, sql_translation_pipeline(spark, env["audit"]))
+
+    # ---- DDL phase: reference corpus → transpile → execute
+    ddl_in, ddl_out = tmp_path / "ddl_in", tmp_path / "ddl_out"
+    ddl_in.mkdir(), ddl_out.mkdir()
+    corpus = "/root/reference/src/tests/end_to_end/input/ddl/teradata"
+    for f in ("region.sql", "nation.sql", "supplier.sql", "lineitem.sql"):
+        shutil.copy(f"{corpus}/{f}", ddl_in / f)
+    status = ctl.handle(
+        "OBJECT_FINALIZE",
+        {
+            "type": "ddl",
+            "source": "teradata",
+            "unique_id": "xlate-ddl-1",
+            "nameMappingList": {
+                "name_map": [
+                    {"source": {"schema": "tpch"}, "target": {"schema": "td_mig"}}
+                ]
+            },
+            "migrationTask": {
+                "translationConfigDetails": {
+                    "sourcePath": str(ddl_in),
+                    "targetPath": str(ddl_out),
+                }
+            },
+        },
+    )
+    assert status == "Success"
+    for t in ("region", "nation", "supplier", "lineitem"):
+        assert spark.catalog.tableExists(f"td_mig.{t}")
+        assert (ddl_out / f"{t}.sql").read_text().startswith("CREATE TABLE")
+    assert len(spark.table("td_mig.lineitem").schema) == 16
+    agg = env["audit"].table("dmt_translation_aggregated_results").first()
+    assert (agg.total_files, agg.successful_files, agg.failed_files) == (4, 4, 0)
+
+    # ---- DML phase: employee tables + reference DML samples + one bad file
+    spark.sql("CREATE DATABASE IF NOT EXISTS dmt_tgt")
+    for tbl in ("employee1", "employee2"):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS dmt_tgt.{tbl} (emp_no int, emp_name string,"
+            " job_title string, manager_id int, salary double, commission double,"
+            " dept_no int) USING parquet"
+        )
+    dml_in, dml_out = tmp_path / "dml_in", tmp_path / "dml_out"
+    dml_in.mkdir(), dml_out.mkdir()
+    for f in ("DML_Use_Case_1.sql", "DML_Use_Case_4.sql", "DML_Use_Case_5.sql"):
+        shutil.copy(f"/root/reference/samples/dml/teradata/{f}", dml_in / f)
+    (dml_in / "bad.sql").write_text("SELECT * FROM missing_db.missing_tbl;\n")
+    dml_config = {
+        "type": "dml",
+        "source": "teradata",
+        "unique_id": "xlate-dml-1",
+        "nameMappingList": {"DMT_DATASET": "dmt_tgt"},
+        "migrationTask": {
+            "translationConfigDetails": {
+                "sourcePath": str(dml_in),
+                "targetPath": str(dml_out),
+            }
+        },
+    }
+    # bad.sql fails its dry run; failures are dynamic tasks → Partial Success
+    assert ctl.handle("OBJECT_FINALIZE", dml_config) == "Partial Success"
+    rows = {
+        r.input_file_name: r.status
+        for r in env["audit"].table("dmt_translation_results").collect()
+        if r.unique_id == "xlate-dml-1"
+    }
+    assert rows["bad.sql"] == "fail"
+    assert rows["DML_Use_Case_4.sql"] == "success"
+    assert "dmt_tgt.EMPLOYEE1" in (dml_out / "DML_Use_Case_4.sql").read_text()
+
+    # ---- rerun with a filter rule marking dry-run errors ignorable (P7)
+    dml_config["unique_id"] = "xlate-dml-2"
+    dml_config["translationErrorFilterRules"] = [
+        {"field": "category", "value": "dryrun", "matchType": "contains"}
+    ]
+    assert ctl.handle("OBJECT_FINALIZE", dml_config) == "Success"
