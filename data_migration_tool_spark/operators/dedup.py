@@ -203,11 +203,15 @@ def dup_clusters(
     Iterative min-label propagation: each round every node takes the
     min of its own label and its neighbors' labels; converges in
     O(diameter) rounds (near-dup components are tiny — a handful of
-    rounds). Per round: one join + one groupBy, both partitioned by
-    node id; ``localCheckpoint`` truncates the growing lineage so the
-    plan stays O(1) per round. At billion-edge scale swap the loop body
-    for large-star/small-star (same fixpoint contract, O(log n)
-    rounds); the interface and the oracle stay the same.
+    rounds). Per round exactly ONE shuffle join + ONE groupBy: neighbor
+    labels arrive via the edge join, the node's own label rides along
+    as a tagged union row, and min-aggregation over both recovers the
+    new label AND the old one (min over tagged rows), so convergence is
+    a filter-count on the checkpointed result — no extra join.
+    ``localCheckpoint`` truncates lineage so the plan stays O(1) per
+    round. At billion-edge scale swap the loop body for
+    large-star/small-star (same fixpoint contract, O(log n) rounds);
+    the interface and the oracle stay the same.
     """
     fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     rev = pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
@@ -218,26 +222,22 @@ def dup_clusters(
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
+        own = labels.select("id", "label", F.lit(True).alias("own"))
+        nbr = edges.join(labels, edges.v == labels.id).select(
+            F.col("u").alias("id"), "label", F.lit(False).alias("own")
         )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.u, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            own.unionByName(nbr)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
             )
+            .select("id", "label", (F.col("label") < F.col("prev")).alias("moved"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.drop("moved", "prev")
         if changed == 0:
             break
     edges.unpersist()
