@@ -16,6 +16,8 @@ from data_migration_tool_spark.plans import mediaq as MQ
 from data_migration_tool_spark.plans import relational as R
 from data_migration_tool_spark.plans import streamq as SQ
 from data_migration_tool_spark.plans import textq as TQ
+from data_migration_tool_spark.plans import tpch_ext as TE
+from data_migration_tool_spark.plans import windowq as WQ
 from data_migration_tool_spark.plans import validationq as V
 from data_migration_tool_spark.plans import vectorq as VQ
 
@@ -35,6 +37,47 @@ _DEFS: list[QueryDef] = [
     QueryDef("q5_local_supplier_volume", R.q5_local_supplier_volume, R.Q5_SQL, ("join",)),
     QueryDef("q6_forecast_revenue", R.q6_forecast_revenue, R.Q6_SQL, ("agg", "pushdown")),
     QueryDef("q10_returned_items", R.q10_returned_items, R.Q10_SQL, ("join", "topk")),
+    QueryDef("q7_volume_shipping", TE.q7_volume_shipping, TE.Q7_SQL, ("join", "tpch")),
+    QueryDef("q8_market_share", TE.q8_market_share, TE.Q8_SQL, ("join", "tpch")),
+    QueryDef(
+        "q12_late_shipment_priority",
+        TE.q12_late_shipment_priority,
+        TE.Q12_SQL,
+        ("join", "tpch"),
+    ),
+    QueryDef(
+        "q13_customer_distribution",
+        TE.q13_customer_distribution,
+        TE.Q13_SQL,
+        ("outerjoin", "tpch"),
+    ),
+    QueryDef("q14_promo_revenue", TE.q14_promo_revenue, TE.Q14_SQL, ("agg", "tpch")),
+    QueryDef("q15_top_supplier", TE.q15_top_supplier, TE.Q15_SQL, ("subquery", "tpch")),
+    QueryDef(
+        "q17_small_quantity_revenue",
+        TE.q17_small_quantity_revenue,
+        TE.Q17_SQL,
+        ("subquery", "tpch"),
+    ),
+    QueryDef("q18_large_orders", TE.q18_large_orders, TE.Q18_SQL, ("having", "tpch")),
+    QueryDef(
+        "q19_discounted_revenue",
+        TE.q19_discounted_revenue,
+        TE.Q19_SQL,
+        ("disjunction", "tpch"),
+    ),
+    QueryDef(
+        "q21_suppliers_kept_waiting",
+        TE.q21_suppliers_kept_waiting,
+        TE.Q21_SQL,
+        ("decorrelated", "tpch"),
+    ),
+    QueryDef(
+        "q22_dormant_customers",
+        TE.q22_dormant_customers,
+        TE.Q22_SQL,
+        ("antijoin", "subquery", "tpch"),
+    ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
     QueryDef("latest_event_per_user", R.latest_event_per_user, R.LATEST_EVENT_SQL, ("window",)),
     QueryDef("top_order_per_customer", R.top_order_per_customer, R.TOP_ORDER_SQL, ("window",)),
@@ -69,6 +112,20 @@ _DEFS: list[QueryDef] = [
         SQ.events_stream_daily_counts,
         SQ.EVENTS_STREAM_DAILY_SQL,
         ("streaming",),
+    ),
+    QueryDef("user_sessions", WQ.user_sessions, WQ.USER_SESSIONS_SQL, ("window", "session")),
+    QueryDef(
+        "customer_running_revenue",
+        WQ.customer_running_revenue,
+        WQ.CUSTOMER_RUNNING_SQL,
+        ("window",),
+    ),
+    QueryDef("doc_hash_sample", WQ.doc_hash_sample, WQ.DOC_HASH_SAMPLE_SQL, ("sampling",)),
+    QueryDef(
+        "doc_train_val_test_split",
+        WQ.doc_train_val_test_split,
+        WQ.DOC_SPLIT_SQL,
+        ("sampling",),
     ),
     QueryDef(
         "media_feature_extract", MQ.media_feature_extract, MQ.MEDIA_FEATURES_SQL, ("media",)

@@ -1,0 +1,174 @@
+"""Window-function breadth + deterministic sampling plans.
+
+The reference's window needs are only latest-run and ordered-concat
+(SURVEY §2.5); a complete analytics engine also needs the OLAP window
+family (lag/lead, running frames, sessionization) and — for the
+training-data pipeline mandate — *deterministic* sampling/splitting that
+is stable at 100 TB and identical on any engine.
+
+Hash-based sampling: `substr(md5(key),1,k)` range predicates. Unlike
+`rand(seed)` (engine- and partitioning-dependent), an md5 prefix is a
+pure function of the key — the same rows are selected on Spark, DuckDB,
+or anything else, at any parallelism, on any rerun. This is the
+standard way to carve stable train/val/test splits out of a petabyte
+corpus without a shuffle or a stored membership table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions.scalars import dsum
+from data_migration_tool_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (lag + running conditional sum)
+# ---------------------------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions at >30-minute gaps,
+    then aggregate per session. Two stacked windows over the same
+    (user_id, ts) ordering → one shuffle on user_id total; the session
+    assignment is a running sum of gap flags, never a self-join.
+    At 100 TB: user_id is the natural partition key; a skewed power
+    user degrades one task only — AQE skew split handles it."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds — timestamps carry sub-second precision, and
+    # truncated-seconds arithmetic would move session boundaries
+    us = F.unix_micros(F.col("ts"))
+    gap_flag = F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    sess = e.withColumn("new_sess", gap_flag).withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))).alias(
+            "duration_us"
+        ),
+        dsum("value").alias("sum_value"),
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running revenue + prev/next framing (lag/lead + cumulative frame)
+# ---------------------------------------------------------------------------
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: previous order price (lag), next
+    order date (lead), cumulative spend (running decimal sum — exact,
+    so the running values are engine-identical). One shuffle on
+    o_custkey serves all three window functions (same spec)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "next_order_date"
+        ),
+        F.sum(price_dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+CUSTOMER_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (engine-portable, shuffle-free)
+# ---------------------------------------------------------------------------
+
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% deterministic sample of documents: md5(doc_id) prefix below
+    '0d' (13/256 ≈ 5.1%). A pure per-row predicate — no shuffle, no
+    RNG state, no seed plumbing; the same doc_ids are selected at any
+    scale, parallelism, or engine. At 100 TB this is a scan-only
+    filter that combines with column pruning."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.filter(pref < "0d").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOC_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+"""
+
+
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by md5 prefix range
+    (~90/5/5) and report per-split, per-language corpus stats. The
+    assignment is a pure function of doc_id — rows never move between
+    splits when the corpus grows, which is the property a 100 TB
+    training pipeline actually needs (rerun-stable membership without
+    a membership table)."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(pref < "e6", "train")  # 0x00-0xe5 → 230/256 ≈ 89.8%
+        .when(pref < "f3", "val")  # 0xe6-0xf2 → 13/256 ≈ 5.1%
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+DOC_SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""

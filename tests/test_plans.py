@@ -106,3 +106,70 @@ def test_arrow_kernels_where_intended(spark):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_q18_preaggregates_before_join(spark):
+    """The HAVING subquery must reduce lineitem to order grain *before*
+    the orders join: partial_sum (map-side combine) under the orderkey
+    exchange, and the filter on the aggregated quantity above it."""
+    simple = _plan(spark, "q18_large_orders", mode="simple")
+    assert "partial_sum" in simple
+    # the sum_qty filter sits on the aggregate, not after the join: the
+    # last (deepest) Filter line mentions the aggregated alias
+    agg_filters = [
+        ln for ln in simple.splitlines() if "Filter" in ln and "sum_qty_dec" in ln
+    ]
+    assert agg_filters, "quantity HAVING not applied at aggregate grain"
+
+
+def test_q19_disjunction_residuals_pushed(spark):
+    """OR-of-conjunctions: Catalyst must still extract the part-side
+    residual (brand IN ...) to the part scan, and join on partkey."""
+    plan = _plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    # per-table residuals of the OR reach both scans as pushed filters
+    assert "EqualTo(p_brand,Brand#2)" in plan  # part-side disjunct pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem-side pushed
+
+
+def test_q17_decorrelated_single_lineitem_grain(spark):
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    # correlated avg decorrelates to an aggregate joined back -- no
+    # nested-loop / cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_no_fact_self_join(spark):
+    """EXISTS / NOT EXISTS pair collapses to per-order distinct counts:
+    lineitem must be scanned exactly twice at most (once for the join,
+    never three times as in the naive triple-self-join plan)."""
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q22_anti_join_with_pushed_date(spark):
+    plan = _plan(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_user_sessions_single_shuffle(spark):
+    """Both stacked windows + the session aggregate share the user_id
+    partitioning — exactly one exchange in the whole plan."""
+    simple = _plan(spark, "user_sessions", mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "Python" not in simple
+
+
+def test_hash_sampling_is_scan_only(spark):
+    """Deterministic md5 sampling must be a shuffle-free scan+filter."""
+    simple = _plan(spark, "doc_hash_sample", mode="simple")
+    assert "Exchange" not in simple
+    assert "Python" not in simple
+
+
+def test_running_revenue_one_window_exchange(spark):
+    simple = _plan(spark, "customer_running_revenue", mode="simple")
+    # lag/lead/row_number/running-sum all ride one o_custkey exchange
+    assert simple.count("Exchange") == 1
