@@ -115,6 +115,12 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("user_sessions", WQ.user_sessions, WQ.USER_SESSIONS_SQL, ("window", "session")),
     QueryDef(
+        "events_stream_sessions",
+        SQ.events_stream_sessions,
+        SQ.EVENTS_STREAM_SESSIONS_SQL,
+        ("streaming", "stateful", "session"),
+    ),
+    QueryDef(
         "customer_running_revenue",
         WQ.customer_running_revenue,
         WQ.CUSTOMER_RUNNING_SQL,

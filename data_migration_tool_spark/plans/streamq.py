@@ -63,6 +63,65 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a REAL stateful streaming query:
+    file source → ``applyInPandasWithState`` (per-user open-session
+    state, emit-on-update) → memory sink, drained with AvailableNow.
+
+    With a single drain every emitted (user, session) row is final, so
+    the result equals batch sessionization and a plain SQL oracle
+    checks the stateful path end-to-end (state round-trip, Arrow
+    transfer, update-mode emission). See streaming/stateful.py for the
+    100 TB state-size argument."""
+    from data_migration_tool_spark.streaming.stateful import sessionize_stream
+
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_sess_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+    ns_cols = _nanos_timestamp_cols(src)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    sink = f"events_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
 EVENTS_STREAM_DAILY_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,

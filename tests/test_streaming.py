@@ -73,3 +73,75 @@ def test_watch_config_dir_dispatch(spark, tmp_path):
     )
     q3.awaitTermination(60)
     assert seen == ["sql"]
+
+
+def test_stateful_sessionization_across_microbatches(spark, tmp_path):
+    """State must carry open sessions across micro-batch boundaries:
+    stream the events table as TWO time-split files with
+    maxFilesPerTrigger=1 (two real batches), take each (user, session)'s
+    final emission, and require exact equality with the one-pass batch
+    sessionization."""
+    import shutil
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from data_migration_tool_spark.streaming.stateful import sessionize_stream
+    from data_migration_tool_spark.tables import load_table
+    from data_migration_tool_spark.plans.windowq import user_sessions
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # micros-normalized writes: the landed files round-trip as micros,
+    # so the streaming read needs no nanos handling
+    e.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(tmp_path / "f0")
+    )
+    e.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(tmp_path / "f1")
+    )
+    for i, d in enumerate(("f0", "f1")):
+        src = next((tmp_path / d).glob("*.parquet"))
+        dst = landing / f"{i}_events.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+    schema = spark.read.parquet(str(landing / "0_events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) >= 2, "expected two micro-batches"
+
+    emitted = spark.table("sess_mb").toPandas()
+    # n_events grows monotonically per (user, session): the max-count
+    # emission is the final one
+    final = (
+        emitted.sort_values("n_events")
+        .drop_duplicates(["user_id", "session_id"], keep="last")
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        user_sessions(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        final[["user_id", "session_id", "n_events", "duration_us", "sum_value"]],
+        expected[["user_id", "session_id", "n_events", "duration_us", "sum_value"]],
+        check_dtype=False,
+    )
