@@ -79,6 +79,12 @@ _DEFS: list[QueryDef] = [
         ("antijoin", "subquery", "tpch"),
     ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
+    QueryDef(
+        "skewed_returnflag_stats",
+        R.skewed_returnflag_stats,
+        R.SKEWED_RETURNFLAG_SQL,
+        ("agg", "skew"),
+    ),
     QueryDef("latest_event_per_user", R.latest_event_per_user, R.LATEST_EVENT_SQL, ("window",)),
     QueryDef("top_order_per_customer", R.top_order_per_customer, R.TOP_ORDER_SQL, ("window",)),
     QueryDef("customers_without_orders", R.customers_without_orders, R.CUST_NO_ORDERS_SQL, ("antijoin",)),

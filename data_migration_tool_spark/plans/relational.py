@@ -634,3 +634,48 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation over a 3-key skewed grain (operators/skew)
+# ---------------------------------------------------------------------------
+
+def skewed_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem by l_returnflag — 3 groups, i.e. at 100 TB three
+    reducers own the whole table unless partials stay tiny. Runs the
+    explicit salted two-stage rewrite (operators/skew.salted_agg):
+    first shuffle on (flag, salt) = 3×16 keys, merge on 3. Aggregates
+    are decimal-exact, so salting cannot change a bit of the result —
+    which the DuckDB oracle (plain GROUP BY) verifies."""
+    from data_migration_tool_spark.operators.skew import salted_agg
+
+    l = load_table(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return salted_agg(
+        l,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(qty_dec).alias("ps"),
+            F.min("l_extendedprice").alias("pmin"),
+            F.max("l_extendedprice").alias("pmax"),
+        ],
+        merge_aggs=[
+            F.sum("pc").alias("n_lines"),
+            F.sum("ps").cast("double").alias("sum_qty"),
+            F.min("pmin").alias("min_price"),
+            F.max("pmax").alias("max_price"),
+        ],
+        n_salts=16,
+    )
+
+
+SKEWED_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "avro", "text")
 
 
+def _avro_available(spark: SparkSession) -> bool:
+    """spark-avro is an external module (not in pip pyspark's jars);
+    probe the classpath once instead of failing mid-scan."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -43,6 +55,13 @@ def read_table(
     fmt = fmt.lower()
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED_FORMATS}")
+    if fmt == "avro" and not _avro_available(spark):
+        raise RuntimeError(
+            "avro support requires the external spark-avro module "
+            "(org.apache.spark:spark-avro); it is not on this classpath. "
+            "Add it via spark.jars.packages — the read path here is "
+            "format-agnostic and needs no other change."
+        )
     reader = spark.read
     if schema_ddl:
         reader = reader.schema(schema_ddl)

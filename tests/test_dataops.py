@@ -137,3 +137,39 @@ def test_dup_clusters_min_propagation(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_salted_agg_equals_plain(spark, tables):
+    from pyspark.sql import functions as F
+    from data_migration_tool_spark.operators.skew import salted_agg
+
+    l = tables["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    salted = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        partial_aggs=[F.count(F.lit(1)).alias("pc"), F.sum(qty).alias("ps")],
+        merge_aggs=[
+            F.sum("pc").alias("n"),
+            F.sum("ps").cast("double").alias("s"),
+        ],
+        n_salts=8,
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qty).cast("double").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_broadcast_join_equals_plain(spark, tables):
+    from data_migration_tool_spark.operators.skew import salted_broadcast_join
+
+    l = tables["lineitem"].withColumnRenamed("l_suppkey", "s_suppkey")
+    s = tables["supplier"]
+    salted = salted_broadcast_join(l, s, "s_suppkey", n_salts=8)
+    plain = l.join(s, "s_suppkey")
+    assert salted.count() == plain.count()
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])  # noqa: E731
+    a = sorted((key(r), r["s_name"]) for r in salted.collect())
+    b = sorted((key(r), r["s_name"]) for r in plain.collect())
+    assert a == b
