@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_migration_tool_spark.plans import mediaq as MQ
 from data_migration_tool_spark.plans import relational as R
+from data_migration_tool_spark.plans import sketchq as SK
 from data_migration_tool_spark.plans import streamq as SQ
 from data_migration_tool_spark.plans import textq as TQ
 from data_migration_tool_spark.plans import tpch_ext as TE
@@ -79,6 +80,12 @@ _DEFS: list[QueryDef] = [
         ("antijoin", "subquery", "tpch"),
     ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
+    QueryDef(
+        "sketch_distinct_users",
+        SK.sketch_distinct_users,
+        SK.SKETCH_DISTINCT_SQL,
+        ("sketch", "agg"),
+    ),
     QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
