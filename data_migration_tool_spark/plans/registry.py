@@ -81,6 +81,9 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
     QueryDef(
+        "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)
+    ),
+    QueryDef(
         "sketch_distinct_users",
         SK.sketch_distinct_users,
         SK.SKETCH_DISTINCT_SQL,

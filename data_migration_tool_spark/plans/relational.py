@@ -679,3 +679,34 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (beyond ref — Spark `percentile` ≙ SQL PERCENTILE_CONT)
+# ---------------------------------------------------------------------------
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group, incl. an array-typed
+    multi-quantile. Bit-identical to DuckDB's quantile_cont: both
+    implement sorted-order linear interpolation over the same doubles.
+    At 100 TB exact percentile is a per-group sort — for dashboards at
+    that scale prefer the sketch path (sketch_distinct_users pattern /
+    approx_percentile); this plan is the exactness reference."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, array(0.25, 0.75))").alias("qty_iqr"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+PRICE_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, [0.25, 0.75]) AS qty_iqr,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
