@@ -84,6 +84,9 @@ _DEFS: list[QueryDef] = [
         "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)
     ),
     QueryDef(
+        "orders_upsert_merge", R.orders_upsert_merge, R.ORDERS_UPSERT_SQL, ("merge",)
+    ),
+    QueryDef(
         "sketch_distinct_users",
         SK.sketch_distinct_users,
         SK.SKETCH_DISTINCT_SQL,

@@ -710,3 +710,57 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert semantics (SURVEY ST4 — idempotent-merge rerun protocol)
+# ---------------------------------------------------------------------------
+
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE (operators/merge.upsert_latest): a revision
+    batch flips big orders to status 'U' and inserts new synthetic
+    orders ('N'); post-merge status census must show updates replaced
+    their base rows (no 'U'-keyed duplicates) and inserts landed. One
+    key shuffle, no join — see merge.py. Oracle replays the same MERGE
+    as union + ROW_NUMBER in SQL."""
+    from data_migration_tool_spark.operators.merge import upsert_latest
+
+    o = load_table(spark, sf_dir, "orders")
+    revised = o.filter(F.col("o_totalprice") >= 150000).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    updates = revised.unionByName(inserted)
+    merged = upsert_latest(o, updates, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+ORDERS_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_totalprice >= 150000
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+), tagged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 0 AS pri FROM orders
+  UNION ALL
+  SELECT *, 1 AS pri FROM updates
+), merged AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+    FROM tagged)
+  WHERE rn = 1
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+"""

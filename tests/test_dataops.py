@@ -173,3 +173,20 @@ def test_salted_broadcast_join_equals_plain(spark, tables):
     a = sorted((key(r), r["s_name"]) for r in salted.collect())
     b = sorted((key(r), r["s_name"]) for r in plain.collect())
     assert a == b
+
+
+def test_upsert_latest_semantics(spark):
+    from data_migration_tool_spark.operators.merge import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, ts int"
+    )
+    ups = spark.createDataFrame(
+        [(2, "B1", 25), (2, "B2", 24), (4, "d", 40)], "k int, v string, ts int"
+    )
+    # updates win; within updates the larger ts wins; unmatched pass through
+    out = {r["k"]: r["v"] for r in upsert_latest(base, ups, ["k"], "ts").collect()}
+    assert out == {1: "a", 2: "B1", 3: "c", 4: "d"}
+    # idempotent under replay
+    again = upsert_latest(upsert_latest(base, ups, ["k"], "ts"), ups, ["k"], "ts")
+    assert {r["k"]: r["v"] for r in again.collect()} == out
