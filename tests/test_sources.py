@@ -130,3 +130,39 @@ def test_incremental_stage_and_append(spark, tmp_path):
     assert loaded == {"salesdb.orders": 1}
     back = spark.read.parquet(str(tmp_path / "wh" / "salesdb" / "orders"))
     assert back.count() == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tables):
+    """Identically-bucketed tables must sort-merge join with NO exchange
+    on either side — the co-located-join contract bucketing exists for."""
+    from data_migration_tool_spark.sources.bucketing import (
+        bucket_spec,
+        write_bucketed,
+    )
+
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    l = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed(o, "bkt_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    try:
+        assert bucket_spec(spark, "bkt_orders") == (["o_orderkey"], 8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_orders").join(
+                spark.table("bkt_lineitem"), "o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert joined.count() == tables["lineitem"].count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
