@@ -166,3 +166,28 @@ def test_bucketed_join_is_shuffle_free(spark, tables):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_partitioned_write_prunes_on_read(spark, tables, tmp_path):
+    """Hive-layout writes must yield partition-pruned scans: a filter on
+    the partition column appears as PartitionFilters and non-matching
+    partitions never reach the scan (PartitionCount reflects the prune)."""
+    from pyspark.sql import functions as F
+    from data_migration_tool_spark.sources.writers import write_table
+
+    o = tables["orders"].withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    dest = str(tmp_path / "orders_by_year")
+    write_table(o, dest, partition_by=["order_year"])
+
+    back = spark.read.parquet(dest).filter(F.col("order_year") == 1997)
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "order_year" in plan
+    m = [ln for ln in plan.splitlines() if "partition count" in ln.lower()]
+    if m:  # Spark reports the post-prune partition count on the scan node
+        assert "1" in m[0]
+    expected = o.filter(F.col("order_year") == 1997).count()
+    assert back.count() == expected
