@@ -1,0 +1,72 @@
+"""As-of (temporal nearest-predecessor) join — an operator Spark lacks
+natively (prompt-mandated custom-operator family; DuckDB's native
+``ASOF JOIN`` serves as the independent oracle).
+
+Implementation is the *union trick*, not a range join: tag both sides,
+union them, and carry the latest right-side payload forward with
+``last(..., ignorenulls)`` over a (keys, time) window. Cost is ONE
+shuffle on the join keys and a per-key ordered scan — no inequality
+join, no per-left-row range probe, no row explosion. This is the shape
+that survives 100 TB: a billion quotes ⨝ trades as-of join is the same
+single sort-shuffle as a groupBy on the key.
+
+Skew note: all rows of one key land in one task (as any per-key ordered
+computation must); AQE skew-split cannot help a single monster key here
+— pre-bucket by (key, coarse time range) if one key dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T, _SIDE, _PAYLOAD, _MATCH = "__asof_t", "__asof_side", "__asof_rv", "__asof_m"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    allow_exact: bool = True,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (or < if ``allow_exact=False``) within
+    the same ``on`` key — LEFT semantics (unmatched left rows keep NULL
+    payload columns).
+
+    Output: all left columns + ``right_values`` + ``matched_ts`` (the
+    matched right row's timestamp, NULL if none).
+
+    Ties on ``right_ts`` within a key resolve to the row latest in the
+    (deterministic) sort by the payload struct — pass pre-deduplicated
+    right sides when exact tie policy matters.
+    """
+    payload = F.struct(
+        *[F.col(c) for c in right_values], F.col(right_ts).alias("matched_ts")
+    )
+    l2 = left.withColumn(_T, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # allow_exact: an equal-time right row precedes the left row (counts);
+    # strict: it follows (doesn't). _SIDE asc/desc encodes exactly that.
+    order = [F.asc(_T), F.asc(_SIDE) if allow_exact else F.desc(_SIDE)]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(_MATCH, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"{_MATCH}.{c}").alias(c) for c in right_values]
+    out_cols.append(F.col(f"{_MATCH}.matched_ts").alias("matched_ts"))
+    return matched.filter(F.col(_SIDE) == 1).select(*out_cols)

@@ -147,6 +147,12 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("doc_hash_sample", WQ.doc_hash_sample, WQ.DOC_HASH_SAMPLE_SQL, ("sampling",)),
     QueryDef(
+        "purchase_attribution_asof",
+        WQ.purchase_attribution_asof,
+        WQ.PURCHASE_ASOF_SQL,
+        ("asof", "join"),
+    ),
+    QueryDef(
         "doc_train_val_test_split",
         WQ.doc_train_val_test_split,
         WQ.DOC_SPLIT_SQL,

@@ -172,3 +172,51 @@ SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof) — purchase attribution to the last view
+# ---------------------------------------------------------------------------
+
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined as-of to the user's most recent view
+    (view.ts <= purchase.ts): classic attribution / quote-trade shape.
+    Oracle = DuckDB's NATIVE ASOF JOIN, so the union-trick rewrite is
+    checked against an independent implementation of the semantics.
+    One shuffle on user_id (see operators/asof.py)."""
+    from data_migration_tool_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["view_id", "value"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.col("value").alias("view_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))).alias(
+            "us_since_view"
+        ),
+    )
+
+
+PURCHASE_ASOF_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       v.value AS view_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS us_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""

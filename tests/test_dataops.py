@@ -190,3 +190,45 @@ def test_upsert_latest_semantics(spark):
     # idempotent under replay
     again = upsert_latest(upsert_latest(base, ups, ["k"], "ts"), ups, ["k"], "ts")
     assert {r["k"]: r["v"] for r in again.collect()} == out
+
+
+def test_asof_join_semantics(spark):
+    from data_migration_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], "k int, t int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")], "k int, t int, rv string"
+    )
+    # backward, exact-time allowed: p1@10 matches r10, p2@20 matches r15,
+    # p3@5 has no predecessor
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rv"], allow_exact=True
+        ).collect()
+    }
+    assert out == {"p1": "r10", "p2": "r15", "p3": None}
+    # strict: the equal-time r10 no longer matches p1
+    strict = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rv"], allow_exact=False
+        ).collect()
+    }
+    assert strict == {"p1": None, "p2": "r15", "p3": None}
+
+
+def test_asof_join_single_shuffle(spark, tables):
+    from data_migration_tool_spark.plans.registry import QUERIES
+
+    df = QUERIES["purchase_attribution_asof"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the union trick: one exchange on user_id, no join operator at all
+    assert simple.count("Exchange") == 1
+    assert "Join" not in simple
