@@ -1,0 +1,80 @@
+"""Range (point-in-interval) join — with the bucketized rewrite that
+makes it an equi-join (prompt-mandated custom-operator family; Spark
+would otherwise plan an inequality join as BroadcastNestedLoop or a
+full sort-merge with per-row range scan).
+
+Rewrite: pick a time grain ≥ the max interval length. Every interval
+[start, end) then covers at most two grain buckets; every point lives
+in exactly one. Exploding intervals to their covered buckets and
+equi-joining on (keys, bucket) + residual ``start <= t < end`` filter
+gives exact range-join semantics with hash-join cost: each point meets
+each interval at most once (via the point's own bucket), so no
+post-join dedup is needed.
+
+At 100 TB: cost is |points| + 2|intervals| shuffled on (keys, bucket) —
+linear, AQE-balanceable — versus the nested-loop/IEJoin alternatives
+that don't distribute. Grain tuning: smaller grain → more interval
+replicas but fewer false bucket-mates to filter; set it to the max
+interval length when intervals are uniform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    grain_us: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row (same ``on`` keys) with
+    ``start_ts <= point_ts < end_ts``. Timestamps compare in integer
+    microseconds. ``grain_us`` must be ≥ every interval's length —
+    asserted per row so a violating interval fails loudly instead of
+    silently losing matches.
+
+    ``how='left'`` keeps unmatched *intervals* (LEFT = interval side),
+    for "count points per window, zeros included" aggregations. Note:
+    left output carries one row per covered bucket for intervals with
+    no (residual-passing) points — consume it with a groupBy on an
+    interval key, where null point columns aggregate to zero.
+    """
+    p_us = F.unix_micros(F.col(point_ts))
+    s_us = F.unix_micros(F.col(start_ts))
+    e_us = F.unix_micros(F.col(end_ts))
+
+    checked_end = F.when(
+        e_us - s_us <= F.lit(grain_us), e_us
+    ).otherwise(F.raise_error(F.lit("interval longer than grain_us")))
+    buckets = F.sequence(
+        F.floor(s_us / F.lit(grain_us)).cast("long"),
+        F.floor((checked_end - F.lit(1)) / F.lit(grain_us)).cast("long"),
+    )
+    iv = intervals.withColumn(_BUCKET, F.explode(buckets))
+    pt = points.withColumn(_BUCKET, F.floor(p_us / F.lit(grain_us)).cast("long"))
+
+    join_how = {"inner": "inner", "left": "right_outer"}[how]
+    joined = pt.join(iv, [*on, _BUCKET], join_how).drop(_BUCKET)
+    residual = (F.unix_micros(F.col(point_ts)) >= F.unix_micros(F.col(start_ts))) & (
+        F.unix_micros(F.col(point_ts)) < F.unix_micros(F.col(end_ts))
+    )
+    if how == "inner":
+        return joined.filter(residual)
+    # left (interval-preserving): demote residual misses to null points
+    point_cols = [c for c in points.columns if c not in on]
+    keep = F.coalesce(residual, F.lit(False))
+    out = joined
+    for c in point_cols:
+        out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out

@@ -147,6 +147,12 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("doc_hash_sample", WQ.doc_hash_sample, WQ.DOC_HASH_SAMPLE_SQL, ("sampling",)),
     QueryDef(
+        "error_window_views",
+        WQ.error_window_views,
+        WQ.ERROR_WINDOW_SQL,
+        ("rangejoin", "join"),
+    ),
+    QueryDef(
         "purchase_attribution_asof",
         WQ.purchase_attribution_asof,
         WQ.PURCHASE_ASOF_SQL,

@@ -220,3 +220,55 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND v.ts <= p.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join (operators/rangejoin) — views inside post-error windows
+# ---------------------------------------------------------------------------
+
+def error_window_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error event opens a 1-hour window; count the same user's
+    views inside it (zeros kept). Runs the bucketized range-join
+    rewrite (equi-join on (user, hour-bucket) + residual), oracled
+    against DuckDB's direct inequality join. Grain = window length →
+    each interval explodes to ≤2 buckets."""
+    from data_migration_tool_spark.operators.rangejoin import point_in_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.timestamp_micros(F.unix_micros(F.col("ts")) + hour_us)).alias("w_end"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", "value"
+    )
+    joined = point_in_interval_join(
+        views,
+        errors,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        grain_us=hour_us,
+        how="left",
+    )
+    return joined.groupBy("user_id", "error_id").agg(
+        F.count("view_id").alias("n_views"),
+        dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_view_value"),
+    )
+
+
+ERROR_WINDOW_SQL = """
+SELECT e.user_id, e.event_id AS error_id,
+       COUNT(v.event_id) AS n_views,
+       CAST(SUM(CAST(COALESCE(v.value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_view_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = e.user_id
+ AND epoch_us(v.ts) >= epoch_us(e.ts)
+ AND epoch_us(v.ts) < epoch_us(e.ts) + CAST(3600 AS BIGINT) * 1000000
+GROUP BY e.user_id, e.event_id
+"""

@@ -232,3 +232,39 @@ def test_asof_join_single_shuffle(spark, tables):
     # the union trick: one exchange on user_id, no join operator at all
     assert simple.count("Exchange") == 1
     assert "Join" not in simple
+
+
+def test_point_in_interval_join_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from data_migration_tool_spark.operators.rangejoin import point_in_interval_join
+
+    def ts(s):
+        return f"CAST('2024-01-01 {s}' AS TIMESTAMP)"
+
+    points = spark.sql(
+        f"SELECT * FROM VALUES (1, {ts('10:00:00')}, 'at_start'),"
+        f" (1, {ts('10:59:59.999999')}, 'before_end'),"
+        f" (1, {ts('11:00:00')}, 'at_end'),"
+        f" (2, {ts('10:30:00')}, 'other_key') AS t(k, t_pt, name)"
+    )
+    intervals = spark.sql(
+        f"SELECT * FROM VALUES (1, {ts('10:00:00')}, {ts('11:00:00')}, 'w1')"
+        " AS t(k, s, e, wname)"
+    )
+    out = point_in_interval_join(
+        points, intervals, ["k"], "t_pt", "s", "e", grain_us=3_600_000_000
+    )
+    names = sorted(r["name"] for r in out.collect())
+    # start inclusive, end exclusive, key-scoped
+    assert names == ["at_start", "before_end"]
+
+    # interval longer than the grain must fail loudly, not lose matches
+    bad = spark.sql(
+        f"SELECT * FROM VALUES (1, {ts('10:00:00')}, {ts('12:00:01')}, 'w2')"
+        " AS t(k, s, e, wname)"
+    )
+    with pytest.raises(Exception, match="interval longer than grain"):
+        point_in_interval_join(
+            points, bad, ["k"], "t_pt", "s", "e", grain_us=3_600_000_000
+        ).collect()
