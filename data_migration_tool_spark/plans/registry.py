@@ -165,6 +165,12 @@ _DEFS: list[QueryDef] = [
         ("sampling",),
     ),
     QueryDef(
+        "events_hypertable_rollup",
+        SQ.events_hypertable_rollup,
+        SQ.EVENTS_HYPERTABLE_SQL,
+        ("rollup", "hypertable"),
+    ),
+    QueryDef(
         "media_feature_extract", MQ.media_feature_extract, MQ.MEDIA_FEATURES_SQL, ("media",)
     ),
     QueryDef("media_frame_plan", MQ.media_frame_plan, MQ.MEDIA_FRAMES_SQL, ("media",)),

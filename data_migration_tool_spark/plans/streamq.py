@@ -130,3 +130,61 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: events roll up to hourly
+    buckets, and the DAILY grain is derived from the HOURLY partials
+    (sum of sums, sum of counts, min of mins, max of maxes) — raw rows
+    are touched once. The oracle aggregates the raw table straight to
+    daily, so the gate proves rollup-of-rollup == direct aggregation
+    (the correctness contract that makes cascading materialized
+    rollups safe). Decimal partials keep every grain exact; avg is
+    derived at read time from (sum, count), never rolled up itself.
+
+    At 100 TB: the hourly table is what you materialize incrementally
+    (watermarked streaming agg); daily/weekly/monthly queries then
+    scan hours, not events — (24×365) rows/year per group key."""
+    from data_migration_tool_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            (F.sum("sum_dec").cast("double") / F.sum("n")).alias("avg_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+EVENTS_HYPERTABLE_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
