@@ -122,6 +122,12 @@ _DEFS: list[QueryDef] = [
     QueryDef("doc_dup_clusters", TQ.doc_dup_clusters, TQ.DOC_DUP_CLUSTERS_SQL, ("dedup", "iterative")),
     QueryDef("doc_ngram_jaccard_pairs", TQ.doc_ngram_jaccard_pairs, TQ.DOC_NGRAM_JACCARD_SQL, ("dedup",)),
     QueryDef("doc_simhash", TQ.doc_simhash, TQ.DOC_SIMHASH_SQL, ("dedup",)),
+    QueryDef(
+        "corpus_prep_pipeline",
+        TQ.corpus_prep_pipeline,
+        TQ.CORPUS_PREP_SQL,
+        ("pipeline", "text", "dedup", "sampling"),
+    ),
     QueryDef("knn_brute_force", VQ.knn_brute_force, VQ.KNN_BRUTE_SQL, ("ann",)),
     QueryDef("embedding_cosine_stats", VQ.embedding_cosine_stats, VQ.EMB_COS_STATS_SQL, ("ann",)),
     QueryDef("embedding_near_dups", VQ.embedding_near_dups, VQ.EMB_NEAR_DUP_SQL, ("dedup", "ann")),

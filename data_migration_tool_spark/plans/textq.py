@@ -274,3 +274,69 @@ GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
 """
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE declarative plan:
+    quality filter → exact-dedup survivor selection → deterministic
+    md5 train/val/test split → per-split corpus stats. Each stage is an
+    operator that is also gate-checked standalone; this query proves
+    they compose (the oracle replays the whole chain in SQL).
+
+    At 100 TB: quality filtering is scan-local, dedup is one shuffle on
+    the 16-byte fingerprint, split assignment is a pure projection —
+    the whole prep costs two shuffles (dedup + final stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = TO.quality_scores(d)
+    passed = d.join(
+        q.filter(F.col("quality") >= 1.0).select("doc_id", "n_tokens"), "doc_id"
+    )
+    survivors = DD.exact_dedup(passed).select(F.col("keep_id").alias("doc_id"))
+    kept = passed.join(survivors, "doc_id")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(pref < "e6", "train")
+        .when(pref < "f3", "val")
+        .otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_chars", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+m AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CAST(len(list_filter(tk, t -> t IN {_SW})) AS DOUBLE)
+           / CAST(greatest(len(tk), 1) AS DOUBLE) AS stopword_ratio
+  FROM toks
+),
+passed AS (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars, m.n_tokens
+  FROM documents d JOIN m USING (doc_id)
+  WHERE (m.n_tokens BETWEEN 20 AND 2000)
+    AND (m.stopword_ratio >= 0.01 AND m.stopword_ratio <= 0.6)
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM passed)
+  GROUP BY fp
+)
+SELECT CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       p.lang, COUNT(*) AS n_docs,
+       SUM(p.n_chars) AS total_chars,
+       SUM(p.n_tokens) AS total_tokens
+FROM passed p JOIN surv USING (doc_id)
+GROUP BY 1, 2
+"""
