@@ -275,7 +275,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path."""
-    sh = shingle_set(df, id_col, text_col, shingle_n)
+    # persist: sh feeds four plan branches (both join sides + two size
+    # lookups) — uncached, the explode+distinct recomputes per branch
+    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = (
