@@ -2,7 +2,10 @@
 "clustering fields on target tables").
 
 The reference records clustering columns per table and passes them to
-``bq load`` — BigQuery then co-locates rows. The Spark-native
+``bq load`` — BigQuery then co-locates rows (reference:
+``src/datamigration/dags/datamigration_utils/hive_bq_load_utils.py:184-192``
+``--clustering_fields``; column discovery via the INFORMATION_SCHEMA
+UNION query in ``datamigration_utils/constants.py:54-64``). The Spark-native
 equivalent is hash bucketing: ``bucketBy(n, key)`` at write time makes
 every subsequent equi-join or aggregation on ``key`` between
 identically-bucketed tables *shuffle-free* — the single biggest
