@@ -79,6 +79,36 @@ _DEFS: list[QueryDef] = [
         TE.Q22_SQL,
         ("antijoin", "subquery", "tpch"),
     ),
+    QueryDef(
+        "q2_min_cost_supplier",
+        TE.q2_min_cost_supplier,
+        TE.Q2_SQL,
+        ("window", "subquery", "tpch"),
+    ),
+    QueryDef(
+        "q9_product_type_profit",
+        TE.q9_product_type_profit,
+        TE.Q9_SQL,
+        ("join", "tpch"),
+    ),
+    QueryDef(
+        "q11_important_parts",
+        TE.q11_important_parts,
+        TE.Q11_SQL,
+        ("subquery", "tpch"),
+    ),
+    QueryDef(
+        "q16_part_supplier_relation",
+        TE.q16_part_supplier_relation,
+        TE.Q16_SQL,
+        ("antijoin", "tpch"),
+    ),
+    QueryDef(
+        "q20_dominant_shippers",
+        TE.q20_dominant_shippers,
+        TE.Q20_SQL,
+        ("semijoin", "subquery", "tpch"),
+    ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
     QueryDef(
         "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)

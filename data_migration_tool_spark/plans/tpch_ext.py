@@ -572,3 +572,301 @@ WHERE c_nationkey IN (1,3,5,7,9,11,13)
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted): minimum-cost supplier per part
+# (no partsupp table in the slimmed schema — the part↔supplier offering
+# relation is DERIVED from lineitem: cost(part, supp) = MIN observed
+# extended price, division-free so it stays exact decimal. Same shape
+# as classic Q2: region-filtered supplier dimension, correlated-MIN
+# subquery over the supply relation, multi-join, top-100 by balance.)
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each size-15 part, the EUROPE supplier(s) offering it at the
+    minimum observed price. At 100 TB: the supply relation is one
+    map-side-combinable groupBy of lineitem on (partkey, suppkey) —
+    the only full-fact shuffle; the correlated MIN becomes a window
+    over the *aggregated* supply rows (part×supplier grain, ~3 orders
+    of magnitude smaller than lineitem); supplier/nation/region/part
+    dims all broadcast. Sort key (acctbal, n_name, s_name, partkey) is
+    a total order, so LIMIT 100 is deterministic across engines."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("supply_cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    w = Window.partitionBy("l_partkey")
+    return (
+        supply.join(F.broadcast(eur), supply.l_suppkey == eur.s_suppkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), best AS (
+  SELECT supply.*, s_name, s_acctbal, n_name,
+         MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM supply JOIN eur ON l_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+FROM best JOIN part ON p_partkey = l_partkey
+WHERE p_size = 15 AND supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): product-type profit by nation and year
+# (classic profit subtracts ps_supplycost*l_quantity; without partsupp
+# the unit cost is proxied by 5% of p_retailprice — all-decimal, so the
+# amount stays exact. Same shape: 5-way join, group by nation/year.)
+# ---------------------------------------------------------------------------
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on 'red' parts per supplier nation per order year. At
+    100 TB: part (name-filtered), supplier, and nation broadcast into
+    the lineitem scan; lineitem⨝orders on orderkey is the single big
+    shuffle; the final agg is 25 nations × ~7 years, map-side
+    combinable. Amount is exact decimal end-to-end, surfaced double."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.05").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    amount = _disc_price() - cost
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2))
+           * CAST(0.05 AS DECIMAL(3,2))
+           * CAST(l_quantity AS DECIMAL(12,2))
+       ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): important parts by stocked value for one nation
+# (classic values parts by ps_supplycost*ps_availqty; adapted: value =
+# total extended price shipped by the nation's suppliers. Same shape:
+# grouped agg vs. a scalar global-sum subquery threshold.)
+# ---------------------------------------------------------------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value by NATION_7 suppliers exceeds 1.5×
+    the mean per-part value — scale-invariant, unlike classic Q11's
+    fixed fraction, which empties the result as part count grows. The
+    compare is division-free (value×count > total×1.5) so it stays
+    exact decimal in any engine. At 100 TB: the nation's supplier keys
+    broadcast into the fact scan (semi-join pruning before the
+    shuffle); per-part agg is one shuffle at part grain; the scalar
+    total re-aggregates the *per-part* rows (tiny) and broadcasts back
+    as a 1-row cross join."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = load_table(spark, sf_dir, "lineitem")
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    per_part = (
+        l.join(F.broadcast(nat_sup), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_d"))
+    )
+    total = per_part.agg(
+        F.sum("value_d").alias("total_d"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_d") * F.col("n_parts")
+            > F.col("total_d") * F.lit("1.5").cast("decimal(2,1)")
+        )
+        .select("l_partkey", F.col("value_d").cast("double").alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+FROM vals
+WHERE value_d * (SELECT COUNT(*) FROM vals)
+      > (SELECT SUM(value_d) FROM vals) * CAST(1.5 AS DECIMAL(2,1))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted): supplier count by part attribute
+# (the part↔supplier relation again derives from lineitem; the
+# "complaints" supplier exclusion becomes negative-balance suppliers.
+# Same shape: NOT IN anti-join + distinct-count by part attributes.)
+# ---------------------------------------------------------------------------
+
+def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) over observed
+    part↔supplier pairs, excluding flagged suppliers. At 100 TB: the
+    pair-distinct is the one fact shuffle (map-side combinable); the
+    NOT IN is a broadcast left-anti (the exclusion list is tiny); part
+    broadcasts; countDistinct runs over already-distinct pairs so the
+    expand stays at aggregate grain, not fact grain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin([1, 4, 9, 16, 25, 36, 49])
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): suppliers dominating shipment of a part class
+# (classic compares ps_availqty to half the shipped quantity; adapted:
+# a supplier qualifies when its share of a red part's 1996 shipments
+# exceeds 30%. Same shape: nested grouped-agg subquery feeding a
+# semi-join on supplier, nation filter on top.)
+# ---------------------------------------------------------------------------
+
+def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers that shipped >30% of some red part's 1996
+    volume. At 100 TB: red-part keys broadcast-prune the fact scan
+    before its one groupBy shuffle at (part, supplier) grain; the
+    per-part total is a window over those aggregate rows; the
+    qualifying supplier list is tiny and broadcasts into a left-semi
+    against supplier. Share compare is decimal — exact either engine."""
+    from pyspark.sql import Window
+
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    qty = (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        qty.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .filter(
+            F.col("pair_qty") > F.col("part_qty") * F.lit("0.3").cast("decimal(2,1)")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), shares AS (
+  SELECT *, SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM qty
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (SELECT l_suppkey FROM shares
+                    WHERE pair_qty > part_qty * CAST(0.3 AS DECIMAL(2,1)))
+ORDER BY s_name
+"""

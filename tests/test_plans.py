@@ -173,3 +173,45 @@ def test_running_revenue_one_window_exchange(spark):
     simple = _plan(spark, "customer_running_revenue", mode="simple")
     # lag/lead/row_number/running-sum all ride one o_custkey exchange
     assert simple.count("Exchange") == 1
+
+
+def test_q2_dims_broadcast_and_part_filter_pushed(spark):
+    """The derived supply relation aggregates lineitem once; every
+    dimension (supplier/nation/region/part) broadcasts, and the
+    p_size predicate reaches the part scan."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_size,15)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q9_part_name_prefix_pushed(spark):
+    plan = _plan(spark, "q9_product_type_profit")
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_nation_pushed_and_scalar_broadcast(spark):
+    """The scalar global-total threshold joins back as a broadcast
+    nested-loop of a 1-row aggregate — never a shuffled cartesian."""
+    plan = _plan(spark, "q11_important_parts")
+    assert "EqualTo(n_name,NATION_7)" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark):
+    plan = _plan(spark, "q16_part_supplier_relation")
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan
+
+
+def test_q20_fact_pruned_before_shuffle(spark):
+    """Ship-date range and red-part broadcast prune the fact scan
+    before its single (part, supplier) aggregation shuffle."""
+    plan = _plan(spark, "q20_dominant_shippers")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "StringStartsWith(p_name,red)" in plan
+    assert plan.count("lineitem.parquet") == 1
