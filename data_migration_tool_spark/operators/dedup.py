@@ -216,9 +216,14 @@ def dup_clusters(
     fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     rev = pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     edges = fwd.unionByName(rev).distinct().persist()
+    # round 0 fused into initialization: label = min(id, neighbors) —
+    # same groupBy shuffle the plain node-distinct would cost, but
+    # diameter-1 components (pairs, stars: the overwhelming majority of
+    # near-dup clusters) arrive converged, halving loop rounds
     labels = (
-        edges.select(F.col("u").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("_mv"))
+        .select("id", F.least(F.col("id"), F.col("_mv")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
