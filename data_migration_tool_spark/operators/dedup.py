@@ -147,7 +147,21 @@ def jaccard_verify(
     pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: |∩| from a shingle-equality
-    join restricted to the pairs, sizes from per-doc counts."""
+    join restricted to the pairs, sizes from per-doc counts.
+
+    The shingle relation is pruned to candidate docs FIRST, via a
+    broadcast left-semi on the (tiny) candidate id set — a map-side
+    filter, so the two shingle-side joins shuffle only surviving
+    docs' shingles instead of the whole corpus index. At 100 TB the
+    candidate set is orders of magnitude smaller than the corpus (the
+    LSH contract), which turns the verify stage from corpus-scale
+    shuffles into candidate-scale ones."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -186,7 +200,10 @@ def minhash_lsh_dedup(
     threshold. Candidates come from LSH buckets; Jaccard is exact."""
     sh = shingle_set(df, id_col, text_col, shingle_n).persist()
     bands = minhash_signatures(sh, id_col, num_hashes, band_rows)
-    cand = lsh_candidate_pairs(bands, id_col)
+    # persisted: consumed twice by the verify stage (candidate-id
+    # broadcast prune + the pair joins) — without this the band
+    # self-join would run twice
+    cand = lsh_candidate_pairs(bands, id_col).persist()
     return jaccard_verify(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
