@@ -111,6 +111,15 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("pricing_rollup", R.pricing_rollup, R.PRICING_ROLLUP_SQL, ("rollup",)),
     QueryDef(
+        "order_status_cube", R.order_status_cube, R.ORDER_STATUS_CUBE_SQL, ("cube",)
+    ),
+    QueryDef(
+        "revenue_grouping_sets",
+        R.revenue_grouping_sets,
+        R.REVENUE_GROUPING_SETS_SQL,
+        ("groupingsets",),
+    ),
+    QueryDef(
         "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)
     ),
     QueryDef(

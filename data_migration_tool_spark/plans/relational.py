@@ -636,6 +636,53 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 marginal totals of orders by (status, priority) in one
+    pass, rows disambiguated by grouping_id (bit-compatible with ANSI
+    GROUPING()). At 100 TB: cube expands grouping sets map-side like
+    rollup — partials combine before the single shuffle, and the group
+    count stays tiny (|status|×|priority| plus margins)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 18, 2).alias("total_price"),
+    )
+
+
+ORDER_STATUS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — exactly two groupings (by returnflag,
+    by linestatus), no cross margins: the shape CUBE can't express
+    without waste. Same single-shuffle expansion as rollup/cube."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        dsum(_disc_price(), 18, 4).alias("revenue"),
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Salted two-stage aggregation over a 3-key skewed grain (operators/skew)
 # ---------------------------------------------------------------------------
