@@ -120,6 +120,21 @@ _DEFS: list[QueryDef] = [
         ("groupingsets",),
     ),
     QueryDef(
+        "returnflag_pivot", R.returnflag_pivot, R.RETURNFLAG_PIVOT_SQL, ("pivot",)
+    ),
+    QueryDef(
+        "order_metrics_unpivot",
+        R.order_metrics_unpivot,
+        R.ORDER_METRICS_UNPIVOT_SQL,
+        ("unpivot",),
+    ),
+    QueryDef(
+        "customer_value_quartiles",
+        WQ.customer_value_quartiles,
+        WQ.CUSTOMER_QUARTILES_SQL,
+        ("window", "rank"),
+    ),
+    QueryDef(
         "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)
     ),
     QueryDef(

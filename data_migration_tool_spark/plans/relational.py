@@ -636,6 +636,62 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values become columns per returnflag row. The
+    value list is explicit, so Spark skips the extra distinct-scan pass
+    it would otherwise run to discover pivot columns — at 100 TB that
+    halves the scans; execution is then an ordinary one-shuffle
+    conditional aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+RETURNFLAG_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-priority aggregates rotate into
+    (priority, metric, value) rows. The rotation is a zero-shuffle
+    projection (each input row emits |metrics| rows map-side); the only
+    exchange is the upstream aggregation's."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice", 18, 2).alias("total_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price"],
+        "metric",
+        "value",
+    )
+
+
+ORDER_METRICS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM wide
+"""
+
+
 def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^2 marginal totals of orders by (status, priority) in one
     pass, rows disambiguated by grouping_id (bit-compatible with ANSI

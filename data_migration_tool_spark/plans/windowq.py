@@ -272,3 +272,31 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND epoch_us(v.ts) < epoch_us(e.ts) + CAST(3600 AS BIGINT) * 1000000
 GROUP BY e.user_id, e.event_id
 """
+
+
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family (ntile / percent_rank / cume_dist) over
+    per-nation balance order. Partitioned by nation deliberately: a
+    global ORDER BY window is a single-reducer sort at 100 TB, while
+    per-key windows ride one hash exchange like any other window. The
+    (acctbal, custkey) sort key is a total order, so every rank value
+    is deterministic cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+CUSTOMER_QUARTILES_SQL = """
+SELECT c_custkey, c_nationkey,
+       NTILE(4) OVER w AS bal_quartile,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist() OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
