@@ -135,6 +135,18 @@ _DEFS: list[QueryDef] = [
         ("window", "rank"),
     ),
     QueryDef(
+        "part_name_fuzzy_pairs",
+        TQ.part_name_fuzzy_pairs,
+        TQ.PART_NAME_FUZZY_SQL,
+        ("fuzzy", "text"),
+    ),
+    QueryDef(
+        "user_purchase_funnel",
+        WQ.user_purchase_funnel,
+        WQ.USER_FUNNEL_SQL,
+        ("funnel", "events"),
+    ),
+    QueryDef(
         "price_quantiles", R.price_quantiles, R.PRICE_QUANTILES_SQL, ("percentile",)
     ),
     QueryDef(

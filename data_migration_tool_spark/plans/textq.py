@@ -340,3 +340,41 @@ SELECT CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train
 FROM passed p JOIN surv USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance with blocking) — the
+    data-cleaning primitive behind source→target name mapping when
+    names drift between systems. Executes at distinct-name grain: the
+    name dictionary is orders of magnitude smaller than the rows
+    bearing the names, and the self-join is blocked on the trailing
+    token, so comparisons are Σ block² over the dictionary, never a
+    cartesian over rows. Levenshtein is an integer metric — exact in
+    any engine."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.split("name", " ")[1])
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+PART_NAME_FUZZY_SQL = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""

@@ -300,3 +300,90 @@ SELECT c_custkey, c_nationkey,
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
+
+
+def user_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): users per
+    deepest stage reached, where each stage must happen within 24h
+    at-or-after the previous stage's first event (the deadline is what
+    makes the funnel discriminate — without it every active user
+    converts). Each stage is a type-pruned scan aggregated to user
+    grain before the next join, so the joins run at user grain, not
+    event grain; three combinable shuffles total, all on user_id
+    (co-partitioned — AQE reuses the exchange layout). Timestamps
+    compare as integer microseconds (unix_micros ↔ DuckDB epoch_us) so
+    micro/nano parquet precision cannot skew the stage boundaries
+    cross-engine."""
+    day_us = 24 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") >= F.col("v_us"))
+            & (F.col("ts_us") < F.col("v_us") + F.lit(day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") >= F.col("c_us"))
+            & (F.col("ts_us") < F.col("c_us") + F.lit(day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("p_us").isNotNull(), F.lit(3))
+            .when(F.col("c_us").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, MIN(ts_us) AS v_us FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, MIN(ts_us) AS c_us FROM ev
+  JOIN v ON ev.user_id = v.user_id
+  WHERE event_type = 'click' AND ts_us >= v_us
+    AND ts_us < v_us + CAST(86400 AS BIGINT) * 1000000
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, MIN(ts_us) AS p_us FROM ev
+  JOIN c ON ev.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts_us >= c_us
+    AND ts_us < c_us + CAST(86400 AS BIGINT) * 1000000
+  GROUP BY ev.user_id
+)
+SELECT CASE WHEN p_us IS NOT NULL THEN 3
+            WHEN c_us IS NOT NULL THEN 2
+            ELSE 1 END AS stage,
+       COUNT(*) AS n_users
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+GROUP BY 1
+"""
