@@ -159,6 +159,12 @@ _DEFS: list[QueryDef] = [
         ("sketch", "agg"),
     ),
     QueryDef(
+        "sketch_price_median",
+        SK.sketch_price_median,
+        SK.SKETCH_MEDIAN_SQL,
+        ("sketch", "percentile"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -58,3 +58,43 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def sketch_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with the same oracle contract as the HLL query:
+    hash-check the EXACT median (bit-identical cross-engine), plus a
+    per-engine boolean asserting the engine's own quantile sketch
+    (Spark: Greenwald-Khanna at 1e-4 rank accuracy; DuckDB: t-digest)
+    lands inside the exactly-computed [p48, p52] envelope.
+
+    At 100 TB exact percentile needs all values per group on one
+    reducer; approx_percentile ships one mergeable ~KB sketch per
+    partition — the envelope check is what makes the trade auditable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.48, 0.5, 0.52))"
+            ).alias("ex"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ex")[1].alias("exact_median"),
+            ((F.col("ap") >= F.col("ex")[0]) & (F.col("ap") <= F.col("ex")[2])).alias(
+                "sketch_ok"
+            ),
+        )
+    )
+
+
+SKETCH_MEDIAN_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_median,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_cont(l_extendedprice, 0.48)
+             AND quantile_cont(l_extendedprice, 0.52) AS sketch_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
