@@ -268,3 +268,32 @@ def test_point_in_interval_join_semantics(spark):
         point_in_interval_join(
             points, bad, ["k"], "t_pt", "s", "e", grain_us=3_600_000_000
         ).collect()
+
+
+def test_empty_input_edge_cases(spark):
+    """Degenerate inputs must return empty results, not error: an
+    operator that crashes on an empty micro-batch or a filter that
+    matched nothing is a production incident at scale."""
+    from data_migration_tool_spark.operators.asof import asof_join
+    from data_migration_tool_spark.operators.dedup import (
+        dup_clusters,
+        jaccard_verify,
+        minhash_lsh_dedup,
+    )
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty_pairs).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_dedup(empty_docs).count() == 0
+
+    shingles = spark.createDataFrame([(1, "a b c")], "doc_id long, shingle string")
+    assert jaccard_verify(empty_pairs, shingles).count() == 0
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    empty_right = spark.createDataFrame([], "k long, rts long, v double")
+    out = asof_join(
+        left, empty_right, on=["k"], left_ts="lts", right_ts="rts",
+        right_values=["v"],
+    )
+    assert out.count() == 1 and out.first()["v"] is None
