@@ -410,3 +410,35 @@ def custom_query_validation(
     if not any([spec.count_cols, spec.sum_cols, spec.min_cols, spec.max_cols, spec.avg_cols]):
         spec.count_cols = ["*"]
     return column_validation(src, tgt, spec)
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive table (or partition) fingerprint: per-row
+    md5 → int64, summed as DECIMAL(38,0), plus row count. Equal row
+    multisets ⇔ equal (n_rows, checksum) — the cheap first-pass table
+    compare that decides whether the per-row validation (A7) needs to
+    run at all, and with ``group_by`` the per-partition variant that
+    LOCALIZES a mismatch before row-level work.
+
+    At 100 TB: one scan, fully map-side combinable — the shuffle ships
+    one (sum, count) partial per task per group. DECIMAL(38,0)
+    accumulation cannot overflow below ~10^18 rows and is exact in any
+    engine (reference compare semantics: dvt/main.py:40-96).
+    """
+    from data_migration_tool_spark.functions.hashing import (
+        md5_int32,
+        null_safe_concat,
+    )
+
+    h = md5_int32(null_safe_concat(df, cols)).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)

@@ -165,6 +165,12 @@ _DEFS: list[QueryDef] = [
         ("sketch", "percentile"),
     ),
     QueryDef(
+        "orders_partition_checksums",
+        V.orders_partition_checksums,
+        V.ORDERS_CHECKSUM_SQL,
+        ("validation", "checksum"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -308,3 +308,40 @@ SELECT validation_name, aggregation_type, sv AS source_agg_value, tv AS target_a
        CASE WHEN ABS(tv - sv) / ABS(sv) * 100.0 <= 0.5 THEN 'success' ELSE 'fail' END AS validation_status
 FROM m
 """
+
+
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition table checksums (order-insensitive md5-sum + row
+    count per o_orderstatus): the cheap first-pass compare that decides
+    whether row-level validation needs to run, and localizes a
+    mismatch to a partition when it does. One fully map-side-combinable
+    scan (see operators/validation.table_checksum)."""
+    from data_migration_tool_spark.operators.validation import table_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_checksum(
+        o,
+        cols=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_totalprice",
+        ],
+        group_by=["o_orderstatus"],
+    )
+
+
+ORDERS_CHECKSUM_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('␟',
+           CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR),
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'),
+           o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR))), 1, 8))
+         AS BIGINT) AS DECIMAL(38,0))) AS checksum
+FROM orders
+GROUP BY o_orderstatus
+"""

@@ -180,3 +180,25 @@ def test_ordered_stringagg_queries(spark):
     }
     assert cc[("t", "partition")] == "a_col"
     assert cc[("t", "cluster")] == "c_col"
+
+
+def test_table_checksum_detects_single_row_drift(spark):
+    """Identical row multisets (even reordered) produce identical
+    (n_rows, checksum); a single mutated value changes the checksum
+    while the row count stays equal — the cheap first-pass compare."""
+    from data_migration_tool_spark.operators.validation import table_checksum
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    same_reordered = spark.createDataFrame(
+        [(3, "c", 30.0), (1, "a", 10.0), (2, "b", 20.0)], "id long, s string, v double"
+    )
+    drifted = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.5), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    a = table_checksum(src).first()
+    b = table_checksum(same_reordered).first()
+    c = table_checksum(drifted).first()
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+    assert a["n_rows"] == c["n_rows"] and a["checksum"] != c["checksum"]
