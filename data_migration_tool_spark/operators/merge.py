@@ -52,3 +52,40 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", VERSION_COL)
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    track_cols: Sequence[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Derive SCD-type-2 validity intervals from a change log: keep
+    only rows where the tracked columns CHANGED versus the previous
+    row per key, then attach ``valid_from`` / ``valid_to`` /
+    ``is_current`` (half-open intervals; ``valid_to`` NULL = current).
+
+    ``order_cols`` must be a total order within each key (include a
+    tiebreaker id) or the collapse is nondeterministic. ``ts_col``
+    defaults to ``order_cols[0]``.
+
+    Execution: two stacked windows on the SAME (keys × order) spec —
+    the change-collapse lag and the interval lead ride one hash
+    exchange (filter preserves the partitioning), so the whole
+    derivation costs a single shuffle at change-log grain. The
+    NULL-safe struct compare means a NULL→value transition counts as a
+    change, and the first row per key always survives.
+    """
+    ts = ts_col or order_cols[0]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    cur = F.struct(*[F.col(c) for c in track_cols])
+    changed = ~cur.eqNullSafe(F.lag(cur).over(w))
+    return (
+        df.withColumn("__chg", changed)
+        .filter("__chg")
+        .withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__chg")
+    )

@@ -171,6 +171,12 @@ _DEFS: list[QueryDef] = [
         ("validation", "checksum"),
     ),
     QueryDef(
+        "customer_status_history",
+        WQ.customer_status_history,
+        WQ.CUSTOMER_STATUS_HISTORY_SQL,
+        ("scd2", "window"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -387,3 +387,42 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
        LEFT JOIN p ON v.user_id = p.user_id
 GROUP BY 1
 """
+
+
+def customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 derivation over the order log: per customer, collapse
+    consecutive same-status orders and emit validity intervals
+    (valid_from / valid_to / is_current). Both stacked windows (change
+    lag, interval lead) share one (custkey × date, orderkey) exchange;
+    (o_orderdate, o_orderkey) is a total order so the collapse is
+    deterministic cross-engine."""
+    from data_migration_tool_spark.operators.merge import scd2_history
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    return scd2_history(
+        o,
+        keys=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        track_cols=["o_orderstatus"],
+    ).select("o_custkey", "o_orderstatus", "valid_from", "valid_to", "is_current")
+
+
+CUSTOMER_STATUS_HISTORY_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+         LAG(o_orderstatus) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+ch AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

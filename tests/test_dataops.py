@@ -297,3 +297,25 @@ def test_empty_input_edge_cases(spark):
         right_values=["v"],
     )
     assert out.count() == 1 and out.first()["v"] is None
+
+
+def test_scd2_history_semantics(spark):
+    """Consecutive duplicates collapse; NULL→value counts as a change;
+    intervals chain half-open with is_current on the last row."""
+    from data_migration_tool_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, 1, None), (1, 2, "a"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, status string")
+    out = scd2_history(
+        df, keys=["k"], order_cols=["seq"], track_cols=["status"]
+    ).orderBy("k", "seq").collect()
+    got = [(r.k, r.seq, r.status, r.valid_from, r.valid_to, r.is_current) for r in out]
+    assert got == [
+        (1, 1, None, 1, 2, False),   # initial NULL state
+        (1, 2, "a", 2, 4, False),    # NULL→a change; seq 3 collapsed
+        (1, 4, "b", 4, None, True),
+        (2, 1, "x", 1, None, True),
+    ]

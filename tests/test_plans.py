@@ -215,3 +215,11 @@ def test_q20_fact_pruned_before_shuffle(spark):
     assert "LessThan(l_shipdate" in plan
     assert "StringStartsWith(p_name,red)" in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_scd2_history_single_exchange(spark):
+    """Change-collapse lag and interval lead share one (custkey ×
+    order) exchange — the filter between them preserves partitioning."""
+    simple = _plan(spark, "customer_status_history", mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "Python" not in simple
