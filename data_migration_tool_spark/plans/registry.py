@@ -177,6 +177,12 @@ _DEFS: list[QueryDef] = [
         ("scd2", "window"),
     ),
     QueryDef(
+        "events_stream_segment_revenue",
+        SQ.events_stream_segment_revenue,
+        SQ.EVENTS_STREAM_SEGMENT_SQL,
+        ("streaming", "join"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -188,3 +188,63 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    customer dimension (static broadcast — no stream-side state, the
+    remaining Structured Streaming join shape after windowed aggs and
+    stateful sessions), then aggregates value per (mktsegment,
+    event_type) in complete mode.
+
+    At 100 TB: stream-static joins keep ZERO join state — each
+    micro-batch probes the broadcast dimension and moves on; only the
+    downstream aggregate holds state, sized by |segments × types|.
+    AvailableNow drains everything in one pass, so the result equals
+    the batch join+agg and a plain SQL oracle checks the streaming
+    path end-to-end."""
+    from data_migration_tool_spark.functions.scalars import dsum
+    from data_migration_tool_spark.tables import load_table as _lt
+
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+    ns_cols = _nanos_timestamp_cols(src)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+
+    sink = f"events_seg_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_SEGMENT_SQL = """
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
