@@ -442,3 +442,46 @@ def table_checksum(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile — (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — the migration-assessment report that
+    decides type mappings and validation specs before any data moves
+    (reference scope: the per-table metadata DMT stages ahead of
+    loads, hive_bq_load_utils.py:64-151, generalized to column grain).
+
+    ONE aggregation pass over the table computes every column's stats
+    simultaneously (4×|cols|+1 aggregates); the melt to long format is
+    a zero-shuffle projection of the 1-row result. Min/max surface
+    through ``canonical_string`` so the profile is engine-portable.
+    At 100 TB: one scan, map-side combinable except the countDistincts
+    (exact by design — swap in approx_count_distinct when a bounded
+    estimate is acceptable)."""
+    from data_migration_tool_spark.functions.hashing import canonical_string
+
+    cols = cols or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        # min/max aggregate in the NATIVE type (string min of a numeric
+        # column would be lexicographic) and canonicalize afterwards
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__total").alias("n_rows"),
+            (F.col("__total") - F.col(f"{c}__nonnull")).alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            canonical_string(F.col(f"{c}__min"), types[c]).alias("min_value"),
+            canonical_string(F.col(f"{c}__max"), types[c]).alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -183,6 +183,12 @@ _DEFS: list[QueryDef] = [
         ("streaming", "join"),
     ),
     QueryDef(
+        "orders_table_profile",
+        V.orders_table_profile,
+        V.ORDERS_PROFILE_SQL,
+        ("validation", "profile"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

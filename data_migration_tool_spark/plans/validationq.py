@@ -345,3 +345,42 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-assessment profile of the orders table: one
+    aggregation pass emits every column's (rows, nulls, distincts,
+    min, max) — see operators/validation.table_profile."""
+    from data_migration_tool_spark.operators.validation import table_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_profile(o)
+
+
+_PROFILE_COL = """
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM orders
+"""
+
+
+def _profile_branch(c: str, render: str) -> str:
+    mn = render.format(v=f"MIN({c})")
+    mx = render.format(v=f"MAX({c})")
+    return _PROFILE_COL.format(c=c, mn=mn, mx=mx)
+
+
+ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_branch("o_orderkey", "CAST({v} AS VARCHAR)"),
+        _profile_branch("o_custkey", "CAST({v} AS VARCHAR)"),
+        _profile_branch("o_orderstatus", "CAST({v} AS VARCHAR)"),
+        _profile_branch(
+            "o_totalprice", "CAST(CAST({v} AS DECIMAL(30,6)) AS VARCHAR)"
+        ),
+        _profile_branch("o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S.%f')"),
+        _profile_branch("o_orderpriority", "CAST({v} AS VARCHAR)"),
+    ]
+)
