@@ -189,6 +189,12 @@ _DEFS: list[QueryDef] = [
         ("validation", "profile"),
     ),
     QueryDef(
+        "referential_integrity_orphans",
+        V.referential_integrity_orphans,
+        V.REFERENTIAL_INTEGRITY_SQL,
+        ("validation", "antijoin"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

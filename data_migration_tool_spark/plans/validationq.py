@@ -384,3 +384,71 @@ ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(
         _profile_branch("o_orderpriority", "CAST({v} AS VARCHAR)"),
     ]
 )
+
+
+def referential_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-migration referential-integrity audit: for each FK edge of
+    the schema, the count of child rows whose parent key is missing
+    (left-anti against the parent's distinct keys) plus the child row
+    total. Each edge is one anti-join; parents reduce to distinct keys
+    first, so at 100 TB small parents broadcast and the lineitem edges
+    ride the existing orderkey partitioning. All-zero orphans is the
+    pass condition after a complete migration (true for every real FK
+    edge in the testdata); the final row is a deliberately-mismatched
+    probe edge (event users vs the smaller supplier key range) proving
+    the operator actually counts orphans, not just vacuous zeros."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    e = load_table(spark, sf_dir, "events")
+
+    def edge(name, child, fk, parent, pk):
+        orphans = child.select(F.col(fk).alias("k")).join(
+            parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        ).crossJoin(child.agg(F.count(F.lit(1)).alias("n_child_rows")))
+
+    frames = [
+        edge("lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.partkey->part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem.suppkey->supplier", l, "l_suppkey", s, "s_suppkey"),
+        edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("events.user_id->customer", e, "user_id", c, "c_custkey"),
+        edge("probe:events.user_id->supplier", e, "user_id", s, "s_suppkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT 'lineitem.orderkey->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders.custkey->customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'events.user_id->customer',
+       (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'probe:events.user_id->supplier',
+       (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT COUNT(*) FROM events)
+"""
