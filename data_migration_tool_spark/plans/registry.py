@@ -195,6 +195,12 @@ _DEFS: list[QueryDef] = [
         ("validation", "antijoin"),
     ),
     QueryDef(
+        "order_price_histogram",
+        R.order_price_histogram,
+        R.ORDER_PRICE_HISTOGRAM_SQL,
+        ("histogram", "agg"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -867,3 +867,36 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
 FROM merged
 GROUP BY o_orderstatus
 """
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals. Bucketing runs entirely
+    in integer arithmetic — exact decimal cents, then integer div by
+    the bucket width — because float division puts boundary values in
+    different buckets on different engines. One map-side-combinable
+    shuffle at bucket grain; bucket bounds derive from the bucket id,
+    not a second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    width_cents = 25000 * 100
+    return (
+        o.select((cents - (cents % width_cents)).alias("bucket_lo_cents"))
+        .groupBy("bucket_lo_cents")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            (F.col("bucket_lo_cents") / 100).cast("double").alias("bucket_lo"),
+            "n_orders",
+        )
+    )
+
+
+ORDER_PRICE_HISTOGRAM_SQL = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders
+)
+SELECT CAST((c - (c % 2500000)) AS DOUBLE) / 100 AS bucket_lo,
+       COUNT(*) AS n_orders
+FROM cents
+GROUP BY c - (c % 2500000)
+"""
