@@ -145,3 +145,41 @@ def test_stateful_sessionization_across_microbatches(spark, tmp_path):
         expected[["user_id", "session_id", "n_events", "duration_us", "sum_value"]],
         check_dtype=False,
     )
+
+
+def test_cdc_stream_upsert_across_batches(spark, tmp_path):
+    """Two landed change files applied as two streaming drains: the
+    checkpoint makes the second drain process ONLY the new file, and
+    latest-wins merge semantics hold across batches (update replaces,
+    new key inserts, stale version loses)."""
+    from data_migration_tool_spark.streaming.cdc import apply_cdc_stream
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    schema = "k long, v string, ver long"
+
+    def drain():
+        changes = spark.readStream.schema(schema).parquet(landing)
+        q = apply_cdc_stream(spark, changes, target, ["k"], "ver", ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "a0", 1), (2, "b0", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == {
+        (1, "a0", 1), (2, "b0", 1)
+    }
+
+    # batch 2: update k=1 (newer ver), stale row for k=2 (older ver
+    # loses), insert k=3
+    spark.createDataFrame(
+        [(1, "a1", 2), (2, "b-stale", 0), (3, "c0", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == {
+        (1, "a1", 2), (2, "b0", 1), (3, "c0", 1)
+    }
