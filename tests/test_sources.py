@@ -191,3 +191,48 @@ def test_partitioned_write_prunes_on_read(spark, tables, tmp_path):
         assert "1" in m[0]
     expected = o.filter(F.col("order_year") == 1997).count()
     assert back.count() == expected
+
+
+def test_schema_evolution_read_and_align(spark, tmp_path):
+    """Files with drifted schemas (added column, retyped column) read
+    as a union schema, then align_to_target restores the declared
+    shape: typed NULLs for historical gaps, casts for drift, extras
+    dropped — all reported."""
+    from pyspark.sql import types as T
+
+    from data_migration_tool_spark.sources.evolution import (
+        align_to_target,
+        read_evolved,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10)], "k long, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, 20, "x")], "k long, v int, extra string"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    merged = read_evolved(spark, d)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    assert {tuple(r) for r in merged.select("k", "extra").collect()} == {
+        (1, None), (2, "x")
+    }
+
+    declared = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),      # retyped int -> long
+            T.StructField("w", T.DoubleType()),    # declared but never landed
+        ]
+    )
+    aligned, report = align_to_target(merged, declared)
+    assert [f.dataType for f in aligned.schema.fields] == [
+        T.LongType(), T.LongType(), T.DoubleType()
+    ]
+    assert {tuple(r) for r in aligned.collect()} == {
+        (1, 10, None), (2, 20, None)
+    }
+    assert report == {
+        "added_null": ["w"], "cast": ["v:int->bigint"], "dropped": ["extra"]
+    }
