@@ -243,3 +243,72 @@ def embedding_near_dup_pairs(
         .mapInPandas(score, _PAIR_SCHEMA)
         .select("id_a", "id_b")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's k-means — the missing half of
+    the IVF scale path (``ivf_assign``/``ivf_topk`` consume whatever
+    centroids exist; this produces them from the corpus itself).
+
+    Deterministic throughout: init takes the k corpus rows with the
+    smallest md5(id) (a reproducible pseudo-random sample, no RNG
+    state), and assignment ties break by cell id — reruns converge to
+    identical centroids. Each iteration = one corpus stream through
+    the block mat-mul assignment + one dimension-wise mean at
+    (cell × dim) grain (posexplode → avg → rebuild, map-side
+    combinable). Centroids stay a k×dim broadcast; the corpus is never
+    collected. Empty cells keep their previous centroid. Returns
+    (id_col = cell id 0..k-1, vec_col) ready for ``ivf_assign``.
+
+    At 100 TB: cost is iters × (scan + tiny shuffle); for faster
+    convergence on huge corpora, fit on a hash-sampled fraction
+    (``doc_hash_sample`` pattern) and assign the full corpus once.
+    """
+    from pyspark.sql import Window
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    cents = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .withColumn(
+            "__cell", F.row_number().over(Window.orderBy("__h")) - 1
+        )
+        .select(F.col("__cell").alias(id_col), vec_col)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        dim_means = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_cents = (
+            dim_means.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pairs")
+            )
+            .select(
+                F.col("cell_id").alias(id_col),
+                F.transform("pairs", lambda p: p["m"])
+                .cast(vec_type)
+                .alias(vec_col),
+            )
+        )
+        # empty cells keep their previous centroid
+        kept = cents.join(
+            new_cents.select(F.col(id_col).alias("__seen")),
+            cents[id_col] == F.col("__seen"),
+            "left_anti",
+        )
+        cents = new_cents.unionByName(kept).localCheckpoint()
+    return cents

@@ -240,6 +240,7 @@ _DEFS: list[QueryDef] = [
     QueryDef("embedding_cosine_stats", VQ.embedding_cosine_stats, VQ.EMB_COS_STATS_SQL, ("ann",)),
     QueryDef("embedding_near_dups", VQ.embedding_near_dups, VQ.EMB_NEAR_DUP_SQL, ("dedup", "ann")),
     QueryDef("ivf_ann_topk", VQ.ivf_ann_topk, VQ.IVF_ANN_SQL, ("ann",)),
+    QueryDef("ivf_trained_topk", VQ.ivf_trained_topk, None, ("ann", "iterative")),
     QueryDef(
         "events_stream_daily_counts",
         SQ.events_stream_daily_counts,

@@ -116,3 +116,17 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 10
 ) WHERE rank <= 3
 """
+
+
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF pipeline with TRAINED centroids: k-means fits 8
+    cells on the embedding corpus (deterministic hash init, 3 Lloyd
+    iterations), then queries search only their own cell. Iterative —
+    not SQL-expressible, so the gate records a rows-only check; the
+    clustering itself is unit-tested (separated-blob recovery and
+    run-to-run determinism in test_dataops)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(e, k=8, iters=3)
+    assigned = SIM.ivf_assign(e, cents)
+    queries = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(queries, assigned, cents, k=3)

@@ -319,3 +319,42 @@ def test_scd2_history_semantics(spark):
         (1, 4, "b", 4, None, True),
         (2, 1, "x", 1, None, True),
     ]
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs → 3 trained centroids, one per blob,
+    and assignment routes every point to its own blob's centroid.
+    Determinism: two runs produce identical centroids."""
+    import numpy as np
+
+    from data_migration_tool_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, base in enumerate([[10, 0, 0], [0, 10, 0], [0, 0, 10]]):
+        for i in range(20):
+            v = (np.array(base, dtype=float) + rng.normal(0, 0.3, 3)).tolist()
+            rows.append((b * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_fit(df, k=3, iters=4)
+    assert cents.count() == 3
+
+    assigned = ivf_assign(df, cents)
+    cells_per_blob = (
+        assigned.withColumn("blob", (F.col("vec_id") / 100).cast("int"))
+        .groupBy("blob")
+        .agg(F.countDistinct("cell_id").alias("n_cells"))
+        .collect()
+    )
+    assert all(r["n_cells"] == 1 for r in cells_per_blob)
+    blobs_per_cell = assigned.select("cell_id").distinct().count()
+    assert blobs_per_cell == 3
+
+    again = kmeans_fit(df, k=3, iters=4)
+    a = sorted(map(tuple, cents.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
