@@ -201,6 +201,12 @@ _DEFS: list[QueryDef] = [
         ("histogram", "agg"),
     ),
     QueryDef(
+        "price_dispersion_stats",
+        R.price_dispersion_stats,
+        R.PRICE_DISPERSION_SQL,
+        ("agg", "dispersion"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

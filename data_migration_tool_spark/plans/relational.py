@@ -900,3 +900,68 @@ SELECT CAST((c - (c % 2500000)) AS DOUBLE) / 100 AS bucket_lo,
 FROM cents
 GROUP BY c - (c % 2500000)
 """
+
+
+def price_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via exact decimal partials: Σx and Σx² accumulate
+    in decimal (order-independent — the same property dsum gives first
+    moments), then the variance assembles from those exact sums with a
+    fixed sequence of IEEE double ops, identical on any engine. The
+    usual caveat about the naive formula (catastrophic cancellation)
+    does not apply because the sums themselves are EXACT, not floating
+    partials. One map-side-combinable shuffle; at 100 TB this is how
+    you get deterministic dispersion stats at any parallelism —
+    built-in var_samp over doubles is partitioning-dependent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx_d"),
+            F.sum(x * x).alias("sxx_d"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("sx_d").cast("double") / F.col("n")).alias("mean_price"),
+            (
+                (
+                    F.col("sxx_d").cast("double")
+                    - F.col("sx_d").cast("double")
+                    * F.col("sx_d").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("var_price"),
+            F.sqrt(
+                (
+                    F.col("sxx_d").cast("double")
+                    - F.col("sx_d").cast("double")
+                    * F.col("sx_d").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("stddev_price"),
+        )
+    )
+
+
+PRICE_DISPERSION_SQL = """
+WITH partials AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx_d,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx_d
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(sx_d AS DOUBLE) / n AS mean_price,
+       (CAST(sxx_d AS DOUBLE)
+          - CAST(sx_d AS DOUBLE) * CAST(sx_d AS DOUBLE) / n)
+         / (n - 1) AS var_price,
+       sqrt((CAST(sxx_d AS DOUBLE)
+          - CAST(sx_d AS DOUBLE) * CAST(sx_d AS DOUBLE) / n)
+         / (n - 1)) AS stddev_price
+FROM partials
+"""
