@@ -207,6 +207,12 @@ _DEFS: list[QueryDef] = [
         ("agg", "dispersion"),
     ),
     QueryDef(
+        "customer_retention_set_ops",
+        R.customer_retention_set_ops,
+        R.CUSTOMER_RETENTION_SQL,
+        ("setop",),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

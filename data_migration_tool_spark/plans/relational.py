@@ -965,3 +965,41 @@ SELECT l_returnflag, n,
          / (n - 1)) AS stddev_price
 FROM partials
 """
+
+
+def customer_retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit INTERSECT / EXCEPT: customers active in both 1996 and
+    1997 (retained) vs active in 1996 but not 1997 (churned), unioned
+    with a status tag. Spark plans both set ops as aggregate+join on
+    the deduplicated key sets — at 100 TB each side reduces to
+    distinct customer keys in-scan before any shuffle, so the set
+    operation costs key-set size, not order count."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def active(year):
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    retained = active(1996).intersect(active(1997)).select(
+        "o_custkey", F.lit("retained").alias("status")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be the
+    # multiset variant, which misclassifies multi-order customers
+    churned = active(1996).subtract(active(1997)).select(
+        "o_custkey", F.lit("churned").alias("status")
+    )
+    return retained.unionByName(churned)
+
+
+CUSTOMER_RETENTION_SQL = """
+SELECT o_custkey, 'retained' AS status FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+)
+UNION ALL
+SELECT o_custkey, 'churned' AS status FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+)
+"""
