@@ -213,6 +213,12 @@ _DEFS: list[QueryDef] = [
         ("setop",),
     ),
     QueryDef(
+        "customer_order_bookends",
+        WQ.customer_order_bookends,
+        WQ.CUSTOMER_BOOKENDS_SQL,
+        ("window", "frame"),
+    ),
+    QueryDef(
         "skewed_returnflag_stats",
         R.skewed_returnflag_stats,
         R.SKEWED_RETURNFLAG_SQL,

@@ -426,3 +426,44 @@ SELECT o_custkey, o_orderstatus,
 FROM ch
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit
+    whole-partition frame — the frame is the point: last_value under
+    the default RANGE frame (up to current row) silently returns the
+    CURRENT row, a classic window bug; the unbounded frame makes all
+    three functions see the full per-customer order history. One
+    exchange serves all three plus the dedup row_number. Total order
+    (date, orderkey) keeps every value deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+CUSTOMER_BOOKENDS_SQL = """
+SELECT o_custkey, first_price, last_price, second_price FROM (
+  SELECT o_custkey,
+         first_value(o_totalprice) OVER wf AS first_price,
+         last_value(o_totalprice) OVER wf AS last_price,
+         nth_value(o_totalprice, 2) OVER wf AS second_price,
+         ROW_NUMBER() OVER w AS rn
+  FROM orders
+  WHERE o_custkey < 200
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE rn = 1
+"""
