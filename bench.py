@@ -3,6 +3,13 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
+The JSON line is guaranteed to be the SOLE stdout content: file
+descriptor 1 is redirected to stderr before the JVM launches (so every
+Spark/Ivy/py4j message — which would otherwise interleave with and
+corrupt the machine-parsed line — lands on stderr), then restored just
+for the final print. The same payload is also written to ``BENCH.json``
+next to this script as a parse-proof sidecar.
+
 Timing = full query build + execution + collect (count for large
 results), after a warm-up pass of the session.
 """
@@ -25,6 +32,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Park fd 1 on stderr before the JVM starts: the gateway inherits the
+    # redirected descriptor, so no Spark output can ever reach stdout.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
 
     spark = get_spark(app_name="dmt-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,17 +68,25 @@ def main() -> None:
             _ = n
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+        "w",
+    ) as fh:
+        fh.write(payload + "\n")
+    # Restore the real stdout and emit the JSON as its only line.
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.close(real_stdout)
+    os.write(1, (payload + "\n").encode())
 
 
 if __name__ == "__main__":

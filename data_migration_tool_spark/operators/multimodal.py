@@ -1,23 +1,31 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-The Spark-side plumbing (schemas, Arrow-batched mapInPandas transforms,
-partitioning) is real and tested; the actual media decoding is stubbed
-behind ``_decode_bytes`` because codec libraries are not available in
-this environment — the stub is deterministic so pipelines and tests are
-reproducible. Swapping in PIL/librosa/etc. changes only that function.
+Image (BMP 24-bit) and audio (WAV PCM16) decoding is REAL: the parsers
+below read the container headers and pixel/sample payloads with
+struct+numpy — no codec library needed. Video decoding stays stubbed
+(ffmpeg is not available in this environment); its rows surface null
+decoded fields plus the content hash/byte length, and swapping in a real
+frame decoder changes only ``decode_media``'s fallback branch.
 
 Scale: mapInPandas streams Arrow record batches, so executors hold one
 batch of media blobs at a time; set
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (e.g. 64) for
 large blobs. Feature extraction keyed by content hash enables
 dedup-before-decode — decode each distinct blob once.
+
+Reference parity: the reference treats media objects as opaque blobs
+moved between buckets (src/common_utils/storage_utils.py); the decode /
+feature-extract stage is the LLM-pipeline extension on top.
 """
 
 from __future__ import annotations
 
+import math
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -55,16 +63,165 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_bytes(content: bytes, kind: str, dim: int = 8) -> list[float]:
-    """STUB decoder: deterministic pseudo-features from the raw bytes.
+    """STUB embedding: deterministic pseudo-features from the raw bytes.
 
-    Real deployments replace this with PIL / torchaudio / ffmpeg frame
-    sampling; everything around it (batching, schema, partitioning)
-    stays identical.
+    Used by :func:`extract_features` for the fixed-width feature-vector
+    path; the REAL header/payload decoders live in :func:`decode_media`.
     """
     import hashlib
 
     h = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in h[:dim]]
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: BMP (24-bit uncompressed) and WAV (PCM16) encode + decode.
+# Encoder and decoder are independent code paths (writer packs headers,
+# parser re-reads them), so round-trip tests genuinely exercise parsing.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Write a 24-bit uncompressed BMP; ``pixel_fn(x, y) -> 0..255`` gray."""
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # BMP stores rows bottom-up
+        row = bytearray()
+        for x in range(width):
+            v = pixel_fn(x, y) & 0xFF
+            row += bytes((v, v, v))  # B, G, R
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    return header + dib + b"".join(rows)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Write a mono PCM16 WAV (canonical 44-byte RIFF header)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+_NULL_DECODE = {
+    "width": None, "height": None, "n_channels": None, "mean_luma": None,
+    "sample_rate": None, "n_samples": None, "duration_ms": None, "rms": None,
+}
+
+
+def _decode_bmp(content: bytes) -> dict | None:
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", content, 10)[0]
+    w = struct.unpack_from("<i", content, 18)[0]
+    h = struct.unpack_from("<i", content, 22)[0]
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    n_rows = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    if offset + row_size * n_rows > len(content):
+        return None
+    arr = np.frombuffer(
+        content, np.uint8, count=row_size * n_rows, offset=offset
+    ).reshape(n_rows, row_size)
+    px = arr[:, : 3 * w].astype(np.float64)
+    out = dict(_NULL_DECODE)
+    out.update(
+        width=w, height=n_rows, n_channels=3, mean_luma=float(px.mean())
+    )
+    return out
+
+
+def _decode_wav(content: bytes) -> dict | None:
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, samples = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        pos += 8
+        if cid == b"fmt " and size >= 16:
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", content, pos
+            )
+        elif cid == b"data":
+            n = min(size, len(content) - pos) // 2
+            samples = np.frombuffer(content, "<i2", count=n, offset=pos)
+        pos += size + (size & 1)
+    if rate is None or samples is None or bits != 16 or channels != 1:
+        return None
+    s = samples.astype(np.float64)
+    out = dict(_NULL_DECODE)
+    out.update(
+        sample_rate=int(rate),
+        n_samples=int(len(samples)),
+        duration_ms=len(samples) * 1000.0 / rate,
+        rms=float(math.sqrt(float((s * s).mean()))) if len(s) else 0.0,
+    )
+    return out
+
+
+def decode_media(content: bytes) -> dict:
+    """Dispatch on magic bytes; unknown containers (video in this env)
+    fall through to all-null decoded fields — the disclosed stub branch."""
+    content = content or b""
+    for parser in (_decode_bmp, _decode_wav):
+        out = parser(content)
+        if out is not None:
+            return out
+    return dict(_NULL_DECODE)
+
+
+MEDIA_DECODE_FIELDS = (
+    "content_sha string, width int, height int, n_channels int, "
+    "mean_luma double, sample_rate int, n_samples int, duration_ms double, "
+    "rms double"
+)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Real decode pipeline: content hashed, distinct blobs parsed ONCE
+    (Arrow batches through :func:`decode_media`), scalar decoded fields
+    joined back to every row. Same dedup-before-decode shape as
+    :func:`extract_features` — at 100 TB duplicate media decode cost
+    collapses to one per distinct blob."""
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
+        ["content_sha"]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [decode_media(c) for c in pdf["content"]]
+            out = pd.DataFrame.from_records(recs)
+            out.insert(0, "content_sha", pdf["content_sha"].values)
+            yield out
+
+    decoded = distinct_blobs.mapInPandas(decode, MEDIA_DECODE_FIELDS)
+    return hashed.join(decoded, "content_sha").select(
+        "media_id",
+        "kind",
+        "content_sha",
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+        "width",
+        "height",
+        "n_channels",
+        "mean_luma",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+    )
 
 
 def extract_features(
@@ -126,17 +283,23 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/demos (no codec libs)."""
+    """Deterministic media table for tests/demos: image rows are real
+    BMPs, audio rows are real WAVs (so the decode path is genuinely
+    exercised); video rows are opaque bytes (decode stubbed)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        content = bytes([(i * 7 + j) % 256 for j in range(32 + (i % 5) * 16)])
-        meta = (
-            64 + i % 4 * 32 if kind == "image" else None,
-            48 + i % 3 * 16 if kind == "image" else None,
-            (1 + i % 7) * 1000 if kind in ("audio", "video") else None,
-            f"x/{kind}",
-        )
+        if kind == "image":
+            w, h = 4 + i % 5, 3 + i % 4
+            content = encode_bmp(w, h, lambda x, y, i=i: (i + x + 3 * y) % 256)
+            meta = (w, h, None, "image/bmp")
+        elif kind == "audio":
+            samples = [((i * 131 + j * 17) % 2001) - 1000 for j in range(16 + i % 9)]
+            content = encode_wav(8000, samples)
+            meta = (None, None, int(len(samples) * 1000 / 8000), "audio/wav")
+        else:
+            content = bytes([(i * 7 + j) % 256 for j in range(32 + (i % 5) * 16)])
+            meta = (None, None, (1 + i % 7) * 1000, "video/x-raw")
         rows.append((i, kind, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

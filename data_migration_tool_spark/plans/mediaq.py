@@ -1,21 +1,34 @@
 """Multimodal plans under the correctness gate.
 
-Media rows are derived deterministically from the ``documents`` table
-(text bytes as the opaque binary payload), so the Arrow-batched decode
-pipeline (``operators.multimodal``) runs for real AND a SQL oracle can
-replicate the stub decoder byte-for-byte (sha256-derived features).
-Swapping the stub for a real codec changes only ``_decode_bytes``; this
-plumbing — hash-dedup before decode, mapInPandas batching, feature
-join-back — is the part that must survive at 100 TB.
+Media rows are synthesized deterministically from the ``documents``
+table: image rows become REAL 24-bit BMP bytes and audio rows REAL
+PCM16 WAV bytes (encoded in an Arrow-batched mapInPandas stage), with
+dimensions/samples derived arithmetically from ``doc_id``. The decode
+pipeline (``operators.multimodal.extract_media_features``) then parses
+those containers back — header walk, pixel/sample payload, luma mean /
+RMS — and the DuckDB oracle predicts every decoded value from the same
+``doc_id`` arithmetic. Encoder, decoder, and oracle are three
+independent code paths, so a PASS certifies genuine container parsing,
+not a shared stub. Video rows stay opaque (no ffmpeg in this env):
+null decoded fields, real hash/byte-length.
+
+All oracle-compared outputs are SCALAR columns — driver canonicalizers
+sort/hash cell values, and array cells break that contract.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.operators.multimodal import (
-    extract_features,
+    encode_bmp,
+    encode_wav,
+    extract_media_features,
     frame_sample_plan,
 )
 from data_migration_tool_spark.tables import load_table
@@ -28,36 +41,94 @@ def _kind() -> F.Column:
     )
 
 
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media ingest: every document becomes one media blob
+    (BMP / WAV / opaque) whose contents are a pure function of doc_id,
+    encoded executor-side in Arrow batches (no driver materialization)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                m = i % 3
+                if m == 0:
+                    w, h = 4 + i % 13, 3 + i % 7
+                    blob = encode_bmp(w, h, lambda x, y, i=i: (i + x + 3 * y) % 256)
+                    kind = "image"
+                elif m == 1:
+                    samples = [
+                        ((i * 131 + j * 17) % 2001) - 1000
+                        for j in range(16 + i % 33)
+                    ]
+                    blob = encode_wav(8000, samples)
+                    kind = "audio"
+                else:
+                    blob = str(text).encode("utf-8")
+                    kind = "video"
+                ids.append(i)
+                kinds.append(kind)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    return d.mapInPandas(enc, "media_id long, kind string, content binary")
+
+
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode → feature pipeline: content hashed, distinct blobs
-    decoded once (Arrow batches), features joined back. At 100 TB the
-    dedup-before-decode join is the whole point — duplicate media decode
-    cost collapses to one per distinct blob."""
-    d = load_table(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        _kind().alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
-    )
-    feats = extract_features(media, dim=8, feature_type="double")
+    PARSED once (BMP/WAV header+payload, Arrow batches), scalar decoded
+    fields joined back. At 100 TB the dedup-before-decode join is the
+    whole point — duplicate media decode cost collapses to one per
+    distinct blob."""
+    media = media_from_documents(spark, sf_dir)
+    feats = extract_media_features(media)
     return feats.select(
         "media_id",
         "kind",
-        "content_sha",
         "n_bytes",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
     )
 
 
 MEDIA_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id, text,
+         doc_id % 3 AS m,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         16 + doc_id % 33 AS n
+  FROM documents
+)
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       sha256(text) AS content_sha,
-       octet_length(encode(text)) AS n_bytes,
-       list_transform(range(1, 9),
-         i -> round(CAST(concat('0x', substr(sha256(text), (i-1)*2+1, 2)) AS INT) / 255.0, 6)
-       ) AS features
-FROM documents
+       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE m
+         WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+         WHEN 1 THEN 44 + 2 * n
+         ELSE octet_length(encode(text))
+       END AS n_bytes,
+       CASE WHEN m = 0 THEN w END AS width,
+       CASE WHEN m = 0 THEN h END AS height,
+       CASE WHEN m = 0 THEN 3 END AS n_channels,
+       CASE WHEN m = 0 THEN round(list_aggregate(
+         list_transform(range(w * h),
+           i -> CAST((doc_id + (i % w) + 3 * (i // w)) % 256 AS DOUBLE)),
+         'avg'), 6) END AS mean_luma,
+       CASE WHEN m = 1 THEN 8000 END AS sample_rate,
+       CASE WHEN m = 1 THEN n END AS n_samples,
+       CASE WHEN m = 1 THEN round(n * 1000.0 / 8000, 6) END AS duration_ms,
+       CASE WHEN m = 1 THEN round(sqrt(list_aggregate(
+         list_transform(range(n),
+           i -> CAST(((doc_id * 131 + i * 17) % 2001) - 1000 AS DOUBLE) ** 2),
+         'avg')), 6) END AS rms
+FROM dims
 """
 
 

@@ -789,18 +789,33 @@ GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group, incl. an array-typed
-    multi-quantile. Bit-identical to DuckDB's quantile_cont: both
-    implement sorted-order linear interpolation over the same doubles.
-    At 100 TB exact percentile is a per-group sort — for dashboards at
-    that scale prefer the sketch path (sketch_distinct_users pattern /
-    approx_percentile); this plan is the exactness reference."""
+    """Exact interpolated percentiles per group. The 25/75 pair is
+    computed as ONE array-typed multi-quantile (single sort per group,
+    not two) and then scalarized — oracle-compared outputs must be
+    scalar columns because downstream canonicalizers sort/hash cell
+    values and list cells are unhashable. Bit-identical to DuckDB's
+    quantile_cont: both implement sorted-order linear interpolation
+    over the same doubles. At 100 TB exact percentile is a per-group
+    sort — for dashboards at that scale prefer the sketch path
+    (sketch_distinct_users pattern / approx_percentile); this plan is
+    the exactness reference."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
-        F.expr("percentile(l_quantity, array(0.25, 0.75))").alias("qty_iqr"),
-        F.count(F.lit(1)).alias("n_lines"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_quantity, array(0.25, 0.75))").alias("_qty_iqr"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_price",
+            "p90_price",
+            F.element_at("_qty_iqr", 1).alias("p25_qty"),
+            F.element_at("_qty_iqr", 2).alias("p75_qty"),
+            "n_lines",
+        )
     )
 
 
@@ -808,7 +823,8 @@ PRICE_QUANTILES_SQL = """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50_price,
        quantile_cont(l_extendedprice, 0.9) AS p90_price,
-       quantile_cont(l_quantity, [0.25, 0.75]) AS qty_iqr,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty,
        COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY l_returnflag
