@@ -59,7 +59,14 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     # allow_exact: an equal-time right row precedes the left row (counts);
     # strict: it follows (doesn't). _SIDE asc/desc encodes exactly that.
-    order = [F.asc(_T), F.asc(_SIDE) if allow_exact else F.desc(_SIDE)]
+    # Final payload-struct tiebreak makes ties on right_ts within a key
+    # deterministic (struct compare is field-wise); without it, last()
+    # among tied right rows would be partition-order-dependent.
+    order = [
+        F.asc(_T),
+        F.asc(_SIDE) if allow_exact else F.desc(_SIDE),
+        F.asc(_PAYLOAD),
+    ]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -73,7 +73,19 @@ def salted_broadcast_join(
     The dim side grows ``n_salts``× — it must stay broadcastable at the
     inflated size (that is the operator's contract; for dims too big
     for that, AQE skew-join on a shuffle join is the right tool).
+
+    Only fact-preserving joins are supported: the rewrite replicates
+    each dim row ``n_salts`` times, which is invisible to inner/left
+    (every fact row carries exactly one salt) but would emit unmatched
+    dim rows once per replica under right/full outer, and inverts
+    semi/anti semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_broadcast_join supports inner/left joins only, got {how!r}: "
+            "dim rows are replicated n_salts times, so right/full outer would "
+            "duplicate unmatched dim rows and semi/anti would be wrong"
+        )
     salted_fact = with_salt(fact, n_salts)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL)
     salted_dim = dim.select("*", salts)

@@ -21,11 +21,28 @@ updates-only.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _read_target(sess: SparkSession, target_dir: str) -> DataFrame | None:
+    """Read the parquet target if it exists, else None. Existence is
+    probed by attempting the read and catching the analysis failure —
+    this works for ANY Hadoop filesystem (hdfs://, s3a://, gs://, local),
+    unlike ``os.path.exists``, which only sees the driver's local disk
+    and would silently report "missing" for every remote target (each
+    batch would then overwrite the table with just its own rows)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return sess.read.parquet(target_dir)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def apply_cdc_stream(
@@ -47,8 +64,8 @@ def apply_cdc_stream(
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        if os.path.exists(target_dir):
-            base = sess.read.parquet(target_dir)
+        base = _read_target(sess, target_dir)
+        if base is not None:
             merged = upsert_latest(base, batch, keys, version_col)
         else:
             merged = upsert_latest(

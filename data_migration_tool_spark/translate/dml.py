@@ -101,8 +101,12 @@ def translate_statement(
             warnings.append(
                 "QUALIFY is not Spark SQL — rewrite as a windowed subquery"
             )
-        # DELETE tbl ALL → DELETE FROM tbl
-        sql = re.sub(r"^(DELETE\s+FROM\s+[\w$#.]+)\s+ALL\b", r"\1", sql, flags=re.I)
+        # DELETE [FROM] tbl ALL → DELETE [FROM] tbl. FROM must be optional
+        # here: this runs BEFORE the FROM-less rewrite below, so requiring
+        # it would leave "DELETE FROM tbl ALL" with a trailing ALL.
+        sql = re.sub(
+            r"^(DELETE\s+(?:FROM\s+)?[\w$#.]+)\s+ALL\b", r"\1", sql, flags=re.I
+        )
     # Teradata and Redshift both allow FROM-less DELETE; Spark doesn't
     sql = re.sub(r"^DELETE\s+(?!FROM\b)", "DELETE FROM ", sql, flags=re.I)
     sql = apply_name_mapping(sql, name_mapping)
