@@ -56,31 +56,51 @@ def main() -> None:
     # Best of 2 passes per query: single samples on a shared box flap by
     # 5-10x from scheduler/GC noise unrelated to the plan; the min is the
     # reproducible cost of the query itself (plan build + execution).
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name, qdef in QUERIES.items():
-            t0 = time.time()
-            df = qdef.builder(spark, sf_dir)
-            n = df.count()
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-            _ = n
+    # Each measured query is individually guarded: one broken builder
+    # must never destroy the whole artifact — it records null and the
+    # rest keep timing. The sidecar is rewritten after every query so a
+    # hard crash (OOM, JVM death) still leaves partial timings on disk.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
 
-    total = round(sum(timings.values()), 3)
-    payload = json.dumps(
-        {
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+
+    def _payload() -> str:
+        total = round(sum(v for v in timings.values() if v is not None), 3)
+        body = {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
         }
-    )
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
-        "w",
-    ) as fh:
+        if errors:
+            body["errors"] = errors
+        return json.dumps(body)
+
+    for _pass in range(2):
+        for name, qdef in QUERIES.items():
+            t0 = time.time()
+            try:
+                df = qdef.builder(spark, sf_dir)
+                df.count()
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                if timings.get(name) is None:
+                    timings[name] = None
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            else:
+                elapsed = round(time.time() - t0, 3)
+                prev = timings.get(name)
+                if prev is None or elapsed < prev:
+                    timings[name] = elapsed
+                    errors.pop(name, None)
+            with open(sidecar, "w") as fh:
+                fh.write(_payload() + "\n")
+
+    payload = _payload()
+    with open(sidecar, "w") as fh:
         fh.write(payload + "\n")
     # Restore the real stdout and emit the JSON as its only line.
     sys.stdout.flush()

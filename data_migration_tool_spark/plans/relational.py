@@ -647,6 +647,14 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(dsum("l_quantity"))
+        # lowercase to match the oracle aliases exactly: the gate sorts
+        # columns BY NAME before hashing, and "O" (uppercase, ASCII 79)
+        # sorts differently than "o" — same values, permuted hash
+        .select(
+            "l_returnflag",
+            F.col("O").alias("o"),
+            F.col("F").alias("f"),
+        )
     )
 
 

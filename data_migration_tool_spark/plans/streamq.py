@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.streaming.file_stream import windowed_event_counts
-from data_migration_tool_spark.tables import _nanos_timestamp_cols, table_path
+from data_migration_tool_spark.tables import (
+    _nanos_timestamp_cols,
+    normalize_timestamps,
+    table_path,
+)
 
 
 def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,6 +47,7 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    stream = normalize_timestamps(stream)
 
     sink = f"events_daily_{uuid.uuid4().hex[:8]}"
     q = (
@@ -88,6 +93,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    stream = normalize_timestamps(stream)
 
     sink = f"events_sessions_{uuid.uuid4().hex[:8]}"
     q = (
@@ -219,6 +225,7 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    stream = normalize_timestamps(stream)
 
     cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)

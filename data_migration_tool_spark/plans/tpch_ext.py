@@ -176,8 +176,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -613,7 +613,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("min_cost", F.min("supply_cost").over(w))
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        # surface both money columns as double: the MIN is taken on exact
+        # decimal (bit-stable under any partitioning); the final cast only
+        # normalizes the wire representation so cross-engine compare sees
+        # one canonical type (DECIMAL stringification differs by engine)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -634,7 +645,8 @@ WITH supply AS (
          MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
   FROM supply JOIN eur ON l_suppkey = s_suppkey
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
 FROM best JOIN part ON p_partkey = l_partkey
 WHERE p_size = 15 AND supply_cost = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey

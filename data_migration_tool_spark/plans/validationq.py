@@ -226,7 +226,7 @@ WITH src AS (
            WHEN 'INTEGER' THEN 'int'
            WHEN 'DOUBLE' THEN 'double'
            WHEN 'VARCHAR' THEN 'string'
-           WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+           WHEN 'TIMESTAMP' THEN 'timestamp'
            ELSE lower(data_type) END AS t
   FROM information_schema.columns WHERE table_name = 'lineitem'
 ),
@@ -319,6 +319,9 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators.validation import table_checksum
 
     o = load_table(spark, sf_dir, "orders")
+    # surface the exact-decimal accumulator as bigint: DuckDB's DECIMAL
+    # and Spark's DECIMAL stringify differently in cross-engine compare
+    # harnesses, while int64 is representation-unique
     return table_checksum(
         o,
         cols=[
@@ -329,19 +332,19 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         ],
         group_by=["o_orderstatus"],
-    )
+    ).withColumn("checksum", F.col("checksum").cast("bigint"))
 
 
 ORDERS_CHECKSUM_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n_rows,
-       SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('␟',
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('␟',
            CAST(o_orderkey AS VARCHAR),
            CAST(o_custkey AS VARCHAR),
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'),
            o_orderpriority,
            CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR))), 1, 8))
-         AS BIGINT) AS DECIMAL(38,0))) AS checksum
+         AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS checksum
 FROM orders
 GROUP BY o_orderstatus
 """

@@ -112,7 +112,10 @@ def run_events_stream_demo(
     os.makedirs(landing, exist_ok=True)
     shutil.copy(source_parquet, os.path.join(landing, "events.parquet"))
 
-    from data_migration_tool_spark.tables import _nanos_timestamp_cols
+    from data_migration_tool_spark.tables import (
+        _nanos_timestamp_cols,
+        normalize_timestamps,
+    )
 
     ns_cols = _nanos_timestamp_cols(source_parquet)
     if ns_cols:
@@ -121,6 +124,7 @@ def run_events_stream_demo(
     stream = spark.readStream.schema(batch_schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    stream = normalize_timestamps(stream)
 
     agg = windowed_event_counts(stream)
     q = (

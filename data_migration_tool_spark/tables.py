@@ -64,6 +64,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate (not round) to micros — matches how micros-native
         # engines surface nanos data
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return normalize_timestamps(df)
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to plain TIMESTAMP.
+
+    Parquet ``timestamp[us]`` WITHOUT a timezone surfaces as
+    TIMESTAMP_NTZ in Spark 4; every downstream ``unix_micros()`` call and
+    every streaming watermark requires plain TIMESTAMP. The session
+    timezone is pinned UTC (session.py), so the cast preserves the stored
+    wall-clock exactly — and DuckDB (the oracle) treats the same bytes as
+    tz-less wall-clock, which under UTC is the identical instant. Applied
+    inside ``load_table`` (not only in ``get_spark``) so the driver's own
+    session gets the fix too; streaming readers call it directly."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
