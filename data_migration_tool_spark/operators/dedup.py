@@ -294,12 +294,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    candidate_pairs: DataFrame | None = None,
+    max_join_pairs: int | None = 50_000_000,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard via the inverted index (no LSH). Use for
-    verification / small sets; ``minhash_lsh_dedup`` is the scale path."""
+    """Exact Jaccard via the inverted index (no LSH). Use for
+    verification / small sets; ``minhash_lsh_dedup`` is the scale path.
+
+    The shingle-equality self-join emits Σ_s C(df_s, 2) rows — hot
+    shingles make that quadratic in corpus size. Two guards:
+
+    - ``candidate_pairs``: restrict the compare to a pre-computed pair
+      set (``lsh_candidate_pairs`` output) — the sub-quadratic path;
+      Jaccard values stay exact, only pair GENERATION is pruned.
+    - ``max_join_pairs``: with no candidate set, the implied join size
+      is counted first (one cheap shingle-histogram agg) and the
+      operator refuses loudly above the cap instead of melting the
+      cluster. ``None`` disables (explicit opt-in to quadratic cost).
+    """
     # persist: sh feeds four plan branches (both join sides + two size
     # lookups) — uncached, the explode+distinct recomputes per branch
     sh = shingle_set(df, id_col, text_col, shingle_n).persist()
+    if candidate_pairs is not None:
+        return jaccard_verify(candidate_pairs, sh, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+    if max_join_pairs is not None:
+        implied = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+        if implied is not None and implied > max_join_pairs:
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: shingle self-join would emit "
+                f"~{int(implied):,} pairs (> max_join_pairs="
+                f"{max_join_pairs:,}). Pass candidate_pairs from "
+                f"lsh_candidate_pairs() (sub-quadratic), raise "
+                f"max_join_pairs, or use minhash_lsh_dedup()."
+            )
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = (

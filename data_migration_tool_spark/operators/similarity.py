@@ -120,15 +120,20 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (the IVF cell),
-    ties broken by cell id. Centroid matrix broadcast; corpus streams
-    once. At scale, repartition the output by cell so each cell is
+    """Assign each vector to its ``nprobe`` max-cosine centroids (the
+    IVF cells), ties broken by cell id; one output row per (vector,
+    cell). nprobe=1 is the index-build assignment; nprobe>1 is
+    multi-probe routing (queries search their top-n cells, the standard
+    IVF recall knob). Centroid matrix broadcast; corpus streams once.
+    At scale, repartition the output by cell so each cell is
     co-located."""
     cent_ids, cent_mat, cent_norms = _collect_matrix(centroids, id_col, vec_col)
     # stable tie-break: order centroid columns by cell id
     order = np.argsort(cent_ids, kind="stable")
     cent_ids, cent_mat, cent_norms = cent_ids[order], cent_mat[order], cent_norms[order]
+    nprobe = min(nprobe, len(cent_ids))
 
     vec_type = dict(corpus.dtypes)[vec_col]
     schema = f"{id_col} long, {vec_col} {vec_type}, cell_id long"
@@ -140,12 +145,18 @@ def ivf_assign(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
             sims = (mat @ cent_mat.T) / np.outer(norms, cent_norms)
-            best = np.argmax(sims, axis=1)  # first max = smallest cell id
+            if nprobe == 1:
+                best = np.argmax(sims, axis=1)[:, None]  # first max = smallest cell id
+            else:
+                # stable sort keeps ascending cell id among exact ties
+                best = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            rep = np.repeat(np.arange(n), nprobe)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    vec_col: pdf[vec_col],
-                    "cell_id": cent_ids[best],
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64)[rep],
+                    vec_col: pdf[vec_col].to_numpy()[rep],
+                    "cell_id": cent_ids[best.ravel()],
                 }
             )
 
@@ -159,14 +170,16 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN: route each query to its cell, search only that cell.
-    Approximate (recall < 1 when true neighbors live across the cell
-    boundary) — the standard IVF trade; nprobe>1 = assign queries to
-    their top-n cells. Queries grouped by cell and broadcast; the
-    assigned corpus streams once, each batch scoring only the cells it
-    contains."""
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+    """ANN: route each query to its ``nprobe`` nearest cells, search
+    only those. Approximate (recall < 1 when true neighbors live
+    beyond the probed cells) — nprobe is the recall/cost knob: probed
+    fraction of the corpus ≈ nprobe/n_cells. Queries grouped by cell
+    and broadcast; the assigned corpus streams once, each batch scoring
+    only the cells it contains. A (query, neighbor) pair is scored at
+    most once because each corpus row lives in exactly one cell."""
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
     rows = q_assigned.collect()
     by_cell: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for cell in {r["cell_id"] for r in rows}:
@@ -221,27 +234,122 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 4096,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine ≥ threshold. The corpus is
-    both sides: one copy broadcast as a matrix (verify-stage contract —
-    fits in memory), the other streams once; each batch emits only its
-    surviving pairs. For billion-row corpora, pre-bucket with
-    ``ivf_assign`` and run this within cells."""
-    b_ids, b_mat, b_norms = _collect_matrix(df, id_col, vec_col)
+    """All (id_a < id_b) pairs with cosine ≥ threshold — EXACT, fully
+    distributed block-pair mat-mul; the corpus is never collected.
 
-    def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for a_ids, a_mat, a_norms in _batches(pdfs):
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "sim": sims[ai, bi]}
-            )
+    The corpus hashes into B blocks; each of the B(B+1)/2 unordered
+    block pairs becomes one task holding exactly two blocks (≤
+    2×rows_per_block rows), compared with a single BLAS product. Every
+    unordered row pair lives in exactly one block pair, so the union of
+    task outputs IS the exact all-pairs result — same answer as a
+    single-matrix compare, no recall loss.
+
+    At 100 TB: exact all-pairs is inherently O(N²) compute; this shape
+    distributes it with BOUNDED task memory (grow B with N, task size
+    stays 2 blocks) at the cost of replicating each row B times — the
+    standard exact-join triangle trade. When approximate recall is
+    acceptable, bucket with ``ivf_assign(nprobe≥2)`` instead (see
+    plans/vectorq.embedding_near_dups_ivf) and compare within cells
+    only: replication nprobe×, compute |cell|² per cell."""
+    if n_blocks is None:
+        n_rows = df.count()
+        n_blocks = max(1, -(-n_rows // rows_per_block))
+
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+    # each row joins every block pair its block belongs to: (b, j) for
+    # all j — pair keys canonicalized (lo, hi) so both blocks of a pair
+    # land in the same shuffle group
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("__blk"), j).alias("lo"),
+            F.greatest(F.col("__blk"), j).alias("hi"),
+        ),
+    )
+    exploded = (
+        df.select(id_col, vec_col)
+        .withColumn("__blk", blk)
+        .withColumn("__pair", F.explode(pairs))
+        .select(
+            F.col("__pair.lo").alias("__lo"),
+            F.col("__pair.hi").alias("__hi"),
+            "__blk",
+            id_col,
+            vec_col,
+        )
+    )
+
+    def compare(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = key
+        a = pdf[pdf["__blk"] == lo]
+        a_ids = a[id_col].to_numpy(dtype=np.int64)
+        a_mat = np.stack(a[vec_col].to_numpy()).astype(np.float64, copy=False)
+        a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+        if lo == hi:
+            b_ids, b_mat, b_norms = a_ids, a_mat, a_norms
+        else:
+            b = pdf[pdf["__blk"] == hi]
+            b_ids = b[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.stack(b[vec_col].to_numpy()).astype(np.float64, copy=False)
+            b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        # same-block: keep the strict upper triangle (each unordered
+        # pair once); cross-block: keep everything, then canonicalize
+        ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :])) \
+            if lo == hi else \
+            np.nonzero((sims >= threshold) & (a_ids[:, None] != b_ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_ids[ai], b_ids[bi]),
+                "id_b": np.maximum(a_ids[ai], b_ids[bi]),
+                "sim": sims[ai, bi],
+            }
+        )
 
     return (
-        _spread(df, factor=1)
-        .select(id_col, vec_col)
-        .mapInPandas(score, _PAIR_SCHEMA)
+        exploded.groupBy("__lo", "__hi")
+        .applyInPandas(compare, _PAIR_SCHEMA)
         .select("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    threshold: float,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Near-dup pairs via IVF bucketing — the sub-quadratic scale path.
+    Every vector replicates to its ``nprobe`` nearest cells; pairs are
+    compared ONLY within a cell, then deduped (a pair can co-occur in
+    up to nprobe shared cells). Precision is exact (every emitted pair
+    really clears the threshold); recall < 1 exactly when a qualifying
+    pair shares no probed cell — raise nprobe to trade compute for
+    recall.
+
+    At 100 TB: compute is Σ|cell|² instead of N², data moves nprobe×N
+    rows through one shuffle on cell_id, and each cell compares locally
+    — the same contract as MinHash-LSH banding for text (dedup.py)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe)
+
+    def compare(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "sim": sims[ai, bi]})
+
+    return (
+        assigned.groupBy("cell_id")
+        .applyInPandas(compare, _PAIR_SCHEMA)
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -67,9 +67,11 @@ WHERE a.vec_id < 250
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.45 (ids only)."""
+    """Embedding-cosine near-dup pairs ≥ 0.45 (ids only) — EXACT via
+    the distributed block-pair mat-mul (no driver collect; small
+    rows_per_block forces real multi-block execution at test scale)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(e, threshold=0.45)
+    return SIM.embedding_near_dup_pairs(e, threshold=0.45, rows_per_block=128)
 
 
 EMB_NEAR_DUP_SQL = """
@@ -77,6 +79,163 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs ≥ 0.45 via IVF cell bucketing (k-means-trained
+    centroids, nprobe=2) — the sub-quadratic scale path. The oracle is
+    the exact all-pairs SQL: at this threshold and cell count the
+    probed cells cover every qualifying pair, so the approximate plan
+    must reproduce the exact answer (checked, not assumed — a recall
+    regression here fails the gate)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(e, k=8, iters=2)
+    return SIM.embedding_near_dup_pairs_ivf(e, threshold=0.45, centroids=cents, nprobe=2)
+
+
+def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: queries search their TWO nearest cells.
+    The recall knob in action — same index as ivf_ann_topk, twice the
+    probed corpus fraction. The oracle replicates multi-probe routing
+    in SQL (rn <= 2 on the query-side assignment)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8)
+    assigned = SIM.ivf_assign(e, centroids)
+    queries = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
+
+
+IVF_MULTIPROBE_SQL = """
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+c_assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+q_assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM q_assigned q JOIN c_assigned c ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+) WHERE rank <= 3
+"""
+
+
+def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF multi-probe ANN against exact brute force, as a
+    gated query: one row (k, nprobe, n_queries, recall_at_k,
+    meets_bound). The declared bound (0.80) is the operator's recall
+    contract — if an index change drops recall below it, this query's
+    hash (and meets_bound) flips and the gate fails. Both sides are
+    SQL-expressible, so the oracle independently recomputes the recall
+    from scratch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(queries, e, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = e.filter(F.col("vec_id") < 8)
+    assigned = SIM.ivf_assign(e, centroids)
+    approx = (
+        SIM.ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_outer")
+        .agg(
+            F.lit(3).alias("k"),
+            F.lit(2).alias("nprobe"),
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .withColumn("meets_bound", F.col("recall_at_k") >= 0.80)
+    )
+
+
+ANN_RECALL_SQL = """
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+c_assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+q_assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 2
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM q_assigned q JOIN c_assigned c ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+)
+SELECT CAST(3 AS INT) AS k,
+       CAST(2 AS INT) AS nprobe,
+       CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       round(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k,
+       round(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) >= 0.80 AS meets_bound
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 """
 
 

@@ -43,6 +43,34 @@ def test_ngram_jaccard_exact(spark):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_guard_trips(spark):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="max_join_pairs"):
+        DD.ngram_jaccard_pairs(_docs(spark), threshold=0.1, max_join_pairs=3)
+
+
+def test_ngram_jaccard_candidate_path_matches_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    sh = DD.shingle_set(docs)
+    bands = DD.minhash_signatures(sh)
+    cand = DD.lsh_candidate_pairs(bands)
+    guarded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.1, candidate_pairs=cand
+        ).collect()
+    }
+    # every LSH-surfaced pair carries the identical exact Jaccard value
+    for pair, j in guarded.items():
+        assert exact[pair] == j
+    assert (1, 4) in guarded
+
+
 def test_simhash_near_dup_property(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[4]  # identical text → identical signature
