@@ -86,6 +86,32 @@ def validation_run_summary(audit: AuditLog) -> DataFrame:
     )
 
 
+def labeled_validation_summary(results: DataFrame, unique_id: str) -> DataFrame:
+    """Aggregated DVT results for one run, selected by exploding the
+    repeated ``labels`` field (array<struct<key,value>>) and matching
+    the label VALUE — the reference's CROSS JOIN UNNEST(labels) filter
+    (validation_dag.py:181-195), which tags results with run labels
+    instead of a run_id column. One row: (unique_id, total_validations,
+    successful_validations, failed_validations).
+
+    At 100 TB of audit rows: explode is a map-side row multiplier
+    (|labels| per row, no shuffle); the only exchange is the final
+    single-group agg's one-row-per-partition partial."""
+    lab = results.select(
+        "validation_status", F.explode("labels").alias("lab")
+    ).filter(F.col("lab.value") == unique_id)
+    return lab.agg(
+        F.lit(unique_id).alias("unique_id"),
+        F.count(F.lit(1)).alias("total_validations"),
+        F.sum(
+            F.when(F.col("validation_status") == "success", 1).otherwise(0)
+        ).alias("successful_validations"),
+        F.sum(
+            F.when(F.col("validation_status") == "fail", 1).otherwise(0)
+        ).alias("failed_validations"),
+    )
+
+
 def schema_strings(columns_info: DataFrame) -> DataFrame:
     """Explicit schema-string reconstruction (constants.py:66-73):
     ``col:type`` joined in ordinal order per table — ordered STRING_AGG

@@ -52,6 +52,92 @@ def _flag(v: str | None) -> bool:
     return (v or "").strip().upper() in ("Y", "YES", "TRUE", "1")
 
 
+def _cell_col(ref: str) -> int:
+    """'BC12' → 0-based column index (54)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def xlsx_to_csv_text(data: bytes) -> str:
+    """First worksheet of an .xlsx → CSV text, stdlib-only.
+
+    Mirrors the reference's XLSX hand-off (storage_utils.py:84-121:
+    ``pd.read_excel`` → ``to_csv`` → the CSV parser); this container has
+    no excel engine, and the spec file is driver-side config (KB-scale),
+    so a direct zip+XML read replaces the pandas round-trip. Handles
+    shared strings, inline strings, and numeric cells; absent cells
+    become empty fields; trailing numeric ``.0`` is dropped the way
+    pandas' int64 inference drops it."""
+    import csv as _csv
+    import io as _io
+    import re
+    import zipfile
+    from xml.etree import ElementTree
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    zf = zipfile.ZipFile(_io.BytesIO(data))
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.findall(f"{NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+
+    sheet_name = sorted(
+        n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )[0]
+    root = ElementTree.fromstring(zf.read(sheet_name))
+
+    rows: list[list[str]] = []
+    for row in root.iter(f"{NS}row"):
+        out: list[str] = []
+        for cell in row.findall(f"{NS}c"):
+            idx = _cell_col(cell.get("r", ""))
+            while len(out) <= idx:
+                out.append("")
+            ctype = cell.get("t", "n")
+            if ctype == "inlineStr":
+                is_el = cell.find(f"{NS}is")
+                val = "".join(
+                    t.text or "" for t in is_el.iter(f"{NS}t")
+                ) if is_el is not None else ""
+            else:
+                v = cell.find(f"{NS}v")
+                val = v.text or "" if v is not None else ""
+                if ctype == "s":
+                    val = shared[int(val)]
+                elif ctype == "n" or ctype not in ("str", "b"):
+                    if val.endswith(".0"):
+                        val = val[:-2]
+            out[idx] = val
+        rows.append(out)
+
+    buf = _io.StringIO()
+    _csv.writer(buf, lineterminator="\n").writerows(rows)
+    return buf.getvalue()
+
+
+def parse_spec_file(
+    path: str,
+    translation_type: str | None = None,
+    validation_type: str | None = None,
+    skip_header_rows: int = 2,
+) -> dict[str, "ValidationSpec"]:
+    """Parse a validation-params file by extension — .xlsx converts to
+    CSV first (the reference's chain), anything else reads as CSV."""
+    if path.lower().endswith(".xlsx"):
+        with open(path, "rb") as fh:
+            text = xlsx_to_csv_text(fh.read())
+    else:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    return parse_spec_rows(text, translation_type, validation_type, skip_header_rows)
+
+
 def parse_spec_rows(
     text: str,
     translation_type: str | None = None,

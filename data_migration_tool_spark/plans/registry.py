@@ -239,6 +239,7 @@ _DEFS: list[QueryDef] = [
     QueryDef("dvt_row_validation", V.dvt_row_validation, V.DVT_ROW_SQL, ("dvt",)),
     QueryDef("dvt_schema_validation", V.dvt_schema_validation, V.DVT_SCHEMA_SQL, ("dvt",)),
     QueryDef("dvt_custom_query_validation", V.dvt_custom_query_validation, V.DVT_CUSTOM_SQL, ("dvt",)),
+    QueryDef("dvt_labels_rollup", V.dvt_labels_rollup, V.DVT_LABELS_SQL, ("dvt", "unnest")),
     QueryDef("doc_token_stats", TQ.doc_token_stats, TQ.DOC_TOKEN_STATS_SQL, ("text",)),
     QueryDef("doc_quality_scores", TQ.doc_quality_scores, TQ.DOC_QUALITY_SQL, ("text",)),
     QueryDef("doc_language_id", TQ.doc_language_id, TQ.DOC_LANG_SQL, ("text",)),
@@ -336,6 +337,7 @@ _PRIORITY: tuple[str, ...] = (
     "dvt_row_validation",
     "dvt_schema_validation",
     "dvt_custom_query_validation",
+    "dvt_labels_rollup",
     "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",
@@ -376,7 +378,6 @@ _PRIORITY: tuple[str, ...] = (
     "order_reconciliation",
     "customer_status_history",
     "customer_value_quartiles",
-    "part_name_fuzzy_pairs",
 )
 
 

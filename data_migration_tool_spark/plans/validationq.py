@@ -350,6 +350,51 @@ GROUP BY o_orderstatus
 """
 
 
+def dvt_labels_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labels-UNNEST validation summary (validation_dag.py:181-195): a
+    dmt_dvt_results table is seeded deterministically from orders (each
+    order → one validation row carrying an array<struct<key,value>>
+    labels field tagging it with one of three run ids), then the
+    summary explodes the labels, filters on the run-id label VALUE, and
+    tallies success/fail — the reference's aggregated-results write."""
+    from data_migration_tool_spark.audit.queries import labeled_validation_summary
+
+    o = load_table(spark, sf_dir, "orders")
+    results = o.select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("fail"))
+        .otherwise(F.lit("success"))
+        .alias("validation_status"),
+        F.array(
+            F.struct(
+                F.lit("run_id").alias("key"),
+                F.concat(F.lit("run_"), (F.col("o_orderkey") % 3).cast("string")).alias(
+                    "value"
+                ),
+            ),
+            F.struct(F.lit("team").alias("key"), F.lit("dmt").alias("value")),
+        ).alias("labels"),
+    )
+    return labeled_validation_summary(results, "run_1")
+
+
+DVT_LABELS_SQL = """
+WITH results AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'fail' ELSE 'success' END AS validation_status,
+         [{'key': 'run_id', 'value': 'run_' || CAST(o_orderkey % 3 AS VARCHAR)},
+          {'key': 'team', 'value': 'dmt'}] AS labels
+  FROM orders
+), ex AS (
+  SELECT validation_status, a.value AS v
+  FROM results CROSS JOIN UNNEST(labels) AS t(a)
+)
+SELECT 'run_1' AS unique_id,
+       CAST(COUNT(*) AS BIGINT) AS total_validations,
+       CAST(SUM(CASE WHEN validation_status = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS successful_validations,
+       CAST(SUM(CASE WHEN validation_status = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations
+FROM ex WHERE v = 'run_1'
+"""
+
+
 def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Migration-assessment profile of the orders table: one
     aggregation pass emits every column's (rows, nulls, distincts,

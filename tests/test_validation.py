@@ -37,6 +37,75 @@ def test_spec_parser():
     assert r.random_row_batch_size == 100
 
 
+def _write_xlsx(path: str, rows: list[list[str]]) -> None:
+    """Minimal structurally-valid .xlsx writer (test fixture): shared
+    strings for text, numeric cells for int-like values."""
+    import zipfile
+
+    def col_ref(i: int) -> str:
+        ref = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            ref = chr(ord("A") + r) + ref
+        return ref
+
+    shared: list[str] = []
+    sheet_rows = []
+    for ri, row in enumerate(rows, start=1):
+        cells = []
+        for ci, val in enumerate(row):
+            ref = f"{col_ref(ci)}{ri}"
+            if val == "":
+                continue
+            if val.isdigit():
+                cells.append(f'<c r="{ref}"><v>{val}.0</v></c>')
+            else:
+                if val not in shared:
+                    shared.append(val)
+                cells.append(
+                    f'<c r="{ref}" t="s"><v>{shared.index(val)}</v></c>'
+                )
+        sheet_rows.append(f'<row r="{ri}">{"".join(cells)}</row>')
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns}><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">{sst}</sst>',
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>',
+        )
+
+
+def test_spec_xlsx_matches_csv(tmp_path):
+    from data_migration_tool_spark.operators.spec import parse_spec_file
+
+    csv_path = tmp_path / "params.csv"
+    csv_path.write_text(SPEC_CSV)
+    rows = [line.split(",") for line in SPEC_CSV.strip().splitlines()]
+    xlsx_path = tmp_path / "params.xlsx"
+    _write_xlsx(str(xlsx_path), rows)
+
+    from_csv = parse_spec_file(str(csv_path))
+    from_xlsx = parse_spec_file(str(xlsx_path))
+    assert set(from_csv) == set(from_xlsx) == {"db.emp", "db.emp2"}
+    for key in from_csv:
+        assert from_csv[key] == from_xlsx[key]
+
+
 def test_schema_validation_exact(spark):
     src = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
     tgt = spark.createDataFrame([(1, "a", 1)], "id int, name string, v int")
