@@ -46,6 +46,57 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def int8_quantize_stats(vec: str | Column) -> Column:
+    """Per-vector int8 scalar quantization summary: each component maps
+    to ``floor((x - min) * 255 / (max - min))`` ∈ [0, 255] (the affine
+    int8 codebook used for ANN index compression); a constant vector
+    maps to all-zeros. Returns a struct of integer-exact stats
+    (n_dims, q_sum, q_min, q_max) plus the codebook range rounded to 6.
+
+    floor (not round) keeps the mapping unambiguous across engines —
+    IEEE +,-,*,/ are exactly specified, so identical inputs give
+    bit-identical codes in Spark and any SQL oracle. All integer
+    outputs thereafter are exact. Pure per-row expression: scan-side,
+    no shuffle, prunes to the one vector column."""
+    from data_migration_tool_spark.functions.text import bind
+
+    vd = F.transform(_c(vec), lambda x: x.cast("double"))
+
+    def of_bound(s: Column) -> Column:
+        v = s.getField("v")
+        mn = s.getField("mn")
+        span = s.getField("mx") - s.getField("mn")
+        qs = F.when(
+            span > F.lit(0.0),
+            F.transform(v, lambda x: F.floor((x - mn) * F.lit(255.0) / span)),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+        return bind(
+            qs,
+            lambda q: F.struct(
+                F.size(q).alias("n_dims"),
+                F.aggregate(
+                    q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+                ).alias("q_sum"),
+                F.array_min(q).cast("int").alias("q_min"),
+                F.array_max(q).cast("int").alias("q_max"),
+                F.round(mn, 6).alias("v_min"),
+                F.round(s.getField("mx"), 6).alias("v_max"),
+            ),
+        )
+
+    return bind(
+        bind(
+            vd,
+            lambda v: F.struct(
+                v.alias("v"),
+                F.array_min(v).alias("mn"),
+                F.array_max(v).alias("mx"),
+            ),
+        ),
+        of_bound,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched numpy kernels — the pairwise hot path.
 #

@@ -51,11 +51,17 @@ def shingle_set(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
     Input is spread first: shingling+hashing is the map-heavy stage and
-    must not run at a small file's single-partition parallelism."""
-    return (
-        spread(df)
-        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    must not run at a small file's single-partition parallelism.
+
+    Dedup happens per-row (``array_distinct`` before the explode), not
+    via ``.distinct()``: ids differ across documents, so per-document
+    dedup IS global (id, shingle) dedup — same rows, minus one full
+    shuffle of the entire shingle stream. At 100 TB that shuffle is the
+    largest intermediate in the whole dedup pipeline; this keeps the
+    stage map-only."""
+    return spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
@@ -356,4 +362,35 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination: training documents that share any n-gram
+    shingle with a held-out benchmark corpus, with the count of
+    distinct shared shingles — the standard train/eval contamination
+    check before a training run.
+
+    Shape for 100 TB of train against a benchmark of MBs–GBs: the
+    benchmark's distinct shingle set is small by construction and is
+    broadcast, so the train side is a single scan → shingle-explode →
+    broadcast semi-probe, followed by one groupBy(id) shuffle that
+    carries only the HIT rows (contamination is rare, so the shuffle is
+    tiny). The train corpus is never self-joined and never shuffled in
+    full."""
+    bench_shingles = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    train_shingles = shingle_set(train, id_col, text_col, n)
+    return (
+        train_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

@@ -45,6 +45,58 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("predicted_lang", TX.predicted_lang(text_col))
 
 
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of n-gram shingles that are repeats of an earlier shingle
+    in the same document. High ratio → boilerplate / template spam.
+
+    Pure per-row Catalyst expression — the shingle array is bound once
+    per row, so the whole operator is a scan-side projection: no
+    shuffle, no UDF, combines with column pruning at any scale. The
+    ratio is an integer ratio cast to double, so it is bit-identical
+    across engines."""
+
+    def stats_of(sh):
+        t = F.size(sh).cast("bigint")
+        d = F.size(F.array_distinct(sh)).cast("bigint")
+        return F.struct(
+            t.alias("n_shingles"),
+            d.alias("n_distinct_shingles"),
+            F.when(t > 0, (t - d).cast("double") / t.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+
+    return df.select(
+        F.col(id_col), TX.bind(TX.word_shingles(text_col, n), stats_of).alias("_s")
+    ).select(id_col, "_s.n_shingles", "_s.n_distinct_shingles", "_s.rep_ratio")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    thresholds: dict[str, str],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default: str = "0d",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row when its
+    md5(id) 2-hex-digit prefix sorts below the stratum's threshold
+    ('0d' ≈ 5%, '40' ≈ 25%, 'zz' = keep all — every hex prefix sorts
+    below 'z'). The corpus-rebalancing primitive (e.g. upsample rare
+    languages, downsample the dominant one) as a pure scan predicate:
+    membership is a function of the row alone, so it is rerun-stable,
+    engine-portable, and costs zero shuffles at any scale."""
+    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    th = None
+    for stratum, bound in thresholds.items():
+        cond = F.col(strata_col) == stratum
+        th = F.when(cond, bound) if th is None else th.when(cond, bound)
+    th = F.lit(default) if th is None else th.otherwise(F.lit(default))
+    return df.filter(pref < th)
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

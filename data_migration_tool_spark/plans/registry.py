@@ -318,6 +318,30 @@ _DEFS: list[QueryDef] = [
         "media_feature_extract", MQ.media_feature_extract, MQ.MEDIA_FEATURES_SQL, ("media",)
     ),
     QueryDef("media_frame_plan", MQ.media_frame_plan, MQ.MEDIA_FRAMES_SQL, ("media",)),
+    QueryDef(
+        "doc_repetition_scores",
+        TQ.doc_repetition_scores,
+        TQ.DOC_REPETITION_SQL,
+        ("text", "quality"),
+    ),
+    QueryDef(
+        "doc_decontaminate",
+        TQ.doc_decontaminate,
+        TQ.DOC_DECONTAMINATE_SQL,
+        ("dedup", "decontamination"),
+    ),
+    QueryDef(
+        "doc_stratified_sample",
+        TQ.doc_stratified_sample,
+        TQ.DOC_STRATIFIED_SQL,
+        ("sampling",),
+    ),
+    QueryDef(
+        "embedding_int8_quantize",
+        VQ.embedding_int8_quantize,
+        VQ.EMB_QUANTIZE_SQL,
+        ("vector", "quantization"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
@@ -376,8 +400,8 @@ _PRIORITY: tuple[str, ...] = (
     "orders_table_profile",
     "referential_integrity_orphans",
     "order_reconciliation",
-    "customer_status_history",
-    "customer_value_quartiles",
+    "doc_decontaminate",
+    "embedding_int8_quantize",
 )
 
 

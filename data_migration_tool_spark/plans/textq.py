@@ -276,6 +276,81 @@ LIMIT 20
 """
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-shingle ratio (Gopher-style repetition
+    quality signal) — scan-side projection, integer-ratio double."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.repetition_scores(d)
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+shl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+       CASE WHEN len(sh) > 0
+            THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+                 / CAST(len(sh) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM shl
+"""
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: the held-out benchmark is the
+    doc_id % 37 == 0 slice; every other document is train. Emits the
+    train docs sharing ≥1 3-gram shingle with the benchmark, with the
+    distinct-shared-shingle count (operators/dedup.cross_corpus_overlap
+    — benchmark shingles broadcast, train side scan-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    return DD.cross_corpus_overlap(train, bench)
+
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT t.doc_id AS doc_id, COUNT(*) AS n_shared_shingles
+FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0) t
+JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0) e USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+# Corpus rebalance: keep all German, ~25% French, ~10% Spanish/Chinese,
+# ~5% of everything else (the dominant English slice).
+_STRATA_THRESHOLDS = {"de": "zz", "fr": "40", "es": "1a", "zh": "1a"}
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic hash sampling (corpus rebalancing),
+    summarized per stratum. Membership is a pure row predicate — no
+    shuffle, rerun-stable at any scale (operators/textops
+    .stratified_hash_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = TO.stratified_hash_sample(d, _STRATA_THRESHOLDS)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+DOC_STRATIFIED_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'de' THEN 'zz' WHEN 'fr' THEN '40'
+                WHEN 'es' THEN '1a' WHEN 'zh' THEN '1a' ELSE '0d' END
+GROUP BY lang
+"""
+
+
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline end-to-end in ONE declarative plan:
     quality filter → exact-dedup survivor selection → deterministic

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_migration_tool_spark.functions.vectors import cosine_similarity
+from data_migration_tool_spark.functions.vectors import (
+    cosine_similarity,
+    int8_quantize_stats,
+)
 from data_migration_tool_spark.operators import similarity as SIM
 from data_migration_tool_spark.tables import load_table
 
@@ -63,6 +66,41 @@ SELECT a.vec_id AS id_a,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
 WHERE a.vec_id < 250
+"""
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of every embedding (the ANN index
+    compression step), reported as integer-exact per-vector stats —
+    scan-side projection, no shuffle (functions/vectors
+    .int8_quantize_stats)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", int8_quantize_stats("embedding").alias("_q")
+    ).select(
+        "vec_id", "_q.n_dims", "_q.q_sum", "_q.q_min", "_q.q_max",
+        "_q.v_min", "_q.v_max",
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v),
+q AS (
+  SELECT vec_id, mn, mx,
+         CASE WHEN mx - mn > 0
+              THEN list_transform(v, x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+  FROM m
+)
+SELECT vec_id,
+       CAST(len(qs) AS INT) AS n_dims,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       CAST(list_min(qs) AS INT) AS q_min,
+       CAST(list_max(qs) AS INT) AS q_max,
+       round(mn, 6) AS v_min,
+       round(mx, 6) AS v_max
+FROM q
 """
 
 

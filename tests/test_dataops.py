@@ -426,3 +426,83 @@ def test_kmeans_recovers_separated_clusters(spark):
     a = sorted(map(tuple, cents.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_repetition_scores(spark):
+    from data_migration_tool_spark.operators.textops import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 shingles, 3 distinct
+            (2, "w x y z"),             # 2 shingles, both distinct
+            (3, "one two"),             # too short: 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["n_shingles"] == 7 and got[1]["n_distinct_shingles"] == 3
+    assert got[1]["rep_ratio"] == 4.0 / 7.0
+    assert got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_cross_corpus_overlap(spark):
+    from data_migration_tool_spark.operators.dedup import cross_corpus_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 'the quick brown'
+            (2, "totally unrelated training doc"),
+            (3, "the quick brown fox jumps high"),  # shares two shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran away")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_shared_shingles"] for r in cross_corpus_overlap(train, bench).collect()}
+    # bench shingles: {the quick brown, quick brown fox, brown fox ran, fox ran away}
+    assert got[1] == 2  # 'the quick brown', 'quick brown fox'
+    assert got[3] == 2
+    assert 2 not in got
+
+
+def test_stratified_hash_sample_rates(spark):
+    from data_migration_tool_spark.operators.textops import stratified_hash_sample
+
+    rows = [(i, "de" if i % 2 else "en", "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = stratified_hash_sample(df, {"de": "zz"}, default="0d")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["de"] == 1000          # 'zz' keeps every row
+    assert 20 <= by_lang.get("en", 0) <= 90  # ~5% of 1000
+    # deterministic: same rows selected on rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_hash_sample(df, {"de": "zz"}, default="0d").collect())
+    assert ids1 == ids2
+
+
+def test_int8_quantize_stats(spark):
+    from data_migration_tool_spark.functions.vectors import int8_quantize_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 2.0, 4.0]),
+            (2, [3.0, 3.0, 3.0]),  # constant vector → all-zero codes
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["_q"]
+        for r in df.select("vec_id", int8_quantize_stats("embedding").alias("_q")).collect()
+    }
+    q1 = got[1]
+    # codes: floor((x-0)*255/4) = [0, 63, 127, 255]
+    assert q1["n_dims"] == 4 and q1["q_min"] == 0 and q1["q_max"] == 255
+    assert q1["q_sum"] == 0 + 63 + 127 + 255
+    assert q1["v_min"] == 0.0 and q1["v_max"] == 4.0
+    q2 = got[2]
+    assert q2["q_sum"] == 0 and q2["q_min"] == 0 and q2["q_max"] == 0
