@@ -272,6 +272,90 @@ def dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def dup_clusters_two_star(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round scale path with the same contract as
+    ``dup_clusters``: (id, cluster_id = min id in the component).
+
+    Each round is two groupBy+join passes over a *canonical* edge list
+    (a > b). large-star hooks every neighbor larger than u onto u's
+    component-min candidate (halving tree heights); small-star then
+    flattens each node's smaller neighborhood onto its minimum. Both
+    emit canonically oriented edges, so the edge set monotonically
+    collapses toward one star per component centered at the component
+    min — O(log n) rounds regardless of diameter, where plain label
+    propagation needs O(diameter). Per-round work is two keyed
+    shuffles whose width never exceeds the live edge count, which
+    shrinks as stars collapse; ``localCheckpoint`` truncates lineage.
+    Convergence is an edge-set fingerprint (count + hash sum), one
+    cheap agg per side."""
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = edges.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
+    ).first()
+    for _ in range(max_iters):
+        # large-star: Γ over both directions; m(u) = min(u ∪ Γ(u));
+        # every v ∈ Γ(u) with v > u re-hooks onto m(u)
+        bidir = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        lrg = (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(
+                m.filter(F.col("u") != F.col("m")).select(
+                    F.col("u").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .distinct()
+        )
+        # small-star on the canonical orientation: every smaller
+        # neighbor of u (and u itself) hooks onto min(N⁻(u))
+        sm = lrg.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            lrg.join(sm, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(sm.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = edges.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
+        ).first()
+        if (fp["n"], fp["h"]) == (new_fp["n"], new_fp["h"]):
+            break
+        fp = new_fp
+    # fixpoint = one star per component centered at the component min
+    members = edges.select(F.col("a").alias(id_col), F.col("b").alias("cluster_id"))
+    centers = (
+        edges.select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return members.unionByName(centers)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

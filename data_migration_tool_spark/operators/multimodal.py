@@ -1,12 +1,13 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-Image (BMP 24-bit) and audio (WAV PCM16) decoding is REAL: the parsers
-below read the container headers and pixel/sample payloads with
-struct+numpy — no codec library needed. Video decoding stays stubbed
-(ffmpeg is not available in this environment); its rows surface null
-decoded fields plus the content hash/byte length, and swapping in a real
-frame decoder changes only ``decode_media``'s fallback branch.
+Image (BMP 24-bit), audio (WAV PCM16), and video (uncompressed RIFF AVI
+with raw BGR24 '00db' frames) decoding is REAL: the parsers below read
+the container headers and pixel/sample/frame payloads with struct+numpy
+— no codec library needed. Compressed video codecs (H.264 etc.) remain
+out of scope in this environment (no ffmpeg): such blobs fall through
+to null decoded fields plus content hash/byte length, and swapping in a
+codec library changes only ``decode_media``'s fallback branch.
 
 Scale: mapInPandas streams Arrow record batches, so executors hold one
 batch of media blobs at a time; set
@@ -112,9 +113,57 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return hdr + data
 
 
+def encode_avi(
+    width: int, height: int, n_frames: int, fps: int, pixel_fn
+) -> bytes:
+    """Write an uncompressed RIFF AVI: raw bottom-up BGR24 '00db' frames
+    (DIB row stride padded to 4), avih/strh/strf headers.
+    ``pixel_fn(x, y, f) -> 0..255`` gray."""
+    stride = (3 * width + 3) // 4 * 4
+    fsize = stride * height
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) & 1)
+
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up like BMP
+            row = bytearray()
+            for x in range(width):
+                v = pixel_fn(x, y, f) & 0xFF
+                row += bytes((v, v, v))
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        frames.append(b"".join(rows))
+
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, n_frames, 0, 1, fsize, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, fsize, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl"
+    strl += chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    movi_body = b"".join(chunk(b"00db", fr) for fr in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 _NULL_DECODE = {
     "width": None, "height": None, "n_channels": None, "mean_luma": None,
     "sample_rate": None, "n_samples": None, "duration_ms": None, "rms": None,
+    "n_frames": None, "fps": None,
 }
 
 
@@ -171,11 +220,69 @@ def _decode_wav(content: bytes) -> dict | None:
     return out
 
 
+def _parse_avi(content: bytes) -> tuple[tuple, list[bytes]] | None:
+    """RIFF walk: returns (avih fields, raw '00db'/'00dc' frame payloads)
+    in stream order, or None if not an AVI."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    state = {"avih": None}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", content, pos)
+            body = pos + 8
+            limit = min(body + size, end)
+            if cid == b"LIST":
+                walk(body + 4, limit)
+            elif cid == b"avih" and size >= 56:
+                state["avih"] = struct.unpack_from("<14I", content, body)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(content[body:limit])
+            pos = body + size + (size & 1)
+
+    walk(12, min(len(content), 8 + struct.unpack_from("<I", content, 4)[0]))
+    if state["avih"] is None:
+        return None
+    return state["avih"], frames
+
+
+def _decode_avi(content: bytes) -> dict | None:
+    parsed = _parse_avi(content)
+    if parsed is None:
+        return None
+    avih, frames = parsed
+    us_per_frame, w, h = avih[0], avih[8], avih[9]
+    if not frames or w <= 0 or h <= 0 or us_per_frame <= 0:
+        return None
+    stride = (3 * w + 3) // 4 * 4
+    mats = []
+    for fr in frames:
+        if len(fr) < stride * h:
+            return None
+        mats.append(
+            np.frombuffer(fr, np.uint8, count=stride * h).reshape(h, stride)[:, : 3 * w]
+        )
+    px = np.stack(mats).astype(np.float64)
+    out = dict(_NULL_DECODE)
+    out.update(
+        width=int(w),
+        height=int(h),
+        n_channels=3,
+        mean_luma=float(px.mean()),
+        n_frames=len(frames),
+        fps=int(round(1_000_000 / us_per_frame)),
+        duration_ms=len(frames) * (us_per_frame / 1000.0),
+    )
+    return out
+
+
 def decode_media(content: bytes) -> dict:
-    """Dispatch on magic bytes; unknown containers (video in this env)
-    fall through to all-null decoded fields — the disclosed stub branch."""
+    """Dispatch on magic bytes (BMP / WAV / uncompressed AVI); unknown
+    containers (compressed codecs — no ffmpeg in this env) fall through
+    to all-null decoded fields — the disclosed stub branch."""
     content = content or b""
-    for parser in (_decode_bmp, _decode_wav):
+    for parser in (_decode_bmp, _decode_wav, _decode_avi):
         out = parser(content)
         if out is not None:
             return out
@@ -185,7 +292,7 @@ def decode_media(content: bytes) -> dict:
 MEDIA_DECODE_FIELDS = (
     "content_sha string, width int, height int, n_channels int, "
     "mean_luma double, sample_rate int, n_samples int, duration_ms double, "
-    "rms double"
+    "rms double, n_frames int, fps int"
 )
 
 
@@ -221,6 +328,55 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         "n_samples",
         "duration_ms",
         "rms",
+        "n_frames",
+        "fps",
+    )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Per-frame video decode: one row per (media_id, frame) with the
+    frame's timestamp and mean luma — a REAL payload parse of
+    uncompressed AVI frames in Arrow batches (``mapInPandas``), the
+    frame-level twin of :func:`extract_media_features`. Non-AVI video
+    blobs are skipped. At scale the batch size bounds executor memory
+    to one Arrow batch of blobs; the output is frame-grain rows, ready
+    for downstream per-frame featurization."""
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "content")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, lumas = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                parsed = _parse_avi(bytes(c) if c is not None else b"")
+                if parsed is None:
+                    continue
+                avih, frames = parsed
+                usf, w, h = avih[0], avih[8], avih[9]
+                if not frames or w <= 0 or h <= 0 or usf <= 0:
+                    continue
+                stride = (3 * w + 3) // 4 * 4
+                for fi, fr in enumerate(frames):
+                    if len(fr) < stride * h:
+                        continue
+                    arr = np.frombuffer(
+                        fr, np.uint8, count=stride * h
+                    ).reshape(h, stride)[:, : 3 * w]
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    ts.append(fi * (usf / 1000.0))
+                    lumas.append(float(arr.astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(ts, dtype="float64"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return vids.mapInPandas(
+        dec, "media_id long, frame_idx int, frame_ts_ms double, mean_luma double"
     )
 
 
@@ -284,8 +440,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for tests/demos: image rows are real
-    BMPs, audio rows are real WAVs (so the decode path is genuinely
-    exercised); video rows are opaque bytes (decode stubbed)."""
+    BMPs, audio rows real WAVs, video rows real uncompressed AVIs — so
+    every decode path is genuinely exercised."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -299,7 +455,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             content = encode_wav(8000, samples)
             meta = (None, None, int(len(samples) * 1000 / 8000), "audio/wav")
         else:
-            content = bytes([(i * 7 + j) % 256 for j in range(32 + (i % 5) * 16)])
-            meta = (None, None, (1 + i % 7) * 1000, "video/x-raw")
+            w, h, nf = 4 + i % 5, 3 + i % 4, 2 + i % 3
+            content = encode_avi(
+                w, h, nf, 5, lambda x, y, f, i=i: (i + x + 3 * y + 5 * f) % 256
+            )
+            meta = (w, h, nf * 200, "video/avi")
         rows.append((i, kind, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

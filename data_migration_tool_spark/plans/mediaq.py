@@ -3,14 +3,14 @@
 Media rows are synthesized deterministically from the ``documents``
 table: image rows become REAL 24-bit BMP bytes and audio rows REAL
 PCM16 WAV bytes (encoded in an Arrow-batched mapInPandas stage), with
-dimensions/samples derived arithmetically from ``doc_id``. The decode
+dimensions/samples derived arithmetically from ``doc_id``; video rows
+become REAL uncompressed RIFF AVIs (raw BGR24 frames). The decode
 pipeline (``operators.multimodal.extract_media_features``) then parses
-those containers back — header walk, pixel/sample payload, luma mean /
-RMS — and the DuckDB oracle predicts every decoded value from the same
-``doc_id`` arithmetic. Encoder, decoder, and oracle are three
+those containers back — header walk, pixel/sample/frame payload, luma
+mean / RMS — and the DuckDB oracle predicts every decoded value from
+the same ``doc_id`` arithmetic. Encoder, decoder, and oracle are three
 independent code paths, so a PASS certifies genuine container parsing,
-not a shared stub. Video rows stay opaque (no ffmpeg in this env):
-null decoded fields, real hash/byte-length.
+not a shared stub.
 
 All oracle-compared outputs are SCALAR columns — driver canonicalizers
 sort/hash cell values, and array cells break that contract.
@@ -26,10 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.operators.multimodal import (
+    encode_avi,
     encode_bmp,
     encode_wav,
     extract_media_features,
     frame_sample_plan,
+    sample_frames,
 )
 from data_migration_tool_spark.tables import load_table
 
@@ -65,7 +67,11 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = encode_wav(8000, samples)
                     kind = "audio"
                 else:
-                    blob = str(text).encode("utf-8")
+                    w, h, nf = 4 + i % 9, 3 + i % 5, 2 + i % 4
+                    blob = encode_avi(
+                        w, h, nf, 5,
+                        lambda x, y, f, i=i: (i + x + 3 * y + 5 * f) % 256,
+                    )
                     kind = "video"
                 ids.append(i)
                 kinds.append(kind)
@@ -95,6 +101,8 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.round("duration_ms", 6).alias("duration_ms"),
         F.round("rms", 6).alias("rms"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("fps").cast("long").alias("fps"),
     )
 
 
@@ -104,7 +112,10 @@ WITH dims AS (
          doc_id % 3 AS m,
          4 + doc_id % 13 AS w,
          3 + doc_id % 7 AS h,
-         16 + doc_id % 33 AS n
+         16 + doc_id % 33 AS n,
+         4 + doc_id % 9 AS vw,
+         3 + doc_id % 5 AS vh,
+         2 + doc_id % 4 AS nf
   FROM documents
 )
 SELECT doc_id AS media_id,
@@ -112,23 +123,62 @@ SELECT doc_id AS media_id,
        CASE m
          WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
          WHEN 1 THEN 44 + 2 * n
-         ELSE octet_length(encode(text))
+         ELSE 224 + nf * (8 + vh * ((3 * vw + 3) // 4 * 4))
        END AS n_bytes,
-       CASE WHEN m = 0 THEN w END AS width,
-       CASE WHEN m = 0 THEN h END AS height,
-       CASE WHEN m = 0 THEN 3 END AS n_channels,
+       CASE WHEN m = 0 THEN w WHEN m = 2 THEN vw END AS width,
+       CASE WHEN m = 0 THEN h WHEN m = 2 THEN vh END AS height,
+       CASE WHEN m IN (0, 2) THEN 3 END AS n_channels,
        CASE WHEN m = 0 THEN round(list_aggregate(
          list_transform(range(w * h),
            i -> CAST((doc_id + (i % w) + 3 * (i // w)) % 256 AS DOUBLE)),
+         'avg'), 6)
+            WHEN m = 2 THEN round(list_aggregate(
+         list_transform(range(vw * vh * nf),
+           i -> CAST((doc_id + (i % vw) + 3 * ((i % (vw * vh)) // vw)
+                      + 5 * (i // (vw * vh))) % 256 AS DOUBLE)),
          'avg'), 6) END AS mean_luma,
        CASE WHEN m = 1 THEN 8000 END AS sample_rate,
        CASE WHEN m = 1 THEN n END AS n_samples,
-       CASE WHEN m = 1 THEN round(n * 1000.0 / 8000, 6) END AS duration_ms,
+       CASE WHEN m = 1 THEN round(n * 1000.0 / 8000, 6)
+            WHEN m = 2 THEN round(nf * 200.0, 6) END AS duration_ms,
        CASE WHEN m = 1 THEN round(sqrt(list_aggregate(
          list_transform(range(n),
            i -> CAST(((doc_id * 131 + i * 17) % 2001) - 1000 AS DOUBLE) ** 2),
-         'avg')), 6) END AS rms
+         'avg')), 6) END AS rms,
+       CASE WHEN m = 2 THEN nf END AS n_frames,
+       CASE WHEN m = 2 THEN 5 END AS fps
 FROM dims
+"""
+
+
+def media_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-grain video decode: every AVI frame parsed from the raw
+    container payload (timestamp + mean luma per frame), checked
+    against the oracle's arithmetic prediction of each frame's pixels
+    — value-level proof the frame parser reads real payloads."""
+    media = media_from_documents(spark, sf_dir)
+    return sample_frames(media).select(
+        "media_id",
+        "frame_idx",
+        F.round("frame_ts_ms", 6).alias("frame_ts_ms"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+MEDIA_FRAME_LUMA_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, 2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       round(CAST(f * 200.0 AS DOUBLE), 6) AS frame_ts_ms,
+       round(list_aggregate(
+         list_transform(range(w * h),
+           i -> CAST((doc_id + (i % w) + 3 * (i // w) + 5 * f) % 256 AS DOUBLE)),
+         'avg'), 6) AS mean_luma
+FROM fr
 """
 
 

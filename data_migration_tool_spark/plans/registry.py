@@ -319,6 +319,15 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("media_frame_plan", MQ.media_frame_plan, MQ.MEDIA_FRAMES_SQL, ("media",)),
     QueryDef(
+        "media_frame_luma", MQ.media_frame_luma, MQ.MEDIA_FRAME_LUMA_SQL, ("media",)
+    ),
+    QueryDef(
+        "doc_dup_clusters_star",
+        TQ.doc_dup_clusters_star,
+        TQ.DOC_DUP_CLUSTERS_SQL,
+        ("dedup", "clustering"),
+    ),
+    QueryDef(
         "doc_repetition_scores",
         TQ.doc_repetition_scores,
         TQ.DOC_REPETITION_SQL,

@@ -188,6 +188,16 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs)
 
 
+def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``doc_dup_clusters`` computed by the
+    large-star/small-star O(log n)-round algorithm
+    (operators/dedup.dup_clusters_two_star) — the billion-edge scale
+    path, value-checked against the identical recursive-CTE oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
+    return DD.dup_clusters_two_star(pairs)
+
+
 DOC_DUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_MINHASH_CTES},
 edges AS (

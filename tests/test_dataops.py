@@ -159,6 +159,18 @@ def test_media_codec_round_trip():
     assert abs(d["rms"] - rms) < 1e-9
     assert d["width"] is None
 
+    avi = MM.encode_avi(6, 4, 3, 5, lambda x, y, f: (2 + x + 3 * y + 5 * f) % 256)
+    d = MM.decode_media(avi)
+    assert (d["width"], d["height"], d["n_channels"]) == (6, 4, 3)
+    assert (d["n_frames"], d["fps"]) == (3, 5)
+    assert abs(d["duration_ms"] - 600.0) < 1e-9
+    expected = sum(
+        (2 + x + 3 * y + 5 * f) % 256
+        for f in range(3) for x in range(6) for y in range(4)
+    ) / (3 * 6 * 4)
+    assert abs(d["mean_luma"] - expected) < 1e-9
+    assert d["sample_rate"] is None
+
     # unknown container → stub branch: all-null decode
     d = MM.decode_media(b"\x00\x01\x02 not a container")
     assert all(v is None for v in d.values())
@@ -175,8 +187,10 @@ def test_extract_media_features_decodes_real_containers(spark):
         elif r["kind"] == "audio":
             assert r["sample_rate"] == 8000
             assert r["n_samples"] == 16 + i % 9
-        else:  # video: disclosed stub — nulls but real hash/bytes
-            assert r["width"] is None and r["rms"] is None
+        else:  # video: real AVI decode
+            assert (r["width"], r["height"]) == (4 + i % 5, 3 + i % 4)
+            assert r["n_frames"] == 2 + i % 3 and r["fps"] == 5
+            assert r["rms"] is None and r["mean_luma"] is not None
             assert r["n_bytes"] > 0 and r["content_sha"]
 
 
@@ -506,3 +520,45 @@ def test_int8_quantize_stats(spark):
     assert q1["v_min"] == 0.0 and q1["v_max"] == 4.0
     q2 = got[2]
     assert q2["q_sum"] == 0 and q2["q_min"] == 0 and q2["q_max"] == 0
+
+
+def test_two_star_matches_label_prop(spark):
+    from data_migration_tool_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_two_star,
+    )
+
+    # long path (diameter 19, worst case for label propagation), a
+    # separate triangle, and a 2-node component
+    pairs = (
+        [(i, i + 1) for i in range(1, 20)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = sorted(map(tuple, dup_clusters(df).collect()))
+    b = sorted(map(tuple, dup_clusters_two_star(df).collect()))
+    assert a == b
+    got = dict(b)
+    assert got[19] == 1 and got[102] == 100 and got[201] == 200
+    assert got[1] == 1  # component min labels itself
+
+
+def test_sample_frames_real_payloads(spark):
+    media = MM.synthetic_media(spark, n=9)
+    rows = MM.sample_frames(media).collect()
+    # videos are ids 2, 5, 8 with nf = 2 + i % 3
+    expect_nf = {2: 2 + 2 % 3, 5: 2 + 5 % 3, 8: 2 + 8 % 3}
+    counts = {}
+    for r in rows:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert counts == expect_nf
+    r0 = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    i, w, h = 2, 4 + 2 % 5, 3 + 2 % 4
+    for f in range(expect_nf[2]):
+        exp = sum(
+            (i + x + 3 * y + 5 * f) % 256 for x in range(w) for y in range(h)
+        ) / (w * h)
+        got = r0[(2, f)]
+        assert abs(got["mean_luma"] - exp) < 1e-9
+        assert abs(got["frame_ts_ms"] - f * 200.0) < 1e-9
