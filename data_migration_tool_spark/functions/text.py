@@ -143,3 +143,76 @@ def fingerprint(col: str | Column) -> Column:
     whitespace collapsed). Exact-dup detection key."""
     norm = F.regexp_replace(F.trim(F.lower(_c(col))), "\\s+", " ")
     return F.md5(norm)
+
+
+# BPE-style pre-tokenizer pattern (simplified GPT-2 shape): letter runs,
+# digit runs, single punctuation marks. Counting its matches approximates
+# subword token counts far better than whitespace splitting on
+# punctuation-heavy or concatenated text. Plain character classes only,
+# so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens (``BPE_PATTERN`` matches)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+# Winnowing constants (Schleimer et al., SIGMOD'03 "local algorithms
+# for document fingerprinting"): k-char grams, polynomial hash base B
+# mod the Mersenne prime M, sliding windows of w hashes.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_M = 2147483647
+_POWS = [WINNOW_B**p for p in range(WINNOW_K - 1, -1, -1)]
+
+
+def char_kgram_hashes(col: str | Column) -> Column:
+    """Polynomial (Rabin-Karp family) hash of every ``WINNOW_K``-char
+    gram: ``sum(codepoint(c_j) * B^(k-1-j)) mod M``. Integer-exact and
+    order-identical in any engine — the oracle reproduces it with
+    ``ascii``/``substr`` arithmetic. max term 0x10FFFF * 257^4 < 2^63,
+    so the sum never overflows bigint."""
+    s = _c(col)
+
+    def hashes_of(st: Column) -> Column:
+        n = F.length(st) - F.lit(WINNOW_K - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: sum(
+                F.ascii(F.substr(st, i + j, F.lit(1))).cast("bigint") * F.lit(p)
+                for j, p in enumerate(_POWS)
+            )
+            % F.lit(WINNOW_M),
+        )
+
+    return bind(s, hashes_of)
+
+
+def winnow_fingerprints(col: str | Column) -> Column:
+    """Winnowing fingerprint set: the distinct minima of every
+    ``WINNOW_W``-wide window over the k-gram hash stream. Guarantees at
+    least one shared fingerprint for any match of length ≥ w + k - 1 —
+    the content-overlap detection primitive (MOSS). Pure scan-side
+    array expression; no shuffle, no UDF."""
+
+    def select_of(h: Column) -> Column:
+        n = F.size(h) - F.lit(WINNOW_W - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        sel = F.transform(
+            idx,
+            lambda j: F.least(
+                *[F.element_at(h, j + w) for w in range(WINNOW_W)]
+            ),
+        )
+        return F.array_distinct(sel)
+
+    return bind(char_kgram_hashes(col), select_of)

@@ -33,11 +33,21 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     allow_exact: bool = True,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` (or < if ``allow_exact=False``) within
-    the same ``on`` key — LEFT semantics (unmatched left rows keep NULL
-    payload columns).
+    """For every left row, attach the nearest right row within the same
+    ``on`` key — LEFT semantics (unmatched left rows keep NULL payload
+    columns).
+
+    ``direction='backward'`` (default): greatest ``right_ts`` ≤
+    ``left_ts`` (or < if ``allow_exact=False``) — attribution / quote-
+    before-trade. ``direction='forward'``: smallest ``right_ts`` ≥
+    ``left_ts`` (or >) — next-event lookup. ``tolerance_seconds``
+    bounds the match gap (pandas ``merge_asof`` tolerance): a match
+    farther than the bound nulls out, it does not fall back to an
+    earlier one. Both options are pure sort-order / post-filter changes
+    — still ONE shuffle on the join keys.
 
     Output: all left columns + ``right_values`` + ``matched_ts`` (the
     matched right row's timestamp, NULL if none).
@@ -46,6 +56,8 @@ def asof_join(
     (deterministic) sort by the payload struct — pass pre-deduplicated
     right sides when exact tie policy matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         *[F.col(c) for c in right_values], F.col(right_ts).alias("matched_ts")
     )
@@ -57,13 +69,17 @@ def asof_join(
         payload.alias(_PAYLOAD),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
-    # allow_exact: an equal-time right row precedes the left row (counts);
-    # strict: it follows (doesn't). _SIDE asc/desc encodes exactly that.
+    # The scan runs toward the left row: time-ascending for backward,
+    # time-descending for forward, so "last non-null payload seen" IS
+    # the nearest match on the wanted side. allow_exact: an equal-time
+    # right row precedes the left row in scan order (counts); strict:
+    # it follows (doesn't) — _SIDE asc/desc encodes exactly that.
     # Final payload-struct tiebreak makes ties on right_ts within a key
     # deterministic (struct compare is field-wise); without it, last()
     # among tied right rows would be partition-order-dependent.
+    t_order = F.asc(_T) if direction == "backward" else F.desc(_T)
     order = [
-        F.asc(_T),
+        t_order,
         F.asc(_SIDE) if allow_exact else F.desc(_SIDE),
         F.asc(_PAYLOAD),
     ]
@@ -73,7 +89,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(_MATCH, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    match_col = F.col(_MATCH)
+    if tolerance_seconds is not None:
+        # timestamp→double cast is epoch seconds; numeric ts cast is a
+        # no-op — the gap test works for either representation
+        gap = F.col(_T).cast("double") - match_col.getField("matched_ts").cast(
+            "double"
+        )
+        if direction == "forward":
+            gap = -gap
+        match_col = F.when(gap <= F.lit(float(tolerance_seconds)), match_col)
     out_cols = [F.col(c) for c in left.columns]
-    out_cols += [F.col(f"{_MATCH}.{c}").alias(c) for c in right_values]
-    out_cols.append(F.col(f"{_MATCH}.matched_ts").alias("matched_ts"))
+    out_cols += [match_col.getField(c).alias(c) for c in right_values]
+    out_cols.append(match_col.getField("matched_ts").alias("matched_ts"))
     return matched.filter(F.col(_SIDE) == 1).select(*out_cols)

@@ -303,6 +303,12 @@ _DEFS: list[QueryDef] = [
         ("asof", "join"),
     ),
     QueryDef(
+        "next_view_after_purchase",
+        WQ.next_view_after_purchase,
+        WQ.NEXT_VIEW_ASOF_SQL,
+        ("asof", "join"),
+    ),
+    QueryDef(
         "doc_train_val_test_split",
         WQ.doc_train_val_test_split,
         WQ.DOC_SPLIT_SQL,
@@ -332,6 +338,18 @@ _DEFS: list[QueryDef] = [
         TQ.doc_repetition_scores,
         TQ.DOC_REPETITION_SQL,
         ("text", "quality"),
+    ),
+    QueryDef(
+        "doc_bpe_token_counts",
+        TQ.doc_bpe_token_counts,
+        TQ.DOC_BPE_SQL,
+        ("text", "tokenization"),
+    ),
+    QueryDef(
+        "doc_winnow_fingerprints",
+        TQ.doc_winnow_fingerprints,
+        TQ.DOC_WINNOW_SQL,
+        ("text", "fingerprint"),
     ),
     QueryDef(
         "doc_decontaminate",

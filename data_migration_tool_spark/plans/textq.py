@@ -286,6 +286,89 @@ LIMIT 20
 """
 
 
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-tokenizer counts per document (the
+    budget estimate a training pipeline runs before tokenizing 100 TB
+    for real). Pure regexp projection — scan-side, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nws = TX.token_count("text")
+    nbpe = TX.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        nws.alias("n_ws_tokens"),
+        nbpe.alias("n_bpe_tokens"),
+        (nbpe.cast("double") / F.greatest(nws, F.lit(1)).cast("double")).alias(
+            "bpe_per_ws"
+        ),
+    )
+
+
+DOC_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE)
+         / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS bpe_per_ws
+FROM documents
+"""
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint summary per document
+    (functions/text.winnow_fingerprints): polynomial k-gram hashes,
+    window minima, distinct set — integer-exact in both engines. The
+    content-overlap fingerprint primitive, as a scan-side projection."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def stats_of(fp):
+        return F.struct(
+            F.size(fp).cast("bigint").alias("n_fingerprints"),
+            F.array_min(fp).alias("fp_min"),
+            F.array_max(fp).alias("fp_max"),
+            F.when(
+                F.size(fp) > 0,
+                F.aggregate(fp, F.lit(0).cast("bigint"), lambda a, x: a + x),
+            ).alias("fp_sum"),
+        )
+
+    return d.select(
+        "doc_id",
+        F.greatest(F.length("text") - F.lit(TX.WINNOW_K - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams"),
+        TX.bind(TX.winnow_fingerprints("text"), stats_of).alias("_s"),
+    ).select(
+        "doc_id", "n_grams", "_s.n_fingerprints", "_s.fp_min", "_s.fp_max", "_s.fp_sum"
+    )
+
+
+DOC_WINNOW_SQL = """
+WITH h AS (
+  SELECT doc_id, length(text) AS L,
+         list_transform(range(1, length(text) - 3),
+           i -> (ascii(substr(text, CAST(i AS INT), 1)) * 4362470401
+               + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 16974593
+               + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 66049
+               + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 257
+               + ascii(substr(text, CAST(i + 4 AS INT), 1))) % 2147483647) AS hs
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, L,
+         list_distinct(list_transform(range(1, len(hs) - 2),
+           j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))) AS fp
+  FROM h
+)
+SELECT doc_id,
+       CAST(greatest(L - 4, 0) AS BIGINT) AS n_grams,
+       CAST(len(fp) AS BIGINT) AS n_fingerprints,
+       list_min(fp) AS fp_min,
+       list_max(fp) AS fp_max,
+       CAST(list_sum(fp) AS BIGINT) AS fp_sum
+FROM sel
+"""
+
+
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repeated-shingle ratio (Gopher-style repetition
     quality signal) — scan-side projection, integer-ratio double."""

@@ -222,6 +222,61 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a tolerance bound: each purchase joined to the
+    user's next view within 24h (pandas ``merge_asof``
+    direction='forward', tolerance semantics). Oracle = DuckDB's native
+    ASOF with the inequality reversed + a gap filter, so the
+    direction/tolerance options are checked against an independent
+    implementation. Same single user_id shuffle as the backward form."""
+    from data_migration_tool_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["view_id", "value"],
+        direction="forward",
+        tolerance_seconds=86400.0,
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.col("value").alias("view_value"),
+        (F.unix_micros(F.col("matched_ts")) - F.unix_micros(F.col("ts"))).alias(
+            "us_until_view"
+        ),
+    )
+
+
+NEXT_VIEW_ASOF_SQL = """
+SELECT user_id, purchase_id,
+       CASE WHEN ok THEN view_id END AS view_id,
+       CASE WHEN ok THEN view_value END AS view_value,
+       CASE WHEN ok THEN us_until_view END AS us_until_view
+FROM (
+  SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+         v.value AS view_value,
+         epoch_us(v.ts) - epoch_us(p.ts) AS us_until_view,
+         v.event_id IS NOT NULL
+           AND epoch_us(v.ts) - epoch_us(p.ts) <= 86400000000 AS ok
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Range join (operators/rangejoin) — views inside post-error windows
 # ---------------------------------------------------------------------------

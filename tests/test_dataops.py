@@ -562,3 +562,45 @@ def test_sample_frames_real_payloads(spark):
         got = r0[(2, f)]
         assert abs(got["mean_luma"] - exp) < 1e-9
         assert abs(got["frame_ts_ms"] - f * 200.0) < 1e-9
+
+
+def test_asof_forward_and_tolerance(spark):
+    from data_migration_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 1, 100.0), ("u", 2, 500.0), ("v", 3, 50.0)],
+        "k string, lid long, ts double",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 90.0), ("u", 11, 140.0), ("u", 12, 600.0)],
+        "k string, rid long, ts double",
+    )
+    fwd = {
+        r["lid"]: (r["rid"], r["matched_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["rid"], direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == (11, 140.0)   # nearest ts >= 100
+    assert fwd[2] == (12, 600.0)
+    assert fwd[3] == (None, None)  # key 'v' has no right rows
+
+    tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["rid"], direction="forward", tolerance_seconds=45.0,
+        ).collect()
+    }
+    assert tol[1] == 11        # gap 40 ≤ 45
+    assert tol[2] is None      # gap 100 > 45: nulls, no fallback
+    back = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["rid"], tolerance_seconds=5.0,
+        ).collect()
+    }
+    assert back[1] is None     # nearest predecessor is 10s back > 5s
+    assert back[2] is None     # 360s back

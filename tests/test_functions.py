@@ -62,3 +62,48 @@ def test_text_functions(spark):
     assert len(row["sh"]) == 4
     assert row["lang"] == "en"
     assert len(row["fp"]) == 32
+
+
+def test_bpe_token_count(spark):
+    from data_migration_tool_spark.functions.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't panic, it's fine!"), (2, "abc123 x")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "id",
+            token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    # don ' t panic , it ' s fine !  → 10 BPE-ish tokens vs 4 ws tokens
+    assert got[1] == (4, 10)
+    # abc 123 x → letter run, digit run, letter run
+    assert got[2] == (2, 3)
+
+
+def test_winnow_shared_fingerprint_property(spark):
+    from data_migration_tool_spark.functions.text import winnow_fingerprints
+
+    # two docs sharing a 20-char substring (≥ w + k - 1 = 8) MUST share
+    # at least one fingerprint; a disjoint-alphabet doc must share none
+    common = "zzqqxxvvnnzzqqxxvvnn"
+    df = spark.createDataFrame(
+        [
+            (1, "aaa " + common + " bbb"),
+            (2, "ccc " + common + " ddd"),
+            (3, "1234567890123456789012345"),
+        ],
+        "id long, text string",
+    )
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", winnow_fingerprints("text").alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])

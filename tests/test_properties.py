@@ -90,3 +90,42 @@ def test_run_batches_lossless_partition(items, batch_size):
     assert flat == items
     assert all(len(chunk) <= batch_size for _, chunk in batches)
     assert all(len(chunk) == batch_size for _, chunk in batches[:-1])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_algorithms_agree(spark, edges):
+    from data_migration_tool_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_two_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(map(tuple, dup_clusters(df).collect()))
+    b = sorted(map(tuple, dup_clusters_two_star(df).collect()))
+    assert a == b
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_int8_quantize_bounds(spark, vec):
+    from data_migration_tool_spark.functions.vectors import int8_quantize_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    q = df.select(int8_quantize_stats("embedding").alias("q")).first()["q"]
+    assert q["n_dims"] == len(vec)
+    assert 0 <= q["q_min"] <= q["q_max"] <= 255
+    assert q["q_min"] * len(vec) <= q["q_sum"] <= q["q_max"] * len(vec)
