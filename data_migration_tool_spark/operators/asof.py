@@ -91,14 +91,27 @@ def asof_join(
     matched = u.withColumn(_MATCH, F.last(_PAYLOAD, ignorenulls=True).over(w))
     match_col = F.col(_MATCH)
     if tolerance_seconds is not None:
-        # timestamp→double cast is epoch seconds; numeric ts cast is a
-        # no-op — the gap test works for either representation
-        gap = F.col(_T).cast("double") - match_col.getField("matched_ts").cast(
-            "double"
+        # timestamps compare in exact integer microseconds (a double
+        # epoch-seconds cast has ~0.24 µs ulp at current epochs — enough
+        # to flip a boundary gap); numeric ts columns compare as double
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        is_ts = isinstance(
+            u.schema[_T].dataType, (TimestampType, TimestampNTZType)
         )
+        m_ts = match_col.getField("matched_ts")
+        if is_ts:
+            # NTZ → TIMESTAMP via session TZ; unix_micros rejects NTZ
+            gap = F.unix_micros(F.col(_T).cast("timestamp")) - F.unix_micros(
+                m_ts.cast("timestamp")
+            )
+            bound = F.lit(int(round(float(tolerance_seconds) * 1_000_000)))
+        else:
+            gap = F.col(_T).cast("double") - m_ts.cast("double")
+            bound = F.lit(float(tolerance_seconds))
         if direction == "forward":
             gap = -gap
-        match_col = F.when(gap <= F.lit(float(tolerance_seconds)), match_col)
+        match_col = F.when(gap <= bound, match_col)
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [match_col.getField(c).alias(c) for c in right_values]
     out_cols.append(match_col.getField("matched_ts").alias("matched_ts"))

@@ -306,6 +306,7 @@ def dup_clusters_two_star(
     fp = edges.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
     ).first()
+    converged = False
     for _ in range(max_iters):
         # large-star: Γ over both directions; m(u) = min(u ∪ Γ(u));
         # every v ∈ Γ(u) with v > u re-hooks onto m(u)
@@ -344,8 +345,18 @@ def dup_clusters_two_star(
             F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
         ).first()
         if (fp["n"], fp["h"]) == (new_fp["n"], new_fp["h"]):
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # a non-fixpoint edge list is NOT a star forest — emitting
+        # labels from it would silently return multiple conflicting
+        # cluster_ids per node
+        raise RuntimeError(
+            f"dup_clusters_two_star did not converge in {max_iters} "
+            f"rounds; raise max_iters (components this deep imply "
+            f"~2^{max_iters} nodes — check the pair input)"
+        )
     # fixpoint = one star per component centered at the component min
     members = edges.select(F.col("a").alias(id_col), F.col("b").alias("cluster_id"))
     centers = (

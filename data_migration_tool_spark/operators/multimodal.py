@@ -247,7 +247,13 @@ def _parse_avi(content: bytes) -> tuple[tuple, list[bytes]] | None:
     return state["avih"], frames
 
 
-def _decode_avi(content: bytes) -> dict | None:
+def _avi_frame_arrays(
+    content: bytes,
+) -> tuple[int, int, int, list[np.ndarray]] | None:
+    """Shared AVI payload decode: (us_per_frame, width, height, cropped
+    per-frame uint8 arrays) or None. The single owner of the stride /
+    bounds / reshape logic for both the summary decode and the
+    frame-grain sampler."""
     parsed = _parse_avi(content)
     if parsed is None:
         return None
@@ -263,16 +269,24 @@ def _decode_avi(content: bytes) -> dict | None:
         mats.append(
             np.frombuffer(fr, np.uint8, count=stride * h).reshape(h, stride)[:, : 3 * w]
         )
+    return int(us_per_frame), int(w), int(h), mats
+
+
+def _decode_avi(content: bytes) -> dict | None:
+    decoded = _avi_frame_arrays(content)
+    if decoded is None:
+        return None
+    us_per_frame, w, h, mats = decoded
     px = np.stack(mats).astype(np.float64)
     out = dict(_NULL_DECODE)
     out.update(
-        width=int(w),
-        height=int(h),
+        width=w,
+        height=h,
         n_channels=3,
         mean_luma=float(px.mean()),
-        n_frames=len(frames),
+        n_frames=len(mats),
         fps=int(round(1_000_000 / us_per_frame)),
-        duration_ms=len(frames) * (us_per_frame / 1000.0),
+        duration_ms=len(mats) * (us_per_frame / 1000.0),
     )
     return out
 
@@ -348,20 +362,11 @@ def sample_frames(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, idxs, ts, lumas = [], [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                parsed = _parse_avi(bytes(c) if c is not None else b"")
-                if parsed is None:
+                decoded = _avi_frame_arrays(bytes(c) if c is not None else b"")
+                if decoded is None:
                     continue
-                avih, frames = parsed
-                usf, w, h = avih[0], avih[8], avih[9]
-                if not frames or w <= 0 or h <= 0 or usf <= 0:
-                    continue
-                stride = (3 * w + 3) // 4 * 4
-                for fi, fr in enumerate(frames):
-                    if len(fr) < stride * h:
-                        continue
-                    arr = np.frombuffer(
-                        fr, np.uint8, count=stride * h
-                    ).reshape(h, stride)[:, : 3 * w]
+                usf, _w, _h, mats = decoded
+                for fi, arr in enumerate(mats):
                     ids.append(int(mid))
                     idxs.append(fi)
                     ts.append(fi * (usf / 1000.0))

@@ -87,9 +87,11 @@ def brute_force_topk(
                 mask = c_ids != q_ids[qi] if exclude_self else np.ones_like(col, bool)
                 cand_sim, cand_ids = col[mask], c_ids[mask]
                 if len(cand_ids) > k:
-                    # local top-k: keeps only k rows per (batch, query)
-                    part = np.argpartition(-cand_sim, k - 1)[:k]
-                    cand_sim, cand_ids = cand_sim[part], cand_ids[part]
+                    # local top-k in (sim DESC, id ASC) order — the same
+                    # tie policy the global row_number window applies, so
+                    # boundary ties survive pruning deterministically
+                    order = np.lexsort((cand_ids, -cand_sim))[:k]
+                    cand_sim, cand_ids = cand_sim[order], cand_ids[order]
                 out.append(
                     pd.DataFrame(
                         {
@@ -205,8 +207,10 @@ def ivf_topk(
                     col, mask = sims[:, qi], c_ids != q_ids[qi]
                     cand_sim, cand_ids = col[mask], c_ids[mask]
                     if len(cand_ids) > k:
-                        part = np.argpartition(-cand_sim, k - 1)[:k]
-                        cand_sim, cand_ids = cand_sim[part], cand_ids[part]
+                        # (sim DESC, id ASC) — ties pruned the same way
+                        # the global rank window breaks them
+                        order = np.lexsort((cand_ids, -cand_sim))[:k]
+                        cand_sim, cand_ids = cand_sim[order], cand_ids[order]
                     out.append(
                         pd.DataFrame(
                             {"query_id": q_ids[qi], "neighbor_id": cand_ids, "sim": cand_sim}
@@ -282,9 +286,21 @@ def embedding_near_dup_pairs(
         )
     )
 
+    _empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
+
     def compare(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = key
+        # a block pair can arrive one-sided (hash skew, sparse ids, or
+        # n_blocks > occupied blocks) — nothing to compare then
         a = pdf[pdf["__blk"] == lo]
+        if len(a) == 0:
+            return _empty
         a_ids = a[id_col].to_numpy(dtype=np.int64)
         a_mat = np.stack(a[vec_col].to_numpy()).astype(np.float64, copy=False)
         a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
@@ -292,6 +308,8 @@ def embedding_near_dup_pairs(
             b_ids, b_mat, b_norms = a_ids, a_mat, a_norms
         else:
             b = pdf[pdf["__blk"] == hi]
+            if len(b) == 0:
+                return _empty
             b_ids = b[id_col].to_numpy(dtype=np.int64)
             b_mat = np.stack(b[vec_col].to_numpy()).astype(np.float64, copy=False)
             b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))

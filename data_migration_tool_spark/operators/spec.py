@@ -79,6 +79,7 @@ def xlsx_to_csv_text(data: bytes) -> str:
     from xml.etree import ElementTree
 
     NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
     zf = zipfile.ZipFile(_io.BytesIO(data))
 
     shared: list[str] = []
@@ -87,16 +88,37 @@ def xlsx_to_csv_text(data: bytes) -> str:
         for si in root.findall(f"{NS}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
 
-    sheet_name = sorted(
-        n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-    )[0]
+    # resolve the FIRST sheet in workbook tab order (workbook.xml →
+    # rels → worksheet part); part numbering reflects creation order,
+    # not tab order, so a lexicographic pick can grab the wrong sheet —
+    # it remains only as the fallback for rels-less writers
+    sheet_name = None
+    try:
+        wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+        first = wb.find(f"{NS}sheets/{NS}sheet")
+        rid = first.get(f"{REL}id") if first is not None else None
+        rels = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels:
+            if rid is not None and rel.get("Id") == rid:
+                target = rel.get("Target", "").lstrip("/")
+                sheet_name = target if target.startswith("xl/") else f"xl/{target}"
+                break
+    except (KeyError, ElementTree.ParseError):
+        pass
+    if sheet_name is None or sheet_name not in zf.namelist():
+        sheet_name = sorted(
+            n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )[0]
     root = ElementTree.fromstring(zf.read(sheet_name))
 
     rows: list[list[str]] = []
     for row in root.iter(f"{NS}row"):
         out: list[str] = []
         for cell in row.findall(f"{NS}c"):
-            idx = _cell_col(cell.get("r", ""))
+            ref = cell.get("r", "")
+            # c/@r is optional (ECMA-376): a cell without it occupies
+            # the next column after the previous cell
+            idx = _cell_col(ref) if ref else len(out)
             while len(out) <= idx:
                 out.append("")
             ctype = cell.get("t", "n")

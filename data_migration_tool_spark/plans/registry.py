@@ -261,8 +261,8 @@ _DEFS: list[QueryDef] = [
     QueryDef(
         "embedding_near_dups_ivf",
         VQ.embedding_near_dups_ivf,
-        VQ.EMB_NEAR_DUP_SQL,
-        ("dedup", "ann", "iterative"),
+        VQ.EMB_NEAR_DUP_IVF_SQL,
+        ("dedup", "ann"),
     ),
     QueryDef("ivf_ann_topk", VQ.ivf_ann_topk, VQ.IVF_ANN_SQL, ("ann",)),
     QueryDef(
@@ -412,15 +412,15 @@ _PRIORITY: tuple[str, ...] = (
     "events_stream_segment_revenue",
     "user_sessions",
     "user_purchase_funnel",
-    "customer_running_revenue",
+    "next_view_after_purchase",
     "error_window_views",
     "purchase_attribution_asof",
     "events_hypertable_rollup",
-    "events_last_day_window",
-    "doc_hash_sample",
+    "doc_bpe_token_counts",
+    "doc_winnow_fingerprints",
     "doc_train_val_test_split",
     "media_feature_extract",
-    "media_frame_plan",
+    "media_frame_luma",
     "orders_upsert_merge",
     "sketch_distinct_users",
     "sketch_price_median",

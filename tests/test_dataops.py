@@ -604,3 +604,13 @@ def test_asof_forward_and_tolerance(spark):
     }
     assert back[1] is None     # nearest predecessor is 10s back > 5s
     assert back[2] is None     # 360s back
+
+
+def test_embedding_near_dup_pairs_sparse_blocks(spark):
+    # n_blocks larger than occupied blocks: one-sided block pairs must
+    # not crash the block-pair compare
+    pairs = SIM.embedding_near_dup_pairs(
+        _vecs(spark), threshold=0.95, n_blocks=7
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (2, 3) in got and (0, 4) not in got

@@ -271,3 +271,32 @@ def test_table_checksum_detects_single_row_drift(spark):
     c = table_checksum(drifted).first()
     assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
     assert a["n_rows"] == c["n_rows"] and a["checksum"] != c["checksum"]
+
+
+def test_spec_xlsx_cells_without_refs(tmp_path):
+    """ECMA-376 makes c/@r optional: cells without it occupy successive
+    columns."""
+    import zipfile
+
+    from data_migration_tool_spark.operators.spec import xlsx_to_csv_text
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rows_xml = (
+        '<row r="1">'
+        '<c t="inlineStr"><is><t>a</t></is></c>'
+        '<c t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>d</t></is></c>'
+        '<c t="inlineStr"><is><t>e</t></is></c>'
+        "</row>"
+    )
+    path = tmp_path / "norefs.xlsx"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns}><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>{rows_xml}</sheetData></worksheet>',
+        )
+    assert xlsx_to_csv_text(path.read_bytes()) == "a,b,,d,e\n"
