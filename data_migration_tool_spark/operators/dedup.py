@@ -25,7 +25,7 @@ oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.functions.hashing import md5_int32
@@ -132,9 +132,26 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 band bucket. The join key
-    is (band, band_key) so cost follows bucket sizes, not n²."""
+    is (band, band_key) so cost follows bucket sizes, not n².
+
+    ``max_bucket_size`` drops buckets larger than the bound before the
+    self-join — the skew valve for degenerate corpora (a bucket of B
+    identical docs costs B² in one task; a million-doc boilerplate
+    bucket would pin a single executor). Members of a dropped bucket
+    are near-certain exact dups — route them through ``exact_dedup``
+    (one hash groupBy) instead of pairwise verification. Default None:
+    exact LSH semantics, matching the SQL oracles."""
+    if max_bucket_size is not None:
+        w = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+        bands = bands.withColumn("__bsz", w).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     a = bands.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )

@@ -37,13 +37,25 @@ from pyspark.sql import functions as F
 from data_migration_tool_spark.partitioning import spread as _spread
 
 
+MAX_BROADCAST_VECTORS = 262_144  # ~128 MB at 64 float64 dims
+
+
 def _collect_matrix(
     df: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(ids, matrix, norms) for the SMALL side of a pairwise op. The
     collect is the deliberate broadcast of the small operand (queries /
-    centroids), not a driver-side loop over the data."""
-    rows = df.select(id_col, vec_col).collect()
+    centroids), not a driver-side loop over the data — guarded so a
+    corpus passed by mistake fails LOUD instead of OOMing the driver."""
+    rows = df.select(id_col, vec_col).limit(MAX_BROADCAST_VECTORS + 1).collect()
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise RuntimeError(
+            f"_collect_matrix: >{MAX_BROADCAST_VECTORS:,} vectors on the "
+            "broadcast side — this operand must be the SMALL side "
+            "(queries / centroids). For corpus-scale pairwise work use "
+            "embedding_near_dup_pairs (block-pair) or "
+            "embedding_near_dup_pairs_ivf (cell-bucketed)."
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))

@@ -614,3 +614,32 @@ def test_embedding_near_dup_pairs_sparse_blocks(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in got and (2, 3) in got and (0, 4) not in got
+
+
+def test_lsh_bucket_size_valve(spark):
+    docs = _docs(spark)
+    sh = DD.shingle_set(docs)
+    bands = DD.minhash_signatures(sh)
+    full = DD.lsh_candidate_pairs(bands).collect()
+    # docs 1 and 4 are identical → they share every band bucket; a
+    # bucket cap of 1 removes those buckets and with them the pair
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(bands, max_bucket_size=1).collect()
+    }
+    assert (1, 4) in {(r["id_a"], r["id_b"]) for r in full}
+    assert (1, 4) not in capped
+
+
+def test_collect_matrix_guard(spark):
+    import pytest
+
+    from data_migration_tool_spark.operators import similarity as S
+
+    orig = S.MAX_BROADCAST_VECTORS
+    S.MAX_BROADCAST_VECTORS = 3
+    try:
+        with pytest.raises(RuntimeError, match="broadcast side"):
+            SIM.brute_force_topk(_vecs(spark), _vecs(spark), k=1)
+    finally:
+        S.MAX_BROADCAST_VECTORS = orig
