@@ -303,6 +303,12 @@ _DEFS: list[QueryDef] = [
         ("asof", "join"),
     ),
     QueryDef(
+        "events_session_window_native",
+        WQ.events_session_window_native,
+        WQ.SESSION_WINDOW_NATIVE_SQL,
+        ("session", "window"),
+    ),
+    QueryDef(
         "next_view_after_purchase",
         WQ.next_view_after_purchase,
         WQ.NEXT_VIEW_ASOF_SQL,
