@@ -78,3 +78,69 @@ def point_in_interval_join(
     for c in point_cols:
         out = out.withColumn(c, F.when(keep, F.col(c)))
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grain_us: int,
+) -> DataFrame:
+    """All (left, right) row pairs with the same ``on`` keys whose
+    half-open intervals overlap: ``l.start < r.end AND r.start <
+    l.end``. Integer-microsecond comparisons.
+
+    Binned rewrite: both sides explode to the grain buckets their
+    interval covers and equi-join on (keys, bucket); the exact overlap
+    predicate filters false bucket-mates, and a pair that co-occurs in
+    several buckets is kept only in the FIRST bucket both cover
+    (``greatest(floor(l.start), floor(r.start))``) — dedup as a per-row
+    predicate instead of a distinct shuffle over the pair stream.
+
+    At 100 TB: shuffle is Σ span/grain interval replicas on
+    (keys, bucket) — linear and AQE-balanceable — versus the
+    BroadcastNestedLoop Spark plans for a raw double-inequality join.
+    No cap on interval length: an interval covers as many buckets as
+    its span requires (cost, not correctness)."""
+    ls, le = f"__lo_{left_start}", f"__lo_{left_end}"
+    l2 = (
+        left.withColumn(ls, F.unix_micros(F.col(left_start)))
+        .withColumn(le, F.unix_micros(F.col(left_end)))
+        .withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(ls) / F.lit(grain_us)).cast("long"),
+                    F.floor((F.col(le) - F.lit(1)) / F.lit(grain_us)).cast("long"),
+                )
+            ),
+        )
+    )
+    rs, re_ = f"__ro_{right_start}", f"__ro_{right_end}"
+    r2 = (
+        right.withColumn(rs, F.unix_micros(F.col(right_start)))
+        .withColumn(re_, F.unix_micros(F.col(right_end)))
+        .withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(rs) / F.lit(grain_us)).cast("long"),
+                    F.floor((F.col(re_) - F.lit(1)) / F.lit(grain_us)).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = l2.join(r2, [*on, _BUCKET])
+    overlap = (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
+    first_shared = F.greatest(
+        F.floor(F.col(ls) / F.lit(grain_us)).cast("long"),
+        F.floor(F.col(rs) / F.lit(grain_us)).cast("long"),
+    )
+    return (
+        joined.filter(overlap & (F.col(_BUCKET) == first_shared))
+        .drop(_BUCKET, ls, le, rs, re_)
+    )

@@ -303,6 +303,12 @@ _DEFS: list[QueryDef] = [
         ("asof", "join"),
     ),
     QueryDef(
+        "overlapping_error_windows",
+        WQ.overlapping_error_windows,
+        WQ.OVERLAPPING_ERRORS_SQL,
+        ("rangejoin", "overlap", "join"),
+    ),
+    QueryDef(
         "events_session_window_native",
         WQ.events_session_window_native,
         WQ.SESSION_WINDOW_NATIVE_SQL,

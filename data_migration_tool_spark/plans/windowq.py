@@ -329,6 +329,64 @@ FROM (
 # Range join (operators/rangejoin) — views inside post-error windows
 # ---------------------------------------------------------------------------
 
+def overlapping_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user pairs of 30-minute error windows that overlap, with the
+    overlap duration — the interval-overlap join (incident/episode
+    merging) via the binned equi-join rewrite
+    (operators/rangejoin.interval_overlap_join), oracled against
+    DuckDB's raw double-inequality self-join."""
+    from data_migration_tool_spark.operators.rangejoin import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    win = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    a = win.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("w_start").alias("a_start"),
+        F.col("w_end").alias("a_end"),
+    )
+    b = win.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("w_start").alias("b_start"),
+        F.col("w_end").alias("b_end"),
+    )
+    joined = interval_overlap_join(
+        a, b,
+        on=["user_id"],
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+        grain_us=1800 * 1_000_000,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return joined.select(
+        "user_id",
+        "id_a",
+        "id_b",
+        (
+            F.least(F.unix_micros("a_end"), F.unix_micros("b_end"))
+            - F.greatest(F.unix_micros("a_start"), F.unix_micros("b_start"))
+        ).alias("overlap_us"),
+    )
+
+
+OVERLAPPING_ERRORS_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM w a JOIN w b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+"""
+
+
 def error_window_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every error event opens a 1-hour window; count the same user's
     views inside it (zeros kept). Runs the bucketized range-join

@@ -643,3 +643,37 @@ def test_collect_matrix_guard(spark):
             SIM.brute_force_topk(_vecs(spark), _vecs(spark), k=1)
     finally:
         S.MAX_BROADCAST_VECTORS = orig
+
+
+def test_interval_overlap_join_semantics(spark):
+    from data_migration_tool_spark.operators.rangejoin import interval_overlap_join
+
+    def t(us):
+        return (f"SELECT timestamp_micros({us})",)
+
+    left = spark.sql(
+        "SELECT * FROM VALUES "
+        "('k', 1L, timestamp_micros(0),       timestamp_micros(1000000)), "
+        "('k', 2L, timestamp_micros(5000000), timestamp_micros(9000000)) "
+        "AS t(k, lid, ls, le)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES "
+        "('k', 10L, timestamp_micros(500000),  timestamp_micros(600000)), "   # inside 1
+        "('k', 11L, timestamp_micros(1000000), timestamp_micros(2000000)), "  # touches 1: NO overlap (half-open)
+        "('k', 12L, timestamp_micros(4000000), timestamp_micros(8000000)), "  # spans buckets, overlaps 2
+        "('x', 13L, timestamp_micros(0),       timestamp_micros(9000000)) "   # other key
+        "AS t(k, rid, rs, re)"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, on=["k"],
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            grain_us=1_000_000,
+        ).collect()
+    }
+    # exactly one row per overlapping pair, even when both intervals
+    # share several grain buckets
+    assert got == {(1, 10), (2, 12)}
