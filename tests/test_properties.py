@@ -129,3 +129,43 @@ def test_int8_quantize_bounds(spark, vec):
     assert q["n_dims"] == len(vec)
     assert 0 <= q["q_min"] <= q["q_max"] <= 255
     assert q["q_min"] * len(vec) <= q["q_sum"] <= q["q_max"] * len(vec)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    rts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.one_of(st.none(), st.integers(1, 20)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
+    """pandas.merge_asof is an independent third implementation of the
+    as-of semantics (besides this repo's and DuckDB's)."""
+    import pandas as pd
+
+    rts = sorted(set(rts))  # merge_asof requires sorted, unique right keys here
+    left = spark.createDataFrame(
+        [(1, i, float(t)) for i, t in enumerate(lts)], "k long, lid long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 100 + i, float(t)) for i, t in enumerate(rts)], "k long, rid long, ts double"
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in __import__("data_migration_tool_spark.operators.asof", fromlist=["asof_join"]).asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_values=["rid"], direction=direction,
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    lp = pd.DataFrame({"k": 1, "lid": range(len(lts)), "ts": [float(t) for t in lts]}).sort_values("ts", kind="stable")
+    rp = pd.DataFrame({"k": 1, "rid": [100 + i for i in range(len(rts))], "ts": [float(t) for t in rts]}).sort_values("ts", kind="stable")
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        tolerance=float(tol) if tol is not None else None,
+    )
+    exp = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
