@@ -450,3 +450,52 @@ def kmeans_fit(
         )
         cents = new_cents.unionByName(kept).localCheckpoint()
     return cents
+
+
+def hyperplane_signs(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (md5-derived) — the random
+    projections of sign-LSH, reproducible bit-for-bit in any engine or
+    language so SQL oracles can embed the identical literal."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"hp_{b}_{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def hyperplane_lsh_bucket(vec_col, signs: list[list[int]]):
+    """Sign-LSH bucket id: bit b = (v · hyperplane_b >= 0), packed into
+    a bigint. Cosine-similar vectors agree on most hyperplane sides, so
+    they collide with high probability — the bucket is the join key for
+    the LSH flavor of sub-quadratic ANN (the angle-family complement of
+    the IVF cell path). Pure per-row Catalyst expression: dots are
+    sequential double aggregates (bit-identical to the SQL oracle's
+    list_sum over the same literal), no shuffle, no UDF."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from data_migration_tool_spark.functions.text import bind
+
+    vd = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+
+    def bucket_of(v):
+        total = F.lit(0).cast("bigint")
+        for b, row in enumerate(signs):
+            arr = F.array(*[F.lit(float(s)) for s in row])
+            dot = F.aggregate(
+                F.zip_with(v, arr, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            total = total + F.when(dot >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return total
+
+    return bind(vd, bucket_of)

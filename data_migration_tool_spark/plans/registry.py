@@ -264,6 +264,12 @@ _DEFS: list[QueryDef] = [
         VQ.EMB_NEAR_DUP_IVF_SQL,
         ("dedup", "ann"),
     ),
+    QueryDef(
+        "emb_lsh_near_dups",
+        VQ.emb_lsh_near_dups,
+        VQ.EMB_LSH_NEAR_DUP_SQL,
+        ("dedup", "ann", "lsh"),
+    ),
     QueryDef("ivf_ann_topk", VQ.ivf_ann_topk, VQ.IVF_ANN_SQL, ("ann",)),
     QueryDef(
         "ivf_ann_multiprobe", VQ.ivf_ann_multiprobe, VQ.IVF_MULTIPROBE_SQL, ("ann",)

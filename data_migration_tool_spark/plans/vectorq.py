@@ -349,3 +349,66 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = SIM.ivf_assign(e, cents)
     queries = e.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(queries, assigned, cents, k=3)
+
+
+def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs ≥ 0.45 via sign-LSH bucketing (8 md5-derived
+    hyperplanes → 256 buckets) — the angle-family complement of the IVF
+    cell path. Pairs are compared only within a bucket; the exact
+    cosine (sequential HOF accumulation, bit-identical to DuckDB)
+    filters false collisions. The oracle replicates the approximate
+    semantics with the SAME embedded sign matrix, so the gate checks
+    the defined bucketing at any scale (recall-vs-exact is the usual
+    LSH trade: more hyperplane tables → higher recall)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = SIM.hyperplane_signs(n_bits=4, dim=64)
+    b = e.select(
+        "vec_id",
+        "embedding",
+        SIM.hyperplane_lsh_bucket("embedding", signs).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("v_a", "v_b") >= 0.45)
+        .select("id_a", "id_b", "bucket")
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    from data_migration_tool_spark.operators.similarity import hyperplane_signs
+
+    rows = ",\n  ".join(
+        f"({b}, {[float(s) for s in row]})"
+        for b, row in enumerate(hyperplane_signs(n_bits=4, dim=64))
+    )
+    return f"""
+WITH planes(b, s) AS (VALUES
+  {rows}
+),
+d AS (
+  SELECT e.vec_id, p.b,
+         list_sum(list_transform(range(1, 65),
+           j -> e.embedding[j]::DOUBLE * p.s[j])) AS dot
+  FROM embeddings e, planes p
+),
+bk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM d GROUP BY vec_id
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, ab.bucket
+FROM embeddings a JOIN bk ab ON ab.vec_id = a.vec_id
+JOIN bk cb ON cb.bucket = ab.bucket
+JOIN embeddings c ON c.vec_id = cb.vec_id AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+EMB_LSH_NEAR_DUP_SQL = _lsh_oracle_sql()
