@@ -80,6 +80,38 @@ def point_in_interval_join(
     return out
 
 
+def _explode_buckets(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    s_alias: str,
+    e_alias: str,
+    grain_us: int,
+    max_buckets: int,
+) -> DataFrame:
+    """Shared bucketing: one output row per grain bucket the half-open
+    interval covers — the single owner of the ``end - 1`` boundary
+    logic. An interval covering more than ``max_buckets`` buckets fails
+    LOUD (names the knob) instead of materializing an unbounded
+    ``sequence`` (Spark hard-errors past ~2^31 elements anyway)."""
+    s_us, e_us = F.col(s_alias), F.col(e_alias)
+    first_b = F.floor(s_us / F.lit(grain_us)).cast("long")
+    last_b = F.floor((e_us - F.lit(1)) / F.lit(grain_us)).cast("long")
+    checked_last = F.when(last_b - first_b < F.lit(max_buckets), last_b).otherwise(
+        F.raise_error(
+            F.lit(
+                f"interval covers > {max_buckets} grain buckets — raise "
+                "grain_us or max_buckets_per_interval"
+            )
+        )
+    )
+    return (
+        df.withColumn(s_alias, F.unix_micros(F.col(start_col)))
+        .withColumn(e_alias, F.unix_micros(F.col(end_col)))
+        .withColumn(_BUCKET, F.explode(F.sequence(first_b, checked_last)))
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,6 +121,7 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     grain_us: int,
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """All (left, right) row pairs with the same ``on`` keys whose
     half-open intervals overlap: ``l.start < r.end AND r.start <
@@ -104,36 +137,14 @@ def interval_overlap_join(
     At 100 TB: shuffle is Σ span/grain interval replicas on
     (keys, bucket) — linear and AQE-balanceable — versus the
     BroadcastNestedLoop Spark plans for a raw double-inequality join.
-    No cap on interval length: an interval covers as many buckets as
-    its span requires (cost, not correctness)."""
+    An interval covering more than ``max_buckets_per_interval`` grain
+    buckets fails loud (Spark's ``sequence`` hard-caps near 2^31
+    elements; the guard keeps replication intentional — raise the grain
+    or the bound)."""
     ls, le = f"__lo_{left_start}", f"__lo_{left_end}"
-    l2 = (
-        left.withColumn(ls, F.unix_micros(F.col(left_start)))
-        .withColumn(le, F.unix_micros(F.col(left_end)))
-        .withColumn(
-            _BUCKET,
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(ls) / F.lit(grain_us)).cast("long"),
-                    F.floor((F.col(le) - F.lit(1)) / F.lit(grain_us)).cast("long"),
-                )
-            ),
-        )
-    )
     rs, re_ = f"__ro_{right_start}", f"__ro_{right_end}"
-    r2 = (
-        right.withColumn(rs, F.unix_micros(F.col(right_start)))
-        .withColumn(re_, F.unix_micros(F.col(right_end)))
-        .withColumn(
-            _BUCKET,
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(rs) / F.lit(grain_us)).cast("long"),
-                    F.floor((F.col(re_) - F.lit(1)) / F.lit(grain_us)).cast("long"),
-                )
-            ),
-        )
-    )
+    l2 = _explode_buckets(left, left_start, left_end, ls, le, grain_us, max_buckets_per_interval)
+    r2 = _explode_buckets(right, right_start, right_end, rs, re_, grain_us, max_buckets_per_interval)
     joined = l2.join(r2, [*on, _BUCKET])
     overlap = (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
     first_shared = F.greatest(

@@ -352,9 +352,10 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs ≥ 0.45 via sign-LSH bucketing (8 md5-derived
-    hyperplanes → 256 buckets) — the angle-family complement of the IVF
-    cell path. Pairs are compared only within a bucket; the exact
+    """Near-dup pairs ≥ 0.45 via sign-LSH bucketing (4 md5-derived
+    hyperplanes → 16 buckets; at corpus scale raise n_bits so buckets
+    stay executor-sized — cost is Σ bucket², the LSH contract) — the
+    angle-family complement of the IVF cell path. Pairs are compared only within a bucket; the exact
     cosine (sequential HOF accumulation, bit-identical to DuckDB)
     filters false collisions. The oracle replicates the approximate
     semantics with the SAME embedded sign matrix, so the gate checks

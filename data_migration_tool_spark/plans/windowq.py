@@ -56,11 +56,12 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` operator
     (dynamic-gap session windows in the groupBy itself — no manual
     lag/cumsum plumbing), value-checked against the classic
-    gaps-and-islands SQL. Native semantics: an event extends a session
-    while its time is strictly inside the previous event's
-    [t, t+gap) window, so a gap of exactly 30min starts a NEW session
-    (the oracle flags breaks with >=). Same single user_id shuffle as
-    the hand-built variant."""
+    gaps-and-islands SQL. Native boundary semantics (verified against a
+    hand-built exact-gap pair in tests): an event whose window TOUCHES
+    the previous event's [t, t+gap) window still merges, so a gap of
+    exactly 30min stays in the SAME session — the oracle flags breaks
+    with strict ``>``, matching ``user_sessions``. Same single user_id
+    shuffle as the hand-built variant."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -82,7 +83,7 @@ SESSION_WINDOW_NATIVE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800 * 1000000
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -617,18 +617,27 @@ def test_embedding_near_dup_pairs_sparse_blocks(spark):
 
 
 def test_lsh_bucket_size_valve(spark):
-    docs = _docs(spark)
-    sh = DD.shingle_set(docs)
-    bands = DD.minhash_signatures(sh)
-    full = DD.lsh_candidate_pairs(bands).collect()
-    # docs 1 and 4 are identical → they share every band bucket; a
-    # bucket cap of 1 removes those buckets and with them the pair
+    # family A: a near-dup pair (bucket size 2 — must SURVIVE a cap of
+    # 2); family B: an identical trio (bucket size 3 — must be dropped).
+    # Distinct vocabularies keep the families in disjoint buckets, so
+    # the test distinguishes selective dropping from dropping everything.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (10, "one two three four five six seven eight"),
+        (11, "one two three four five six seven eight"),
+        (12, "one two three four five six seven eight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = DD.minhash_signatures(DD.shingle_set(docs))
+    full = {(r["id_a"], r["id_b"]) for r in DD.lsh_candidate_pairs(bands).collect()}
     capped = {
         (r["id_a"], r["id_b"])
-        for r in DD.lsh_candidate_pairs(bands, max_bucket_size=1).collect()
+        for r in DD.lsh_candidate_pairs(bands, max_bucket_size=2).collect()
     }
-    assert (1, 4) in {(r["id_a"], r["id_b"]) for r in full}
-    assert (1, 4) not in capped
+    assert (10, 11) in full and (1, 2) in full
+    assert (1, 2) in capped                      # size-2 bucket survives
+    assert not any(a >= 10 for a, _ in capped)   # trio buckets dropped
 
 
 def test_collect_matrix_guard(spark):
@@ -647,9 +656,6 @@ def test_collect_matrix_guard(spark):
 
 def test_interval_overlap_join_semantics(spark):
     from data_migration_tool_spark.operators.rangejoin import interval_overlap_join
-
-    def t(us):
-        return (f"SELECT timestamp_micros({us})",)
 
     left = spark.sql(
         "SELECT * FROM VALUES "
@@ -677,3 +683,37 @@ def test_interval_overlap_join_semantics(spark):
     # exactly one row per overlapping pair, even when both intervals
     # share several grain buckets
     assert got == {(1, 10), (2, 12)}
+
+
+def test_interval_overlap_bucket_guard(spark):
+    import pytest
+    from data_migration_tool_spark.operators.rangejoin import interval_overlap_join
+
+    wide = spark.sql(
+        "SELECT 'k' AS k, 1L AS lid, timestamp_micros(0) AS ls, "
+        "timestamp_micros(10000000) AS le"
+    )
+    with pytest.raises(Exception, match="grain buckets"):
+        interval_overlap_join(
+            wide, wide, on=["k"],
+            left_start="ls", left_end="le",
+            right_start="ls", right_end="le",
+            grain_us=1000, max_buckets_per_interval=100,
+        ).collect()
+
+
+def test_native_session_window_exact_gap_merges(spark):
+    """Spark's session_window MERGES two events exactly gap apart
+    (touching [t, t+gap) windows) — the boundary the oracle's strict >
+    break encodes."""
+    e = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1L, timestamp_micros(0)), (1L, timestamp_micros(1800000000)) "
+        "AS t(user_id, ts)"
+    )
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert len(sessions) == 1 and sessions[0]["count"] == 2
