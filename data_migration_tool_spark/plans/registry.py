@@ -387,6 +387,25 @@ _DEFS: list[QueryDef] = [
         VQ.EMB_QUANTIZE_SQL,
         ("vector", "quantization"),
     ),
+    QueryDef(
+        "dup_cluster_canonical",
+        TQ.dup_cluster_canonical,
+        TQ.DUP_CANONICAL_SQL,
+        ("dedup", "clustering"),
+    ),
+    QueryDef(
+        "corpus_bigram_topk",
+        TQ.corpus_bigram_topk,
+        TQ.CORPUS_BIGRAM_SQL,
+        ("text", "topk"),
+    ),
+    QueryDef("doc_tfidf_topk", TQ.doc_tfidf_topk, TQ.DOC_TFIDF_SQL, ("text", "topk")),
+    QueryDef(
+        "doc_training_shards",
+        WQ.doc_training_shards,
+        WQ.DOC_SHARDS_SQL,
+        ("sampling", "shuffle"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from data_migration_tool_spark.functions import text as TX
 from data_migration_tool_spark.operators import dedup as DD
@@ -198,8 +199,10 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters_two_star(pairs)
 
 
-DOC_DUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_MINHASH_CTES},
+# CTE chain ending in clusters(doc_id, cluster_id) — the recursive-CTE
+# transitive closure shared by the cluster query and the canonical-doc
+# selection oracle.
+_CLUSTERS_CTES = f"""{_MINHASH_CTES},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM lsh_pairs
   UNION
@@ -210,8 +213,83 @@ reach AS (
   SELECT id, id AS r FROM nodes
   UNION
   SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 )
-SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+DOC_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: within every
+    connected component, keep the longest document (ties → lowest
+    doc_id) and report how much of the cluster it represents. This is
+    the step a dedup pipeline runs after clustering — one survivor per
+    cluster, the rest dropped.
+
+    Scale: clusters ⨝ documents is a doc_id-keyed equi-join touching
+    only docs that appear in a dup pair (a small fraction of the
+    corpus); the per-cluster argmax is a single groupBy with a map-side
+    combinable struct-MAX — no window over raw rows, no skew risk
+    (clusters are tiny by construction).
+
+    Reference parity: the survivor-selection semantics of dedup
+    "keep one" (SURVEY §2 dedup family); no reference file computes
+    this — it is the training-pipeline extension.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
+    clusters = DD.dup_clusters(pairs)
+    sized = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    # argmax by (n_chars DESC, doc_id ASC) as a struct MAX: negate the
+    # id so lexicographic struct ordering applies the tie-break.
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("len"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            best,
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("cluster_chars"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("canonical_doc_id"),
+            F.col("best.len").alias("canonical_chars"),
+            "n_members",
+            "cluster_chars",
+        )
+    )
+
+
+DUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+sized AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+  ) AS rn
+  FROM sized
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+       COUNT(*) AS n_members,
+       SUM(CAST(n_chars AS BIGINT)) AS cluster_chars
+FROM ranked
+GROUP BY cluster_id
 """
 
 
@@ -283,6 +361,97 @@ FROM (SELECT unnest({_TOKS}) AS token FROM documents)
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
+"""
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram statistics pass a
+    tokenizer-training / contamination-screen pipeline runs first.
+
+    Scale: explode is map-side; the count groupBy partial-aggregates
+    before the single shuffle (bigram-keyed, heavy hitters combine
+    map-side); top-k is a TakeOrdered, never a global sort
+    materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = d.select(F.explode(TX.word_shingles("text", 2)).alias("bigram"))
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+CORPUS_BIGRAM_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bi
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by TF·IDF, with a log-free IDF
+    (``n_docs / df`` as an exact double ratio) so both engines produce
+    bit-identical scores — ``log`` is not guaranteed correctly rounded
+    across libm implementations, a plain division is.
+
+    Scale: token explode + (doc, term) count partial-aggregates
+    map-side; document frequency is a second aggregate of the SAME
+    (doc, term) grain (no re-explode); the tf ⨝ df join is term-keyed
+    (AQE handles stopword-term skew); the corpus size joins in as a
+    broadcast single-row aggregate; top-3 per doc is one window shuffle
+    on doc_id. Nothing is vocabulary-sized on the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+DOC_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rk
+  FROM scored
+)
+SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
 """
 
 

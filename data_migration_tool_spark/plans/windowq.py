@@ -223,6 +223,52 @@ GROUP BY 1, 2
 """
 
 
+def doc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: every doc gets a shard (md5-keyed, 8-way here) and a
+    within-shard position ordered by the same hash — the
+    "shuffle the corpus, write N shards" step before training reads.
+
+    The ordering key is a pure function of doc_id, so the shuffle is
+    reproducible run-to-run and engine-to-engine — no RNG state, no
+    seed plumbing, rerun-stable when the pipeline restarts.
+
+    Scale: one exchange on shard + an in-partition sort (exactly what
+    ``sources/sharding.write_training_shards`` executes as
+    repartition → sortWithinPartitions → write). n_shards scales with
+    the corpus (64k shards at 100 TB keeps each ~1.6 GB); the
+    row_number within a shard is a partition-local operator, never a
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("k"))
+    shard = (F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % 8).alias("shard")
+    w = Window.partitionBy("shard").orderBy("k")
+    return (
+        keyed.select("doc_id", shard, "k")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+DOC_SHARDS_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('shard:', CAST(doc_id AS VARCHAR))) AS k
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(k, 1, 2)) AS INT) % 8 AS shard,
+         k
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS INT) AS pos
+FROM sharded
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join (operators/asof) — purchase attribution to the last view
 # ---------------------------------------------------------------------------

@@ -281,3 +281,56 @@ def test_zorder_write_bounds_both_dimensions(spark, tables, tmp_path):
     # fraction of BOTH columns, not just the leading sort column
     assert avg_p < 0.55 * p_span
     assert avg_s < 0.55 * s_span
+
+
+def test_training_shard_write_deterministic_order(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard directory,
+    file contents are hash-ordered, and a rewrite is byte-stable (the
+    reproducibility property the md5 key exists for)."""
+    from data_migration_tool_spark.sources.sharding import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, id_col="doc_id", n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 4
+    # membership is the pure md5 function of doc_id
+    got = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    expect = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4
+            )
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    assert got == expect
+
+    # within-file order is ascending in the hash key (clustered write)
+    one = spark.read.parquet(out + "/shard=0").withColumn(
+        "k", F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    )
+    ks = [r["k"] for r in one.select("k").collect()]
+    # parquet preserves row order within a file; single task wrote it
+    assert ks == sorted(ks)
+
+    # rewrite → identical membership and order
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, id_col="doc_id", n_shards=4)
+    a = [tuple(r) for r in spark.read.parquet(out).orderBy("shard", "doc_id").collect()]
+    b = [tuple(r) for r in spark.read.parquet(out2).orderBy("shard", "doc_id").collect()]
+    assert a == b
