@@ -334,3 +334,93 @@ def test_training_shard_write_deterministic_order(spark, tmp_path):
     a = [tuple(r) for r in spark.read.parquet(out).orderBy("shard", "doc_id").collect()]
     b = [tuple(r) for r in spark.read.parquet(out2).orderBy("shard", "doc_id").collect()]
     assert a == b
+
+
+def test_quarantine_reader_splits_and_gates(spark, tmp_path):
+    """PERMISSIVE load: good rows parse, malformed lines land verbatim
+    in the quarantine dir, and the bad-record budget gates the load."""
+    from data_migration_tool_spark.sources.quarantine import (
+        BadRecordThresholdExceeded,
+        read_with_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,alice,2.5\n"
+        "2,bob,notanumber\n"  # bad: double column fails to parse
+        "3,carol,3.5\n"
+        "4,dave,oops,extra\n"  # bad: arity mismatch
+        "5,erin,1.0\n"
+    )
+    qdir = str(tmp_path / "quarantine")
+    res = read_with_quarantine(
+        spark,
+        str(p),
+        fmt="csv",
+        schema_ddl="id INT, name STRING, score DOUBLE",
+        quarantine_dir=qdir,
+        max_bad_records=2,
+    )
+    assert res.n_good == 3 and res.n_bad == 2
+    assert sorted(r["id"] for r in res.good.collect()) == [1, 3, 5]
+    quarantined = sorted(
+        r["value"] for r in spark.read.text(qdir).collect()
+    )
+    assert quarantined == ["2,bob,notanumber", "4,dave,oops,extra"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(BadRecordThresholdExceeded):
+        read_with_quarantine(
+            spark,
+            str(p),
+            fmt="csv",
+            schema_ddl="id INT, name STRING, score DOUBLE",
+            quarantine_dir=str(tmp_path / "q2"),
+            max_bad_records=1,
+        )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tables, tmp_path):
+    """Compacting a 64-small-file directory yields ~target-sized files
+    with identical data; cluster_by additionally restores min/max
+    locality on the cluster column."""
+    from data_migration_tool_spark.sources.compaction import compact
+
+    src = str(tmp_path / "small")
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    total = sum(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
+
+    dst = str(tmp_path / "compacted")
+    plan = compact(spark, src, dst, target_file_bytes=total // 4 + 1)
+    out_files = glob.glob(dst + "/*.parquet")
+    assert plan.n_input_files == 64
+    assert plan.n_output_files == 4
+    assert len(out_files) == 4
+    a = spark.read.parquet(src).orderBy("l_orderkey", "l_partkey", "l_quantity")
+    b = spark.read.parquet(dst).orderBy("l_orderkey", "l_partkey", "l_quantity")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+    # clustered compaction: each file covers a narrow l_orderkey range
+    dst2 = str(tmp_path / "clustered")
+    compact(spark, src, dst2, target_file_bytes=total // 4 + 1,
+            cluster_by=["l_orderkey"])
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(dst2 + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.row_group(0).column(j).path_in_schema
+                 for j in range(md.num_columns)]
+        idx = names.index("l_orderkey")
+        stats = [md.row_group(i).column(idx).statistics
+                 for i in range(md.num_row_groups)]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    gmin = min(mn for mn, _ in spans)
+    gmax = max(mx for _, mx in spans)
+    avg_span = sum(mx - mn for mn, mx in spans) / len(spans)
+    assert avg_span < 0.5 * (gmax - gmin)
