@@ -1,0 +1,118 @@
+"""Distributed BPE merge training (Sennrich et al., ACL'16) — the
+tokenizer-training step of a corpus pipeline, run where the data is.
+
+Classic BPE training never needs the corpus after one pass: it operates
+on the **word-frequency table** (distinct word → count), which is
+vocabulary-sized (~1e8 rows at web scale), not corpus-sized. The Spark
+shape:
+
+1. one corpus-grain pass: explode tokens → groupBy word → count
+   (partial-aggregated shuffle, the only corpus-sized step);
+2. per merge round, all at vocabulary grain: explode adjacent symbol
+   pairs weighted by word count → groupBy pair → argmax (freq DESC,
+   pair ASC) → apply the merge to every word's symbol array with a
+   pure-Catalyst ``aggregate`` fold (greedy left-to-right, standard
+   BPE semantics). ``localCheckpoint`` truncates lineage so round N's
+   plan stays O(1).
+
+The only driver transfer is the 1-row argmax per round and the final
+k-merge table — both O(merges), never O(words). No UDFs anywhere; the
+fold is a Catalyst higher-order function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_tool_spark.functions import text as TX
+
+# Separator for pair keys; NUL sorts below every printable char, so
+# lexicographic order on the joined string equals tuple order on
+# (left, right) for NUL-free symbols.
+_SEP = "\x00"
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    n = F.size(syms) - F.lit(1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(syms, i), F.lit(_SEP), F.element_at(syms, i + 1)
+        ),
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every adjacent (left, right) into
+    one symbol, as a Catalyst aggregate fold: append each symbol unless
+    it completes the pair with the accumulator's tail, in which case the
+    tail is replaced by the merged symbol. A merged symbol never
+    re-merges with a following ``right`` unless it literally equals
+    ``left`` — standard BPE behavior."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-grain pass: (word, cnt, syms=chars)."""
+    words = df.select(F.explode(TX.tokens(text_col)).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.regexp_extract_all("w", F.lit("."), 0).alias("syms"),
+        )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top ``num_merges`` BPE merges; returns a DataFrame
+    (rank INT, left STRING, right STRING, freq BIGINT) ordered by rank.
+
+    Ties at equal pair frequency break lexicographically on
+    (left, right) so the learned merge sequence is deterministic at any
+    parallelism and any engine."""
+    spark = df.sparkSession
+    vocab = word_freq_table(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = vocab.select(
+            "cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .first()
+        )
+        if top is None:
+            break
+        left, right = top["pair"].split(_SEP)
+        merges.append((rank, left, right, int(top["freq"])))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, freq BIGINT"
+    )

@@ -401,6 +401,21 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("doc_tfidf_topk", TQ.doc_tfidf_topk, TQ.DOC_TFIDF_SQL, ("text", "topk")),
     QueryDef(
+        "doc_lm_fluency", TQ.doc_lm_fluency, TQ.DOC_LM_FLUENCY_SQL, ("text", "quality")
+    ),
+    QueryDef(
+        "corpus_vocab_growth",
+        TQ.corpus_vocab_growth,
+        TQ.CORPUS_VOCAB_SQL,
+        ("text", "agg"),
+    ),
+    QueryDef(
+        "bpe_merges_train",
+        TQ.bpe_merges_train,
+        None,
+        ("text", "tokenization", "iterative"),
+    ),
+    QueryDef(
         "doc_training_shards",
         WQ.doc_training_shards,
         WQ.DOC_SHARDS_SQL,

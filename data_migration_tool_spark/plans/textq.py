@@ -455,6 +455,98 @@ SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
 """
 
 
+def doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency proxy per document: the average corpus
+    frequency of the document's bigrams — the deterministic skeleton of
+    perplexity-based quality filtering (an n-gram LM score without the
+    ``log``, which is not bit-reproducible across engines).
+
+    Scale: the bigram LM "training" is the same partial-aggregated
+    count shuffle as ``corpus_bigram_topk``; scoring joins doc-bigrams
+    to the model bigram-keyed (AQE splits the head-bigram skew), then
+    one groupBy on doc_id. The LM table is never collected or
+    broadcast by hand — at web scale it is billions of rows and stays
+    distributed."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = d.select("doc_id", F.explode(TX.word_shingles("text", 2)).alias("bigram"))
+    counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bi.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bigram_freq"),
+        )
+    )
+
+
+DOC_LM_FLUENCY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+counts AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_freq
+FROM bi JOIN counts USING (bigram)
+GROUP BY doc_id
+"""
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vs-total n-gram counts for n = 1..3 — the vocabulary
+    growth curve (Heaps'-law check) a tokenizer-training run consults
+    before fixing a vocab size.
+
+    Scale: each n is one explode + one partially-aggregated
+    count/count-distinct shuffle; the three branches share nothing but
+    the scan, and the result is three rows."""
+    d = load_table(spark, sf_dir, "documents")
+    out = None
+    for n in (1, 2, 3):
+        grams = d.select(F.explode(TX.word_shingles("text", n)).alias("g"))
+        row = grams.agg(
+            F.lit(n).alias("n"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+            F.count(F.lit(1)).alias("total_ngrams"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+CORPUS_VOCAB_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+g1 AS (SELECT unnest(tk) AS g FROM toks),
+g2 AS (SELECT unnest(list_transform(range(1, len(tk)),
+              i -> tk[i] || ' ' || tk[i+1])) AS g
+       FROM toks WHERE len(tk) >= 2),
+g3 AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+       FROM toks WHERE len(tk) >= 3)
+SELECT 1 AS n, COUNT(DISTINCT g) AS distinct_ngrams, COUNT(*) AS total_ngrams FROM g1
+UNION ALL
+SELECT 2 AS n, COUNT(DISTINCT g) AS distinct_ngrams, COUNT(*) AS total_ngrams FROM g2
+UNION ALL
+SELECT 3 AS n, COUNT(DISTINCT g) AS distinct_ngrams, COUNT(*) AS total_ngrams FROM g3
+"""
+
+
+def bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 10 BPE merges from the documents corpus
+    (operators/bpe.bpe_train — iterative, so no SQL oracle; the exact
+    merge sequence is value-checked against a pure-Python reference
+    implementation in tests/test_dataops.py)."""
+    from data_migration_tool_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, num_merges=10)
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-style pre-tokenizer counts per document (the
     budget estimate a training pipeline runs before tokenizing 100 TB

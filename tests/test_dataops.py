@@ -717,3 +717,45 @@ def test_native_session_window_exact_gap_merges(spark):
         .collect()
     )
     assert len(sessions) == 1 and sessions[0]["count"] == 2
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer must reproduce, merge for merge, a
+    pure-Python reference implementation of Sennrich-style BPE (greedy
+    left-to-right application, freq DESC / pair ASC tie-break) on the
+    sf0.001 corpus."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [tuple(r) for r in bpe_train(docs, num_merges=8).collect()]
+
+    words = Counter()
+    for (text,) in docs.select("text").collect():
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    syms = {w: list(w) for w in words}
+    expect = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        expect.append((rank, a, b, freq))
+        for w in syms:
+            s = syms[w]
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    assert got == expect
