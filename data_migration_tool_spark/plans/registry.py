@@ -416,6 +416,12 @@ _DEFS: list[QueryDef] = [
         ("text", "tokenization", "iterative"),
     ),
     QueryDef(
+        "token_countmin_sketch",
+        TQ.token_countmin_sketch,
+        TQ.TOKEN_COUNTMIN_SQL,
+        ("sketch", "text"),
+    ),
+    QueryDef(
         "doc_training_shards",
         WQ.doc_training_shards,
         WQ.DOC_SHARDS_SQL,

@@ -536,6 +536,99 @@ SELECT 3 AS n, COUNT(DISTINCT g) AS distinct_ngrams, COUNT(*) AS total_ngrams FR
 """
 
 
+_CM_D, _CM_W = 3, 32
+
+
+def _cm_bucket(tok: F.Column, r: int) -> F.Column:  # type: ignore[name-defined]
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _CM_W
+    )
+
+
+def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over corpus
+    tokens: d=3 md5-salted hash rows × w=32 buckets, then point
+    estimates for the exact top-10 tokens with the never-undercount
+    invariant surfaced as a column. Unlike the engine-native HLL /
+    quantile sketches, every hash here is md5-derived, so the ENTIRE
+    sketch — not just an error envelope — is value-checked against the
+    oracle.
+
+    At 100 TB: the sketch is d·w counters built in one
+    partial-aggregated shuffle of the token stream (the d-way explode
+    is map-side); the sketch table (96 rows) broadcasts to the
+    estimate join. This is the mergeable-summary pattern: per-partition
+    sketches combine by cell-wise addition, which IS the map-side
+    combine of the groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("token"))
+
+    def expand(tok_col):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cm_bucket(tok_col, r).alias("bucket")
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        )
+
+    rb = toks.select(expand(F.col("token")).alias("x")).select("x.r", "x.bucket")
+    sketch = rb.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(10)
+    )
+    lookup = top.select(
+        "token", "exact_n", expand(F.col("token")).alias("x")
+    ).select("token", "exact_n", "x.r", "x.bucket")
+    return (
+        lookup.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("cm_n"))
+        .select(
+            "token",
+            "exact_n",
+            "cm_n",
+            (F.col("cm_n") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+    )
+
+
+TOKEN_COUNTMIN_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+seeds AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(r)),
+rb AS (
+  SELECT r,
+         CAST(concat('0x', substr(md5(concat('cm', r, ':', token)), 1, 8))
+              AS BIGINT) % {_CM_W} AS bucket
+  FROM toks CROSS JOIN seeds
+),
+sketch AS (SELECT r, bucket, COUNT(*) AS n FROM rb GROUP BY 1, 2),
+top AS (
+  SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY 1
+  ORDER BY exact_n DESC, token ASC LIMIT 10
+),
+lookup AS (
+  SELECT token, exact_n, r,
+         CAST(concat('0x', substr(md5(concat('cm', r, ':', token)), 1, 8))
+              AS BIGINT) % {_CM_W} AS bucket
+  FROM top CROSS JOIN seeds
+)
+SELECT l.token, l.exact_n, MIN(s.n) AS cm_n,
+       MIN(s.n) >= l.exact_n AS never_undercounts
+FROM lookup l JOIN sketch s USING (r, bucket)
+GROUP BY l.token, l.exact_n
+"""
+
+
 def bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 10 BPE merges from the documents corpus
     (operators/bpe.bpe_train — iterative, so no SQL oracle; the exact
