@@ -427,6 +427,12 @@ _DEFS: list[QueryDef] = [
         WQ.DOC_SHARDS_SQL,
         ("sampling", "shuffle"),
     ),
+    QueryDef(
+        "doc_sequence_packing",
+        WQ.doc_sequence_packing,
+        WQ.DOC_PACKING_SQL,
+        ("window", "packing"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

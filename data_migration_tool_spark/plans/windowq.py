@@ -251,6 +251,82 @@ def doc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training export: documents are laid out
+    densely into fixed-size token windows (seq_len=4096) — each doc
+    gets (shard, pack_id, offset) telling the training reader exactly
+    where its tokens start. Packing order inside a shard is the same
+    deterministic md5 key as the shard export, so the layout is
+    rerun-stable and engine-portable.
+
+    Scale: one exchange on shard + an in-partition running sum (window
+    cumsum over the shard's hash order — partition-local after the one
+    shuffle). The greedy-by-hash-order policy is what makes packing
+    parallelizable: a globally-sequential first-fit packer cannot
+    distribute, per-shard streaming assignment can. Docs longer than a
+    window spill into the next pack by construction (offset + n_tokens
+    > seq_len), which is standard contiguous packing."""
+    seq_len = 4096
+    d = load_table(spark, sf_dir, "documents")
+    from data_migration_tool_spark.functions.text import token_count
+
+    key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        key.alias("k"),
+        token_count("text").alias("n_tokens"),
+    ).withColumn(
+        "shard", (F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % 8)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    pack = F.floor(F.col("start").cast("double") / F.lit(float(seq_len))).cast(
+        "bigint"
+    )
+    return (
+        keyed.select("doc_id", "shard", "n_tokens", start)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            pack.alias("pack_id"),
+            (F.col("start") - pack * F.lit(seq_len)).alias("offset"),
+        )
+    )
+
+
+DOC_PACKING_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('shard:', CAST(doc_id AS VARCHAR))) AS k,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, k, n_tokens,
+         CAST(concat('0x', substr(k, 1, 2)) AS INT) % 8 AS shard
+  FROM keyed
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start
+  FROM sharded
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(CAST(start AS DOUBLE) / 4096.0) AS BIGINT) AS pack_id,
+       start - CAST(FLOOR(CAST(start AS DOUBLE) / 4096.0) AS BIGINT) * 4096
+         AS offset
+FROM packed
+"""
+
+
 DOC_SHARDS_SQL = """
 WITH keyed AS (
   SELECT doc_id,

@@ -223,3 +223,38 @@ def test_scd2_history_single_exchange(spark):
     simple = _plan(spark, "customer_status_history", mode="simple")
     assert simple.count("Exchange") == 1
     assert "Python" not in simple
+
+
+def test_training_shards_and_packing_single_exchange(spark):
+    """Shard assignment and sequence packing each ride exactly one
+    shard-keyed exchange; the running sum / row_number are
+    partition-local after it."""
+    for name in ("doc_training_shards", "doc_sequence_packing"):
+        simple = _plan(spark, name, mode="simple")
+        assert simple.count("Exchange") == 1, name
+        assert "Python" not in simple, name
+
+
+def test_dup_cluster_canonical_no_raw_row_window(spark):
+    """Survivor selection is a groupBy argmax at cluster grain — the
+    plan must contain no Window node (a window over raw doc rows is
+    the shape that does NOT scale)."""
+    simple = _plan(spark, "dup_cluster_canonical", mode="simple")
+    assert "Window" not in simple
+    assert "Python" not in simple
+
+
+def test_countmin_sketch_broadcasts_sketch_side(spark):
+    """The 96-cell sketch must broadcast into the estimate join; the
+    token stream is never re-shuffled for the lookup."""
+    simple = _plan(spark, "token_countmin_sketch", mode="simple")
+    assert "BroadcastHashJoin" in simple
+    assert "Python" not in simple
+
+
+def test_lm_fluency_model_table_not_broadcast_by_hand(spark):
+    """The bigram LM join must be a plain equi-join (AQE decides the
+    strategy at runtime); nothing in the plan may collect the model."""
+    simple = _plan(spark, "doc_lm_fluency", mode="simple")
+    assert "Python" not in simple
+    assert "CartesianProduct" not in simple
