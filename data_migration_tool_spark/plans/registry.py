@@ -433,6 +433,12 @@ _DEFS: list[QueryDef] = [
         WQ.DOC_PACKING_SQL,
         ("window", "packing"),
     ),
+    QueryDef(
+        "events_hourly_gapfill",
+        SQ.events_hourly_gapfill,
+        SQ.EVENTS_GAPFILL_SQL,
+        ("hypertable", "resample"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -196,6 +196,53 @@ GROUP BY 1, 2
 """
 
 
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid densification (resample): hourly event counts per
+    type with EVERY hour of the observed range present — missing
+    buckets zero-filled. The gap-fill step a time-series store performs
+    before rate/delta math; a rollup that silently omits empty hours
+    breaks every downstream derivative.
+
+    Scale: the raw scan aggregates once to (hour, type) grain; the
+    dense grid is generated from a 1-row bounds aggregate (sequence
+    explode — |hours|×|types| rows, aggregate-scale not event-scale)
+    and left-joins the partials. Nothing event-grain is ever joined or
+    regenerated."""
+    from data_migration_tool_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    counts = e.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    types = e.select("event_type").distinct()
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    ).crossJoin(types)
+    return grid.join(counts, ["hour", "event_type"], "left").select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH e AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+counts AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM e)
+SELECT strftime(g.hour, '%Y-%m-%d %H:%M') AS hour,
+       t.event_type,
+       COALESCE(c.n, 0) AS n_events
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = g.hour AND c.event_type = t.event_type
+"""
+
+
 def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins the
     customer dimension (static broadcast — no stream-side state, the
