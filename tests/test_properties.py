@@ -169,3 +169,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, words):
+    """Distributed BPE == pure-Python Sennrich reference on arbitrary
+    small corpora (merge sequence AND frequencies), including pathological
+    repeats like 'aaaa' where greedy left-to-right application matters."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id BIGINT, text STRING"
+    )
+    got = [tuple(r) for r in bpe_train(docs, num_merges=4).collect()]
+
+    freq = Counter(words)
+    syms = {w: list(w) for w in freq}
+    expect = []
+    for rank in range(1, 5):
+        pc = Counter()
+        for w, c in freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, f))
+        for w in syms:
+            out = []
+            for tok in syms[w]:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    assert got == expect
