@@ -439,6 +439,12 @@ _DEFS: list[QueryDef] = [
         SQ.EVENTS_GAPFILL_SQL,
         ("hypertable", "resample"),
     ),
+    QueryDef(
+        "events_stream_user_quota",
+        SQ.events_stream_user_quota,
+        SQ.EVENTS_STREAM_QUOTA_SQL,
+        ("streaming", "stateful", "quota"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

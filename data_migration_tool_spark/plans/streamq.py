@@ -196,6 +196,63 @@ GROUP BY 1, 2
 """
 
 
+def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user quota enforcement as a REAL ``transformWithStateInPandas``
+    streaming query (Spark 4 State-V2 processor; see streaming/quota.py)
+    — file source → O(1)-state accumulation → memory sink, drained with
+    AvailableNow so every emitted row is final and the batch
+    window-cumsum oracle checks the stateful path end-to-end."""
+    from data_migration_tool_spark.streaming.quota import quota_stream
+
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_quota_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+    ns_cols = _nanos_timestamp_cols(src)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    stream = normalize_timestamps(stream)
+
+    sink = f"events_quota_{uuid.uuid4().hex[:8]}"
+    q = (
+        quota_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_QUOTA_SQL = """
+WITH cents AS (
+  SELECT user_id, event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+run AS (
+  SELECT user_id, c,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cents
+)
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(CASE WHEN cum > 100000 THEN 1 END) AS n_throttled,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM run
+GROUP BY user_id
+"""
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-grid densification (resample): hourly event counts per
     type with EVERY hour of the observed range present — missing

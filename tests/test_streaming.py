@@ -183,3 +183,57 @@ def test_cdc_stream_upsert_across_batches(spark, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(target).collect()} == {
         (1, "a1", 2), (2, "b0", 1), (3, "c0", 1)
     }
+
+
+def test_quota_stream_v2_gate_or_run(spark, tmp_path):
+    """State-V2 (transformWithStateInPandas) needs google.protobuf for
+    its state protocol. Without it the wrapper must raise a loud, named
+    error BEFORE any stream starts; with it, the V2 path must produce
+    the same totals as the gated V1 query."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from data_migration_tool_spark.streaming.quota import (
+        _state_v2_available,
+        quota_stream_v2,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(landing, "events.parquet"),
+    )
+
+    if not _state_v2_available():
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            quota_stream_v2(
+                spark.readStream.schema(
+                    spark.read.parquet(landing).schema
+                ).parquet(landing)
+            )
+        return
+
+    from data_migration_tool_spark.plans.streamq import events_stream_user_quota
+
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    sink = "quota_v2_test"
+    q = (
+        quota_stream_v2(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    v2 = {tuple(r) for r in spark.table(sink).collect()}
+    v1 = {
+        tuple(r)
+        for r in events_stream_user_quota(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert v2 == v1
