@@ -82,6 +82,38 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_encode_lengths(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge sequence and report per-document encoded
+    length: (id, n_tokens, n_symbols) where n_symbols is the total BPE
+    symbol count after all merges — the number a training pipeline
+    budgets against.
+
+    Scale: merges apply at VOCABULARY grain (distinct words), once per
+    word, as chained Catalyst folds; the corpus then joins its token
+    stream to the encoded lengths word-keyed and partial-aggregates per
+    doc. The corpus is never re-folded per merge — k merges cost k
+    passes over the vocab table, not the corpus."""
+    words = df.select(F.explode(TX.tokens(text_col)).alias("w")).distinct()
+    syms = F.regexp_extract_all("w", F.lit("."), 0)
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    encoded = words.select("w", F.size(syms).cast("bigint").alias("enc_len"))
+    toks = df.select(id_col, F.explode(TX.tokens(text_col)).alias("w"))
+    return (
+        toks.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("enc_len").alias("n_symbols"),
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int = 10,

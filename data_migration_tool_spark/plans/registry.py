@@ -422,6 +422,12 @@ _DEFS: list[QueryDef] = [
         ("sketch", "text"),
     ),
     QueryDef(
+        "doc_bpe_encoded_lengths",
+        TQ.doc_bpe_encoded_lengths,
+        None,
+        ("text", "tokenization", "iterative"),
+    ),
+    QueryDef(
         "doc_training_shards",
         WQ.doc_training_shards,
         WQ.DOC_SHARDS_SQL,

@@ -640,6 +640,21 @@ def bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(d, num_merges=10)
 
 
+def doc_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 10 BPE merges on the corpus, then encode the corpus with
+    them: per-doc whitespace-token and post-merge symbol counts (the
+    token budget after tokenizer compression). Iterative train +
+    vocabulary-grain apply — no SQL oracle; value-checked against a
+    pure-Python train+encode reference in tests/test_dataops.py."""
+    from data_migration_tool_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe.bpe_train(d, num_merges=10).collect()
+    ]
+    return bpe.bpe_encode_lengths(d, merges)
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-style pre-tokenizer counts per document (the
     budget estimate a training pipeline runs before tokenizing 100 TB

@@ -759,3 +759,46 @@ def test_bpe_train_matches_python_reference(spark):
                     out.append(tok)
             syms[w] = out
     assert got == expect
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Train + encode round trip: the distributed encoder's per-doc
+    symbol counts must equal a pure-Python apply of the same merges."""
+    from data_migration_tool_spark.operators.bpe import bpe_encode_lengths, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train(docs, num_merges=6).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_symbols"])
+        for r in bpe_encode_lengths(docs, merges).collect()
+    }
+
+    def encode_len(word: str) -> int:
+        s = list(word)
+        for a, b in merges:
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            s = out
+        return len(s)
+
+    cache: dict[str, int] = {}
+    expect = {}
+    for doc_id, text in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").collect():
+        toks = [w for w in text.split(" ") if w]
+        if not toks:
+            continue
+        n_sym = 0
+        for w in toks:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n_sym += cache[w]
+        expect[doc_id] = (len(toks), n_sym)
+    assert got == expect
