@@ -16,6 +16,7 @@ results), after a warm-up pass of the session.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -96,8 +97,16 @@ def main() -> None:
                 if prev is None or elapsed < prev:
                     timings[name] = elapsed
                     errors.pop(name, None)
+            # Iterative queries leave localCheckpoint blocks behind;
+            # their JVM-side cleanup (ContextCleaner) only fires once
+            # the Python references are collected. Without this, block
+            # storage accumulates over ~230 query executions and
+            # queries late in a pass measure the session's garbage,
+            # not their plan (observed 3-4× inflation).
+            gc.collect()
             with open(sidecar, "w") as fh:
                 fh.write(_payload() + "\n")
+        spark._jvm.System.gc()
 
     payload = _payload()
     with open(sidecar, "w") as fh:
