@@ -424,3 +424,35 @@ def test_compaction_reduces_files_preserves_rows(spark, tables, tmp_path):
     gmax = max(mx for _, mx in spans)
     avg_span = sum(mx - mn for mn, mx in spans) / len(spans)
     assert avg_span < 0.5 * (gmax - gmin)
+
+
+def test_fixedwidth_datasource(spark, tmp_path):
+    """Custom Python DataSource: fixed-width records parse with typed
+    fields, blank numerics → NULL, one partition per file."""
+    from data_migration_tool_spark.sources.fixedwidth import FixedWidthDataSource
+
+    d = tmp_path / "fw"
+    d.mkdir()
+    (d / "part1.dat").write_text(
+        "000001alice         00012.50\n"
+        "000002bob           00003.25\n"
+    )
+    (d / "part2.dat").write_text(
+        "000003carol женщина 00099.99\n"
+        "000004dave                  \n"  # blank score → NULL
+    )
+
+    spark.dataSource.register(FixedWidthDataSource)
+    df = (
+        spark.read.format("fixedwidth")
+        .schema("id INT, name STRING, score DOUBLE")
+        .option("path", str(d))
+        .option("widths", "6,14,8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("alice", 12.5)
+    assert rows[2] == ("bob", 3.25)
+    assert rows[3] == ("carol женщина", 99.99)
+    assert rows[4] == ("dave", None)
