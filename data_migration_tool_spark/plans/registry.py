@@ -451,6 +451,12 @@ _DEFS: list[QueryDef] = [
         SQ.EVENTS_STREAM_QUOTA_SQL,
         ("streaming", "stateful", "quota"),
     ),
+    QueryDef(
+        "events_stream_view_purchase_join",
+        SQ.events_stream_view_purchase_join,
+        SQ.EVENTS_STREAM_SSJOIN_SQL,
+        ("streaming", "join", "interval"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

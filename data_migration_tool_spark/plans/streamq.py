@@ -253,6 +253,91 @@ GROUP BY user_id
 """
 
 
+def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the remaining Structured Streaming
+    join shape: the view stream inner-joins the purchase stream on
+    user_id with purchases constrained to (view_ts, view_ts + 1 hour].
+    Both sides carry 2-hour watermarks, which with the time-range
+    predicate lets Spark expire join state (the bounded-state contract;
+    without the range condition an interval join holds both streams
+    forever). AvailableNow drains one batch, so the emitted inner-join
+    matches equal the batch interval join and a plain SQL oracle checks
+    the stream-stream path end-to-end.
+
+    At 100 TB/day: state per side is bounded by watermark + interval
+    (≤3 h of events), partitioned by the equi-key — the shape survives
+    any stream volume whose 3-hour slice fits the cluster, which is the
+    physical minimum for this semantics."""
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_ssjoin_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+    ns_cols = _nanos_timestamp_cols(src)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+
+    def _stream():
+        s = spark.readStream.schema(schema).parquet(landing)
+        for c in ns_cols:
+            s = s.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return normalize_timestamps(s)
+
+    views = (
+        _stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+
+    sink = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_SSJOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-grid densification (resample): hourly event counts per
     type with EVERY hour of the observed range present — missing
