@@ -233,6 +233,12 @@ _DEFS: list[QueryDef] = [
     QueryDef("order_line_union_counts", R.order_line_union_counts, R.UNION_COUNTS_SQL, ("union",)),
     QueryDef("order_priority_buckets", R.order_priority_buckets, R.PRIORITY_BUCKETS_SQL, ("scalar",)),
     QueryDef("event_props_json", R.event_props_json, R.EVENT_JSON_SQL, ("json",)),
+    QueryDef(
+        "event_props_variant",
+        R.event_props_variant,
+        R.EVENT_VARIANT_SQL,
+        ("json", "variant"),
+    ),
     QueryDef("events_last_day_window", R.events_last_day_window, R.EVENTS_WINDOW_SQL, ("incremental",)),
     QueryDef("order_reconciliation", R.order_reconciliation, R.ORDER_RECON_SQL, ("validation",)),
     QueryDef("dvt_column_validation", V.dvt_column_validation, V.DVT_COLUMN_SQL, ("dvt",)),

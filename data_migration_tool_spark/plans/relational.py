@@ -425,6 +425,44 @@ GROUP BY 1
 """
 
 
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse the JSON
+    ONCE into the binary variant encoding, then do typed path
+    extraction (``try_variant_get``) and schema discovery
+    (``schema_of_variant``) downstream.
+
+    At 100 TB this is the point of VARIANT over per-path
+    ``get_json_object``: N extractions re-parse the string N times,
+    variant parses once and each ``variant_get`` is a cheap binary
+    probe — and shredded variant columns in parquet prune like any
+    other column. The oracle replicates with DuckDB's JSON probes
+    (same values, engine-native encodings)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("value", F.try_parse_json("props").alias("v"))
+    return (
+        v.select(
+            (F.try_variant_get("v", "$.k", "int") % 7).alias("k_mod"),
+            F.schema_of_variant(F.col("v")).alias("props_schema"),
+            "value",
+        )
+        .groupBy("k_mod", "props_schema")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENT_VARIANT_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod,
+       'OBJECT<k: BIGINT>' AS props_schema,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-windowed incremental consumption (SURVEY ST2 — 1-day lookback)
 # ---------------------------------------------------------------------------

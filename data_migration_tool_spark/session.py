@@ -37,6 +37,10 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # long-lived drivers: ContextCleaner frees superseded localCheckpoint
+    # blocks only after a JVM GC; force one at least every 5 min so block
+    # storage tracks live state, not allocation history (see SCALE.md)
+    "spark.cleaner.periodicGC.interval": "5min",
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/dmt-spark-warehouse",
 }
