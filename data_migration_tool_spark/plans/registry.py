@@ -283,6 +283,12 @@ _DEFS: list[QueryDef] = [
     QueryDef("ann_recall_gate", VQ.ann_recall_gate, VQ.ANN_RECALL_SQL, ("ann",)),
     QueryDef("ivf_trained_topk", VQ.ivf_trained_topk, None, ("ann", "iterative")),
     QueryDef(
+        "embedding_pca_project",
+        VQ.embedding_pca_project,
+        None,
+        ("vector", "pca", "iterative"),
+    ),
+    QueryDef(
         "events_stream_daily_counts",
         SQ.events_stream_daily_counts,
         SQ.EVENTS_STREAM_DAILY_SQL,

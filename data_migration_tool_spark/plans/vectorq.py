@@ -413,3 +413,21 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.
 
 
 EMB_LSH_NEAR_DUP_SQL = _lsh_oracle_sql()
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit 8-component PCA on the embedding corpus (one moment-partial
+    pass, O(d²) driver transfer) and project every vector (one batch
+    mat-mul pass). Float-iterative, so rows-only at the gate; the
+    value contract is the numpy-reference equality test in
+    tests/test_dataops.py (same policy as k-means)."""
+    from data_migration_tool_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, n_components=8)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        F.round(F.element_at("pcs", 1), 6).alias("pc1"),
+        F.round(F.element_at("pcs", 2), 6).alias("pc2"),
+    )

@@ -836,3 +836,38 @@ def test_snapshot_diff_statuses(spark):
         for r in snapshot_diff_summary(old, new).collect()
     }
     assert summary == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed moment-partial PCA == numpy PCA on the collected
+    matrix: same eigenvalues, same subspace (|cos| of paired components
+    ~ 1), and the distributed projection equals (X - mean) @ W.T."""
+    import numpy as np
+
+    from data_migration_tool_spark.operators.pca import pca_fit, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_fit(emb, n_components=6)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.vstack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:6]
+
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    assert np.allclose(model.explained_variance, evals[order], atol=1e-7)
+    # same subspace, component by component (sign-insensitive)
+    ref = evecs[:, order].T
+    cos = np.abs(np.sum(model.components * ref, axis=1))
+    assert np.all(cos > 1 - 1e-8)
+
+    proj = {r["vec_id"]: np.asarray(r["pcs"]) for r in
+            pca_project(emb, model).collect()}
+    expect = (x - mean) @ model.components.T
+    got = np.vstack([proj[i] for i in ids])
+    assert np.allclose(got, expect, atol=1e-9)
+    # variance ordering: explained variance non-increasing
+    assert np.all(np.diff(model.explained_variance) <= 1e-12)
