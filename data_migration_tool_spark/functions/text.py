@@ -216,3 +216,41 @@ def winnow_fingerprints(col: str | Column) -> Column:
         return F.array_distinct(sel)
 
     return bind(char_kgram_hashes(col), select_of)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+# Engine-portable patterns: no lookaround, no backreferences — the
+# subset where Java regex (Spark) and RE2 (DuckDB oracle) agree on
+# every match boundary.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(col: str | Column) -> Column:
+    """struct(n_emails, n_phones) found in the text — counted BEFORE
+    redaction so the counts audit what ``scrub_pii`` removed."""
+    c = _c(col)
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact emails then phone numbers to fixed placeholder tokens.
+
+    Order matters and is part of the contract: emails are replaced
+    first so their digit-bearing local parts can never be half-matched
+    by the phone pattern. Pure ``regexp_replace`` chain — scan-side,
+    whole-stage-codegen, zero shuffles at any corpus size.
+    """
+    c = _c(col)
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")

@@ -7,6 +7,7 @@ Thin DataFrame wrappers around the expression builders in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_migration_tool_spark.functions import text as TX
@@ -110,3 +111,92 @@ def token_frequencies(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``size - stride`` characters of overlap — the standard layout for
+    context-window-bounded training examples and embedding inputs.
+
+    Chunk starts are ``0, stride, 2*stride, …`` while the start is
+    inside the text, so every character lands in ≥1 chunk and chunk
+    boundaries never silently drop tail text. Pure scan-side
+    ``sequence`` + ``explode`` — the chunk table is produced by a map
+    (no shuffle), so 100 TB of documents chunk at scan throughput and
+    the output inherits the input's partitioning.
+
+    Chunks surface as md5 fingerprints + lengths rather than repeated
+    substrings: downstream dedup/packing wants identity and size, and
+    carrying the text would multiply the scan's output bytes ~1.33×
+    per overlap factor for no consumer.
+    """
+    n = F.length(F.col(text_col))
+    last = (n - F.lit(1)).cast("bigint")
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        (last - last % stride),  # == ((n-1) div stride) * stride, n >= 1
+        F.lit(stride).cast("bigint"),
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start") + 1, size)
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            (F.col("chunk_start") / stride).cast("bigint").alias("chunk_idx"),
+            "chunk_start",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected by deterministic
+    md5(id) order — the per-domain document cap used to stop a handful
+    of giant crawl domains from dominating a training mix.
+
+    Skew-aware two-phase plan instead of a global window: a group-grain
+    count (map-side combinable, output = #groups rows) splits groups
+    into under-cap and over-cap. Under-cap groups pass through with a
+    broadcast anti-join — NO sort and NO per-group shuffle for the
+    common case. Only over-cap groups (broadcast semi-join) pay the
+    row_number shuffle+sort, and only their rows travel. At 100 TB with
+    a power-law domain distribution this sorts the few hot domains
+    instead of the whole corpus; membership is rerun-stable because the
+    order key is a pure function of the row.
+    """
+    slim = df.select(group_col, id_col)
+    over = (
+        slim.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select(group_col)
+    )
+    keep_small = slim.join(F.broadcast(over), group_col, "left_anti")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    )
+    keep_big = (
+        slim.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return keep_small.unionByName(keep_big)

@@ -469,6 +469,24 @@ _DEFS: list[QueryDef] = [
         SQ.EVENTS_STREAM_SSJOIN_SQL,
         ("streaming", "join", "interval"),
     ),
+    QueryDef(
+        "doc_chunk_overlap",
+        TQ.doc_chunk_overlap,
+        TQ.DOC_CHUNK_SQL,
+        ("text", "training", "chunking"),
+    ),
+    QueryDef(
+        "doc_source_cap",
+        TQ.doc_source_cap,
+        TQ.DOC_SOURCE_CAP_SQL,
+        ("text", "training", "rebalance", "skew"),
+    ),
+    QueryDef(
+        "doc_pii_scrub",
+        TQ.doc_pii_scrub,
+        TQ.DOC_PII_SQL,
+        ("text", "training", "redaction"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

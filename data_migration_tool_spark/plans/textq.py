@@ -915,3 +915,105 @@ SELECT a.name AS name_a, b.name AS name_b,
 FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 4
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width chunking with overlap (context-window training layout)
+# ---------------------------------------------------------------------------
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """200-char chunks on a 150-char stride (50 overlap). Map-only:
+    the chunk table is produced at scan throughput with no shuffle —
+    see operators.textops.chunk_with_overlap."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.chunk_with_overlap(d, size=200, stride=150)
+
+
+DOC_CHUNK_SQL = """
+SELECT doc_id,
+       gs // 150 AS chunk_idx,
+       gs AS chunk_start,
+       length(substring(text, gs + 1, 200)) AS chunk_len,
+       md5(substring(text, gs + 1, 200)) AS chunk_md5
+FROM documents,
+     unnest(generate_series(0, ((length(text) - 1) // 150) * 150, 150)) AS t(gs)
+WHERE length(text) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain-cap rebalancing)
+# ---------------------------------------------------------------------------
+
+def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ≤15 docs per source by deterministic md5 order. The oracle
+    is a plain QUALIFY window; the Spark plan is the skew-aware
+    two-phase split (sort only over-cap sources) — same result set."""
+    d = load_table(spark, sf_dir, "documents")
+    return TO.cap_per_group(d, "source", "doc_id", cap=15).select(
+        "doc_id", "source"
+    )
+
+
+DOC_SOURCE_CAP_SQL = """
+SELECT doc_id, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction pass with audit counts)
+# ---------------------------------------------------------------------------
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones and audit what was removed. The corpus is
+    synthetic word-soup with no organic PII, so the query plants one
+    deterministic email + phone per row (a pure function of doc_id)
+    and the oracle replicates the planting — the scrubber is thereby
+    exercised on every row with a non-trivial expected output. Entire
+    pass is scan-side regexp work: zero shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = TX.scrub_pii(aug)
+    return d.select(
+        "doc_id",
+        TX.pii_counts(aug).alias("_p"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    ).select("doc_id", "_p.n_emails", "_p.n_phones", "clean_len", "clean_md5")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+DOC_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), clean AS (
+  SELECT doc_id, t,
+         regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS c
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       length(c) AS clean_len,
+       md5(c) AS clean_md5
+FROM clean
+"""

@@ -871,3 +871,58 @@ def test_pca_matches_numpy_reference(spark):
     assert np.allclose(got, expect, atol=1e-9)
     # variance ordering: explained variance non-increasing
     assert np.all(np.diff(model.explained_variance) <= 1e-12)
+
+
+def test_chunk_with_overlap_matches_bruteforce(spark):
+    docs = [
+        (1, "a" * 48),            # single short chunk
+        (2, "xy" * 100),          # 200 chars: exactly one full chunk
+        (3, "b" * 301),           # start 300 is in-text -> 3 chunks
+        (4, "c" * 300),           # start 300 is NOT in-text -> 2 chunks
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len)
+        for r in TO.chunk_with_overlap(df, size=200, stride=150).collect()
+    }
+    want = {}
+    for doc_id, text in docs:
+        for i, start in enumerate(range(0, len(text), 150)):
+            want[(doc_id, i)] = (start, len(text[start : start + 200]))
+    assert got == want
+
+
+def test_cap_per_group_counts_and_determinism(spark):
+    rows = [(f"g{i % 3}", i) for i in range(60)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out1 = TO.cap_per_group(df, "source", "doc_id", cap=7)
+    counts = {r.source: r.n for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 7, "g1": 7, "g2": 7, "tiny": 1}
+    # rerun-stable membership: same ids selected both times
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(r.doc_id for r in TO.cap_per_group(df, "source", "doc_id", cap=7).collect())
+    assert ids1 == ids2
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from data_migration_tool_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now or call +1-555-0199 ok"),
+            (2, "no pii here, just 42 and a-b"),
+            (3, "two mails a@b.io c_d@e-f.com and 44-201-5550"),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r.id: (r.clean, r.c.n_emails, r.c.n_phones)
+        for r in df.select(
+            "id",
+            TX.scrub_pii("t").alias("clean"),
+            TX.pii_counts("t").alias("c"),
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> now or call <PHONE> ok", 1, 1)
+    assert out[2] == ("no pii here, just 42 and a-b", 0, 0)
+    assert out[3] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 1)
