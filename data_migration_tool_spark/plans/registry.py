@@ -487,6 +487,18 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_PII_SQL,
         ("text", "training", "redaction"),
     ),
+    QueryDef(
+        "emb_dup_clusters",
+        VQ.emb_dup_clusters,
+        VQ.EMB_DUP_CLUSTERS_SQL,
+        ("vector", "dedup", "clusters"),
+    ),
+    QueryDef(
+        "events_stream_dedup",
+        SQ.events_stream_dedup,
+        SQ.EVENTS_STREAM_DEDUP_SQL,
+        ("streaming", "dedup", "stateful"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

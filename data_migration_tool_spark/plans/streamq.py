@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from data_migration_tool_spark.streaming.file_stream import windowed_event_counts
 from data_migration_tool_spark.tables import (
     _nanos_timestamp_cols,
+    load_table,
     normalize_timestamps,
     table_path,
 )
@@ -443,4 +444,67 @@ SELECT c_mktsegment, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
+"""
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion under at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on event_id removes redelivered
+    events before aggregation. The staging step writes the events table
+    DOUBLED (every event delivered twice — the at-least-once worst
+    case) into the landing dir as one file, so the dedup operator must
+    discard exactly half the input to match the batch-distinct oracle.
+
+    State contract at scale: one entry per event_id seen within the
+    watermark horizon, evicted as the watermark passes — unlike plain
+    ``dropDuplicates`` (unbounded state forever), this is the form that
+    survives an infinite stream. Duplicates must arrive within the
+    watermark of each other — exactly the redelivery window a
+    replaying source (Kafka offset rewind, file re-land) produces."""
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_sdedup_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+
+    batch = load_table(spark, sf_dir, "events")
+    doubled = batch.unionByName(batch)
+    # parallel staging write; the files all land in the FIRST micro-batch
+    # (well under maxFilesPerTrigger), so dedup sees every duplicate in
+    # one batch and the result is deterministic
+    doubled.write.parquet(os.path.join(landing, "doubled"))
+
+    schema = batch.schema
+    stream = normalize_timestamps(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+    sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select("event_type", "n_events", "sum_value")
+
+
+EVENTS_STREAM_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
 """

@@ -17,6 +17,7 @@ from data_migration_tool_spark.functions.vectors import (
     cosine_similarity,
     int8_quantize_stats,
 )
+from data_migration_tool_spark.operators import dedup as DD
 from data_migration_tool_spark.operators import similarity as SIM
 from data_migration_tool_spark.tables import load_table
 
@@ -382,15 +383,17 @@ def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_pair_ctes() -> str:
+    """CTE chain ending in ``lsh_pairs(id_a, id_b, bucket)`` — the
+    sign-LSH near-dup pair set, shared by the pair query's oracle and
+    the semantic-cluster oracle."""
     from data_migration_tool_spark.operators.similarity import hyperplane_signs
 
     rows = ",\n  ".join(
         f"({b}, {[float(s) for s in row]})"
         for b, row in enumerate(hyperplane_signs(n_bits=4, dim=64))
     )
-    return f"""
-WITH planes(b, s) AS (VALUES
+    return f"""planes(b, s) AS (VALUES
   {rows}
 ),
 d AS (
@@ -403,16 +406,52 @@ bk AS (
   SELECT vec_id,
          CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
   FROM d GROUP BY vec_id
+),
+lsh_pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, ab.bucket
+  FROM embeddings a JOIN bk ab ON ab.vec_id = a.vec_id
+  JOIN bk cb ON cb.bucket = ab.bucket
+  JOIN embeddings c ON c.vec_id = cb.vec_id AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
+)"""
+
+
+EMB_LSH_NEAR_DUP_SQL = (
+    "WITH " + _lsh_pair_ctes() + "\nSELECT id_a, id_b, bucket FROM lsh_pairs"
 )
-SELECT a.vec_id AS id_a, c.vec_id AS id_b, ab.bucket
-FROM embeddings a JOIN bk ab ON ab.vec_id = a.vec_id
-JOIN bk cb ON cb.bucket = ab.bucket
-JOIN embeddings c ON c.vec_id = cb.vec_id AND a.vec_id < c.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
+
+
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: sign-LSH bucketed near-dup pairs
+    (``emb_lsh_near_dups``) resolved into connected components by
+    min-label propagation — (vec_id, cluster_id = min vec_id in the
+    component). The full semantic-dup pipeline a training mix runs over
+    embedding space: bucket → verify cosine → cluster → (downstream)
+    keep one per cluster. Same O(diameter)-round iteration as the
+    MinHash document path; the oracle states the identical clustering
+    declaratively as a recursive CTE over the identical pair set."""
+    pairs = emb_lsh_near_dups(spark, sf_dir)
+    return DD.dup_clusters(pairs, id_col="vec_id")
+
+
+EMB_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+),
+clusters AS (
+  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id, cluster_id FROM clusters
 """
-
-
-EMB_LSH_NEAR_DUP_SQL = _lsh_oracle_sql()
 
 
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
