@@ -499,6 +499,12 @@ _DEFS: list[QueryDef] = [
         SQ.EVENTS_STREAM_DEDUP_SQL,
         ("streaming", "dedup", "stateful"),
     ),
+    QueryDef(
+        "embedding_pq_codes",
+        VQ.embedding_pq_codes,
+        VQ.EMB_PQ_SQL,
+        ("vector", "compression", "pq"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

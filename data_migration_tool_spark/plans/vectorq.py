@@ -470,3 +470,52 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcs", 1), 6).alias("pc1"),
         F.round(F.element_at("pcs", 2), 6).alias("pc2"),
     )
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding corpus: 64 dims → 8 subspace
+    codes (32× compression — the storage layout of billion-scale
+    IVF-PQ indexes) plus the per-vector quantization loss. Scan-side
+    expression work only; see operators/pq.py."""
+    from data_migration_tool_spark.operators.pq import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(e).select("vec_id", "codes", "recon_err")
+
+
+def _pq_oracle_sql() -> str:
+    from data_migration_tool_spark.operators.pq import pq_codebook
+
+    cb = pq_codebook()
+    rows = ",\n  ".join(
+        f"({s}, {j}, {list(c)}::DOUBLE[])"
+        for s, centroids in enumerate(cb)
+        for j, c in enumerate(centroids)
+    )
+    return f"""
+WITH cb(s, j, c) AS (VALUES
+  {rows}
+),
+d AS (
+  SELECT e.vec_id, cb.s, cb.j,
+         list_sum(list_transform(
+           list_transform(range(1, 9),
+             i -> e.embedding[cb.s * 8 + i]::DOUBLE - cb.c[i]),
+           x -> x * x)) AS dist
+  FROM embeddings e, cb
+),
+a AS (
+  SELECT vec_id, s, j AS code, dist AS mind FROM (
+    SELECT vec_id, s, j, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       list(code ORDER BY s) AS codes,
+       list_sum(list(mind ORDER BY s)) AS recon_err
+FROM a GROUP BY vec_id
+"""
+
+
+EMB_PQ_SQL = _pq_oracle_sql()

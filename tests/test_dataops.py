@@ -926,3 +926,33 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[1] == ("mail <EMAIL> now or call <PHONE> ok", 1, 1)
     assert out[2] == ("no pii here, just 42 and a-b", 0, 0)
     assert out[3] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 1)
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    from data_migration_tool_spark.operators.pq import pq_codebook, pq_encode
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id int, embedding array<float>",
+    )
+    cb = np.array(pq_codebook())  # (8, 16, 8)
+    got = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in pq_encode(df).collect()
+    }
+    for i in range(len(vecs)):
+        v = vecs[i].astype(np.float64)
+        want_codes, want_err = [], 0.0
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            d = ((sub[None, :] - cb[s]) ** 2).sum(axis=1)
+            j = int(d.argmin())
+            want_codes.append(j)
+            want_err += float(d[j])
+        codes, err = got[i]
+        assert codes == want_codes
+        assert abs(err - want_err) < 1e-9  # fold-order noise only
