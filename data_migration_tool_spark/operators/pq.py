@@ -107,3 +107,72 @@ def pq_encode(
     dmins = F.transform(subspaces, lambda s: best(s).getField("dist"))
     err = F.aggregate(dmins, F.lit(0.0), lambda acc, x: acc + x)
     return df.withColumn("codes", codes).withColumn("recon_err", err)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: rank PQ-encoded corpus rows against
+    raw query vectors. ``queries``: (query_id, q_emb array<float>);
+    ``corpus_codes``: (vec_id, codes array<int>).
+
+    ADC(q, t) = Σ_s ‖q_sub_s − centroid[s][codes_s]‖² — the query side
+    stays exact, only the corpus is quantized, which is what preserves
+    ranking quality at 32× compression. The query set broadcasts (it is
+    small by definition); the corpus-codes scan streams against it and
+    a single window takes the per-query top-k. Distances fold
+    sequentially (subspace-major, coordinate-minor) so the oracle's
+    nested list_sum reproduces them bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    cb = codebook or pq_codebook()
+    m, sub_dim = len(cb), len(cb[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+            for cents in cb
+        ]
+    )
+    q = F.col("q_emb")
+    codes = F.col("codes")
+
+    def sub_adc(s: Column) -> Column:
+        cent = F.element_at(
+            F.element_at(cb_lit, (s + F.lit(1)).cast("int")),
+            (F.element_at(codes, (s + F.lit(1)).cast("int")) + F.lit(1)).cast(
+                "int"
+            ),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(q, (s * sub_dim + i).cast("int")).cast("double")
+                - F.element_at(cent, i)
+            )
+            * (
+                F.element_at(q, (s * sub_dim + i).cast("int")).cast("double")
+                - F.element_at(cent, i)
+            ),
+        )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + sub_adc(s),
+    )
+    pairs = corpus_codes.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

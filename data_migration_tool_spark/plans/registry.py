@@ -505,6 +505,12 @@ _DEFS: list[QueryDef] = [
         VQ.EMB_PQ_SQL,
         ("vector", "compression", "pq"),
     ),
+    QueryDef(
+        "pq_adc_topk",
+        VQ.pq_adc_topk,
+        VQ.PQ_ADC_SQL,
+        ("vector", "ann", "pq"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -483,7 +483,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(e).select("vec_id", "codes", "recon_err")
 
 
-def _pq_oracle_sql() -> str:
+def _pq_ctes() -> str:
+    """CTE chain ending in ``pq(vec_id, codes, recon_err)`` — the PQ
+    encoding of the corpus, shared by the encode oracle and the ADC
+    search oracle."""
     from data_migration_tool_spark.operators.pq import pq_codebook
 
     cb = pq_codebook()
@@ -492,8 +495,7 @@ def _pq_oracle_sql() -> str:
         for s, centroids in enumerate(cb)
         for j, c in enumerate(centroids)
     )
-    return f"""
-WITH cb(s, j, c) AS (VALUES
+    return f"""cb(s, j, c) AS (VALUES
   {rows}
 ),
 d AS (
@@ -510,12 +512,66 @@ a AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
     FROM d
   ) WHERE rn = 1
+),
+pq AS (
+  SELECT vec_id,
+         list(code ORDER BY s) AS codes,
+         list_sum(list(mind ORDER BY s)) AS recon_err
+  FROM a GROUP BY vec_id
+)"""
+
+
+EMB_PQ_SQL = (
+    "WITH " + _pq_ctes() + "\nSELECT vec_id, codes, recon_err FROM pq"
 )
-SELECT vec_id,
-       list(code ORDER BY s) AS codes,
-       list_sum(list(mind ORDER BY s)) AS recon_err
-FROM a GROUP BY vec_id
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the search half of IVF-PQ: the corpus side carries only its 8 code
+    ids (32× less state than raw vectors; at 100 TB this is the
+    difference between an in-memory index and one that spills), and
+    each query scores a candidate by summing per-subspace exact
+    query-to-centroid distances looked up through the candidate's
+    codes. Queries broadcast; corpus codes stream; one window for the
+    per-query top-k."""
+    from data_migration_tool_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = PQ.pq_encode(e).select("vec_id", "codes")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.pq_adc_topk(queries, corpus, k=5)
+
+
+def _pq_adc_oracle_sql() -> str:
+    from data_migration_tool_spark.operators.pq import pq_codebook
+
+    cbl = repr(pq_codebook())  # nested list literal, valid DuckDB syntax
+    return f"""
+WITH {_pq_ctes()},
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, 8), s ->
+           list_sum(list_transform(
+             list_transform(range(1, 9),
+               i -> q.embedding[s * 8 + i]::DOUBLE
+                    - ({cbl}::DOUBLE[][][])[s + 1][t.codes[s + 1] + 1][i]),
+             x -> x * x)))) AS adc_dist
+  FROM q, pq t
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS rank
+  FROM pairs
+) WHERE rank <= 5
 """
 
 
-EMB_PQ_SQL = _pq_oracle_sql()
+PQ_ADC_SQL = _pq_adc_oracle_sql()
