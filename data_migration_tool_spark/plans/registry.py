@@ -511,6 +511,18 @@ _DEFS: list[QueryDef] = [
         VQ.PQ_ADC_SQL,
         ("vector", "ann", "pq"),
     ),
+    QueryDef(
+        "doc_filter_funnel",
+        TQ.doc_filter_funnel,
+        TQ.DOC_FILTER_FUNNEL_SQL,
+        ("text", "training", "quality", "funnel"),
+    ),
+    QueryDef(
+        "user_retention_cohorts",
+        WQ.user_retention_cohorts,
+        WQ.USER_RETENTION_SQL,
+        ("events", "window", "cohort"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1017,3 +1017,54 @@ SELECT doc_id,
        md5(c) AS clean_md5
 FROM clean
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (C4-style cascade with per-rule rejection audit)
+# ---------------------------------------------------------------------------
+
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality cascade — each document is attributed to the
+    FIRST rule that rejects it (or 'keep'), so the output is the audit
+    funnel a corpus-prep run reports: how many docs each rule removed
+    and how many characters survived. ONE scan computes every rule as
+    a lazy CASE chain and one map-side-combined groupBy over ≤5 stage
+    labels aggregates it — at 100 TB the funnel costs exactly one pass
+    and a 5-row shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    avg_tok = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    stage = (
+        F.when(F.length("text") < 100, "reject_min_length")
+        .when(TX.token_count("text") < 20, "reject_min_tokens")
+        .when(avg_tok > 12.0, "reject_avg_token_len")
+        .when(~F.col("lang").isin("en", "es", "de", "fr"), "reject_lang")
+        .otherwise("keep")
+    )
+    return (
+        d.select(stage.alias("stage"), F.length("text").alias("n"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+DOC_FILTER_FUNNEL_SQL = f"""
+WITH toks AS (SELECT doc_id, text, lang, {_TOKS} AS tk FROM documents),
+s AS (
+  SELECT text, CASE
+    WHEN length(text) < 100 THEN 'reject_min_length'
+    WHEN len(tk) < 20 THEN 'reject_min_tokens'
+    WHEN list_sum(list_transform(tk, t -> length(t)))::DOUBLE
+         / greatest(len(tk), 1) > 12.0 THEN 'reject_avg_token_len'
+    WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'reject_lang'
+    ELSE 'keep' END AS stage
+  FROM toks)
+SELECT stage, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM s GROUP BY stage
+"""

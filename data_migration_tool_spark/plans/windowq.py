@@ -751,3 +751,44 @@ SELECT o_custkey, first_price, last_price, second_price FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (first-touch week × activity-week offset)
+# ---------------------------------------------------------------------------
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-event week,
+    counted distinct in each subsequent week offset. Two shuffles on
+    user_id (first-touch agg, then the event join — co-partitioned, so
+    AQE plans them back-to-back without a third exchange) and one
+    final small agg at (cohort × offset) grain."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = first.select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).cast("date").alias("cw"),
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cw")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+USER_RETENTION_SQL = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+c AS (SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cw FROM f)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN c ON c.user_id = e.user_id
+GROUP BY 1, 2
+"""
