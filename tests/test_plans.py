@@ -258,3 +258,51 @@ def test_lm_fluency_model_table_not_broadcast_by_hand(spark):
     simple = _plan(spark, "doc_lm_fluency", mode="simple")
     assert "Python" not in simple
     assert "CartesianProduct" not in simple
+
+
+def test_chunk_overlap_is_scan_only(spark):
+    # chunking must be a pure map: no exchange anywhere in the plan
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_source_cap_sorts_only_overcap_branch(spark):
+    # the pass-through (anti-join) branch must reach the union without
+    # a sort; only the over-cap branch carries the single Window
+    simple = _plan(spark, "doc_source_cap", mode="simple")
+    assert simple.count("Window [") == 1  # WindowGroupLimit lines excluded
+    assert simple.count("BroadcastHashJoin") == 2  # anti + semi, both broadcast
+    assert "Union" in simple
+    # the anti branch prints first: no Sort anywhere above/within it
+    anti = simple.index("LeftAnti")
+    assert "Sort" not in simple[:anti]
+    # bonus: row_number cap is pre-limited below the shuffle
+    assert "WindowGroupLimit" in simple
+
+
+def test_pq_encode_scan_only_and_no_python(spark):
+    plan = _plan(spark, "embedding_pq_codes")
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan
+
+
+def test_pq_adc_broadcasts_queries(spark):
+    plan = _plan(spark, "pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan
+
+
+def test_filter_funnel_single_partial_agg_shuffle(spark):
+    # one scan, partial agg before the exchange, 5-row final agg
+    simple = _plan(spark, "doc_filter_funnel", mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "partial_count" in _plan(spark, "doc_filter_funnel")
+
+
+def test_retention_cohorts_copartitioned_shuffles(spark):
+    # no more than: first-touch agg exchange, join exchanges, final agg
+    simple = _plan(spark, "user_retention_cohorts", mode="simple")
+    assert simple.count("Exchange") <= 4
