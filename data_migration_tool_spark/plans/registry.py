@@ -523,6 +523,12 @@ _DEFS: list[QueryDef] = [
         WQ.USER_RETENTION_SQL,
         ("events", "window", "cohort"),
     ),
+    QueryDef(
+        "minhash_recall_gate",
+        TQ.minhash_recall_gate,
+        TQ.MINHASH_RECALL_SQL,
+        ("text", "dedup", "recall"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1068,3 +1068,66 @@ SELECT stage, COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM s GROUP BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall gate (candidate-generation quality contract)
+# ---------------------------------------------------------------------------
+
+def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate path against the exact
+    inverted-index all-pairs answer at the same Jaccard threshold —
+    the dedup twin of ``ann_recall_gate``. LSH-verified pairs are a
+    subset of the exact pairs (verification recomputes exact Jaccard),
+    so recall measures pure banding misses: how many true near-dup
+    pairs never landed in a shared band. One row; ``meets_bound``
+    hash-flips if a banding change degrades recall below the declared
+    contract."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = DD.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    lsh = (
+        DD.minhash_lsh_dedup(d, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left_outer")
+        .agg(
+            F.lit(16).alias("num_hashes"),
+            F.lit(4).alias("band_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .withColumn("meets_bound", F.col("recall") >= 0.70)
+    )
+
+
+MINHASH_RECALL_SQL = f"""
+WITH {_MINHASH_CTES},
+exact_common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM exact_common c
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+)
+SELECT num_hashes, band_rows, n_exact_pairs, recall,
+       recall >= 0.70 AS meets_bound
+FROM (
+  SELECT 16 AS num_hashes, 4 AS band_rows,
+         COUNT(*) AS n_exact_pairs,
+         round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+  FROM exact e
+  LEFT JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+"""

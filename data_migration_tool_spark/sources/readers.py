@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "avro", "text")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "avro", "text", "xml")
 
 
 def _avro_available(spark: SparkSession) -> bool:
@@ -71,6 +71,10 @@ def read_table(
         )
         if not schema_ddl:
             reader = reader.option("inferSchema", "true")
+    if fmt == "xml" and "rowTag" not in (options or {}):
+        # Spark 4 native XML needs the repeating element name; "row" is
+        # our writer's default so round-trips work with no options
+        reader = reader.option("rowTag", "row")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.format(fmt).load(path)

@@ -37,6 +37,8 @@ def write_table(
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv" and delimiter:
         writer = writer.option("sep", delimiter)
+    if fmt == "xml":
+        writer = writer.option("rootTag", "rows").option("rowTag", "row")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if target_file_rows:

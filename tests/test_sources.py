@@ -456,3 +456,21 @@ def test_fixedwidth_datasource(spark, tmp_path):
     assert rows[2] == ("bob", 3.25)
     assert rows[3] == ("carol женщина", 99.99)
     assert rows[4] == ("dave", None)
+
+
+def test_orc_and_xml_round_trip(spark, tmp_path):
+    from data_migration_tool_spark.sources.readers import read_table
+    from data_migration_tool_spark.sources.writers import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id bigint, name string, score double",
+    )
+    for fmt in ("orc", "xml"):
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt)
+        got = sorted(
+            (r["id"], r["name"], float(r["score"])) for r in back.collect()
+        )
+        assert got == [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)]
