@@ -529,6 +529,18 @@ _DEFS: list[QueryDef] = [
         TQ.MINHASH_RECALL_SQL,
         ("text", "dedup", "recall"),
     ),
+    QueryDef(
+        "pq_adc_rerank",
+        VQ.pq_adc_rerank,
+        VQ.PQ_RERANK_SQL,
+        ("vector", "ann", "pq", "rerank"),
+    ),
+    QueryDef(
+        "corpus_stopword_filter",
+        TQ.corpus_stopword_filter,
+        TQ.CORPUS_STOPWORD_SQL,
+        ("text", "training", "boilerplate"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

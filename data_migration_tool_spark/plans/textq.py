@@ -1131,3 +1131,89 @@ FROM (
   LEFT JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-adaptive stopword discovery + filtering (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def corpus_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discover corpus-specific stopwords (tokens whose document
+    frequency exceeds 78% of the corpus) and strip them from every
+    document — the data-driven flavor of boilerplate removal: no fixed
+    word list, the corpus defines its own noise.
+
+    Scale shape: the DF table lives at VOCABULARY grain (distinct
+    (doc,token) partial-aggregated before its shuffle), the corpus size
+    is a 1-row broadcast, and the discovered stoplist broadcasts back
+    into a scan-side anti-join — the token stream is never reshuffled
+    by frequency. The per-doc re-assembly groupBy on doc_id is the one
+    row-grain shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "token")
+    )
+    df_tab = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        df_tab.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > 0.78 * F.col("n_docs"))
+        .select("token")
+    )
+    kept = toks.join(F.broadcast(stop), "token", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        d.select("doc_id", TX.token_count("text").cast("bigint").alias("n_before"))
+        .join(agg, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+CORPUS_STOPWORD_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+stop AS (SELECT token FROM dfreq, n WHERE df > 0.78 * n_docs),
+tok_pos AS (
+  SELECT doc_id, i AS pos, tk[i] AS token
+  FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, pos, token FROM tok_pos
+  WHERE token NOT IN (SELECT token FROM stop)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_before,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.kept_md5, md5('')) AS kept_md5
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""

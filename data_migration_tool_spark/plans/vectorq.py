@@ -575,3 +575,95 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 
 
 PQ_ADC_SQL = _pq_adc_oracle_sql()
+
+
+def pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production IVF-PQ serving shape:
+    stage 1 scans only the 8-byte PQ codes and takes ADC top-20
+    candidates per query (cheap, compressed, approximate); stage 2
+    joins JUST those candidates back to their raw vectors and re-ranks
+    by exact cosine for the final top-5. At 100 TB the exact math
+    touches 20 rows per query instead of the corpus — the candidate
+    join is a broadcast (queries × 20 ids), so stage 2 adds no
+    corpus-scale shuffle."""
+    from data_migration_tool_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = PQ.pq_encode(e).select("vec_id", "codes")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = PQ.pq_adc_topk(queries, corpus, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        F.broadcast(cands.join(F.broadcast(queries), "query_id"))
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_emb", "n_emb"), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _pq_rerank_oracle_sql() -> str:
+    from data_migration_tool_spark.operators.pq import pq_codebook
+
+    cbl = repr(pq_codebook())
+    return f"""
+WITH {_pq_ctes()},
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, 8), s ->
+           list_sum(list_transform(
+             list_transform(range(1, 9),
+               i -> q.embedding[s * 8 + i]::DOUBLE
+                    - ({cbl}::DOUBLE[][][])[s + 1][t.codes[s + 1] + 1][i]),
+             x -> x * x)))) AS adc_dist
+  FROM q, pq t
+),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+           ) AS rk
+    FROM pairs
+  ) WHERE rk <= 20
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ne.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+PQ_RERANK_SQL = _pq_rerank_oracle_sql()
