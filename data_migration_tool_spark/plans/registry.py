@@ -541,6 +541,18 @@ _DEFS: list[QueryDef] = [
         TQ.CORPUS_STOPWORD_SQL,
         ("text", "training", "boilerplate"),
     ),
+    QueryDef(
+        "events_hourly_anomaly_flags",
+        SQ.events_hourly_anomaly_flags,
+        SQ.EVENTS_ANOMALY_SQL,
+        ("events", "window", "anomaly"),
+    ),
+    QueryDef(
+        "part_cooccurrence_topk",
+        R.part_cooccurrence_topk,
+        R.PART_COOCCUR_SQL,
+        ("join", "basket", "topk"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

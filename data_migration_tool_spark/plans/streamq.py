@@ -508,3 +508,85 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def events_hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection at hourly grain: each (event_type, hour)
+    bucket is compared to its own trailing 24 observed buckets — flag
+    when the count exceeds mean + 3σ. The monitoring query an ingest
+    pipeline runs continuously.
+
+    Exactness across engines: bucket counts are integers; trailing sum
+    and sum-of-squares stay integer under the window; mean/σ derive
+    from them with an identical double formula both sides, so even the
+    flag boolean is hash-stable. One shuffle to hourly grain (map-side
+    combined), one window ordered within event_type — aggregate-scale
+    state, never event-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n.cast("double")
+    var = F.greatest(
+        ss.cast("double") / n.cast("double") - mean * mean, F.lit(0.0)
+    )
+    flagged = hourly.select(
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n_events",
+        n.alias("n_trailing"),
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(F.sqrt(var), 6).alias("trailing_sd"),
+        (
+            (n >= 12)
+            & (F.col("n_events").cast("double") > mean + 3.0 * F.sqrt(var))
+        ).alias("is_anomaly"),
+    )
+    return flagged
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hr, event_type, n_events,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS ss,
+         COUNT(*) OVER w AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       n_events,
+       n AS n_trailing,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS trailing_mean,
+       round(sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6)
+         AS trailing_sd,
+       (n >= 12) AND (CAST(n_events AS DOUBLE)
+         > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           + 3.0 * sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)))
+         AS is_anomaly
+FROM stats
+"""
