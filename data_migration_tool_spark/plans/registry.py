@@ -553,6 +553,12 @@ _DEFS: list[QueryDef] = [
         R.PART_COOCCUR_SQL,
         ("join", "basket", "topk"),
     ),
+    QueryDef(
+        "doc_shingle_novelty",
+        TQ.doc_shingle_novelty,
+        TQ.DOC_NOVELTY_SQL,
+        ("text", "training", "novelty"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1217,3 +1217,72 @@ SELECT t.doc_id,
        COALESCE(a.kept_md5, md5('')) AS kept_md5
 FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty (per-doc contribution to corpus diversity)
+# ---------------------------------------------------------------------------
+
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty score per document: the fraction of its distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    document. High-novelty docs add new content; near-zero novelty
+    marks recombinations of already-seen text — the cheap scalar
+    complement of pairwise near-dup detection, usable as a sampling
+    weight. Shingle first-owners aggregate at shingle grain (one
+    map-combined shuffle); the verdict joins back on (doc, shingle)
+    and re-aggregates at doc grain — both shuffles carry shingle/doc
+    keys, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text"))).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH {_SHINGLES_CTE},
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN first f ON f.shingle = s.shingle
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_shingles, 0) > 0
+            THEN round(CAST(p.n_novel AS DOUBLE) / CAST(p.n_shingles AS DOUBLE), 6)
+            END AS novelty
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
