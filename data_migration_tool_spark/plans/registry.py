@@ -559,6 +559,12 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_NOVELTY_SQL,
         ("text", "training", "novelty"),
     ),
+    QueryDef(
+        "orders_monthly_trend",
+        R.orders_monthly_trend,
+        R.ORDERS_MONTHLY_SQL,
+        ("agg", "window", "trend"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1097,3 +1097,47 @@ GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT 20
 """
+
+
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume and revenue growth. The raw table
+    collapses to month grain first (map-combined, one shuffle), so the
+    unpartitioned ordering window that computes lag/growth runs over
+    ~84 rows — aggregate-scale, where a single-partition window is the
+    right plan, not a bottleneck. Revenue accumulates as decimal
+    (exact at any parallelism); growth is a double ratio of those
+    exact totals, rounded for stable cross-engine repr."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.when(prev > 0, (F.col("revenue") - prev) / prev), 6
+        ).alias("mom_growth"),
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       round(CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0
+                  THEN (revenue - LAG(revenue) OVER (ORDER BY month))
+                       / LAG(revenue) OVER (ORDER BY month) END, 6) AS mom_growth
+FROM monthly
+"""
