@@ -565,6 +565,12 @@ _DEFS: list[QueryDef] = [
         R.ORDERS_MONTHLY_SQL,
         ("agg", "window", "trend"),
     ),
+    QueryDef(
+        "embedding_centroid_dist",
+        VQ.embedding_centroid_dist,
+        VQ.EMB_CENTROID_DIST_SQL,
+        ("vector", "clustering", "quality"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -667,3 +667,72 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 PQ_RERANK_SQL = _pq_rerank_oracle_sql()
+
+
+def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: squared L2 distance of every vector to
+    its LABEL's centroid — the per-point signal behind inertia/drift
+    monitoring of a partitioned embedding corpus.
+
+    Exactness strategy: centroids are means of per-dimension DECIMAL
+    sums (order-independent, so any partitioning yields the same
+    centroid bit-for-bit); per-vector distances then fold the 64
+    squared diffs in dimension order (sort_array + sequential
+    aggregate), matching the oracle's ordered list_sum. Shuffles:
+    (label, dim) centroid agg — 64·|labels| rows — broadcast back to
+    the (vec, dim) stream, one vec-grain re-agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    sq = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.struct(
+                F.col("pos").alias("pos"),
+                ((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).alias("s"),
+            ).alias("ps"),
+        )
+    )
+    return (
+        sq.groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("ps")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.getField("s"),
+                ),
+                6,
+            ).alias("dist_sq")
+        )
+    )
+
+
+EMB_CENTROID_DIST_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+),
+sq AS (
+  SELECT e.vec_id, e.label, e.pos, (e.val - c.c) * (e.val - c.c) AS s
+  FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+)
+SELECT vec_id, label, round(list_sum(list(s ORDER BY pos)), 6) AS dist_sq
+FROM sq GROUP BY vec_id, label
+"""
