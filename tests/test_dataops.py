@@ -956,3 +956,43 @@ def test_pq_encode_matches_numpy(spark):
         codes, err = got[i]
         assert codes == want_codes
         assert abs(err - want_err) < 1e-9  # fold-order noise only
+
+
+def test_anomaly_flags_seeded_spike(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.streamq import (
+        events_hourly_anomaly_flags,
+    )
+
+    # 40 quiet hours of 5 events, then one 500-event spike hour
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for h in range(41):
+        n = 500 if h == 40 else 5
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=i), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq_.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    out = {r.hour: r for r in events_hourly_anomaly_flags(spark, sf_dir).collect()}
+    spike = "2024-03-02 16:00"  # base + 40 hours
+    assert out[spike].is_anomaly is True
+    assert all(r.is_anomaly is False for h, r in out.items() if h != spike)
