@@ -571,6 +571,12 @@ _DEFS: list[QueryDef] = [
         VQ.EMB_CENTROID_DIST_SQL,
         ("vector", "clustering", "quality"),
     ),
+    QueryDef(
+        "corpus_temperature_mix",
+        TQ.corpus_temperature_mix,
+        TQ.CORPUS_TEMP_MIX_SQL,
+        ("text", "training", "sampling", "multilingual"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1286,3 +1286,102 @@ SELECT d.doc_id,
             END AS novelty
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted language mix (multilingual sampling rates)
+# ---------------------------------------------------------------------------
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across languages (T=2): target share ∝
+    (corpus share)^(1/T), the standard recipe for up-weighting
+    low-resource languages in a multilingual training mix. Per-language
+    acceptance rates derive from counts alone and are applied as a
+    deterministic md5-threshold scan predicate — membership is a pure
+    function of the row, rerun-stable at any scale.
+
+    Determinism across engines: every scalar comes from integer counts
+    through an identical formula; the one floating SUM (Σ√n over
+    languages) runs as an ORDERED cumulative window (both engines fold
+    frames sequentially), never an unordered aggregate. The language
+    table is a handful of rows — all of this is broadcast-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    wcum = W.orderBy("lang").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = langs.select(
+        "lang", "n", F.sum(F.sqrt(F.col("n").cast("double"))).over(wcum).alias("cums")
+    )
+    sum_sqrt = cum.agg(F.max_by("cums", "lang").alias("sum_sqrt"))
+    enriched = (
+        cum.crossJoin(F.broadcast(sum_sqrt))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n",
+            "n_total",
+            # target_p / corpus_share = (sqrt(n)/sum_sqrt) / (n/n_total)
+            (
+                (F.sqrt(F.col("n").cast("double")) / F.col("sum_sqrt"))
+                / (F.col("n").cast("double") / F.col("n_total").cast("double"))
+            ).alias("ratio"),
+        )
+    )
+    max_ratio = enriched.agg(F.max("ratio").alias("max_ratio"))
+    rates = enriched.crossJoin(F.broadcast(max_ratio)).select(
+        "lang", "n", (F.col("ratio") / F.col("max_ratio")).alias("rate")
+    )
+    # md5-prefix uniform in [0,1): conv 8 hex chars / 2^32
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    kept = (
+        d.select("doc_id", "lang", u.alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("rate"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .join(rates, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_total_lang"),
+            F.round("rate", 6).alias("rate"),
+            "n_kept",
+        )
+    )
+
+
+CORPUS_TEMP_MIX_SQL = """
+WITH langs AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+total AS (SELECT COUNT(*) AS n_total FROM documents),
+cum AS (
+  SELECT lang, n,
+         SUM(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cums
+  FROM langs
+),
+ss AS (SELECT cums AS sum_sqrt FROM cum ORDER BY lang DESC LIMIT 1),
+enriched AS (
+  SELECT lang, n, n_total,
+         (sqrt(CAST(n AS DOUBLE)) / sum_sqrt)
+         / (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) AS ratio
+  FROM cum, ss, total
+),
+mr AS (SELECT MAX(ratio) AS max_ratio FROM enriched),
+rates AS (
+  SELECT lang, n, ratio / max_ratio AS rate FROM enriched, mr
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON r.lang = d.lang
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+        / 4294967296.0 < r.rate
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n AS n_total_lang, round(r.rate, 6) AS rate,
+       k.n_kept
+FROM rates r JOIN kept k ON k.lang = r.lang
+"""

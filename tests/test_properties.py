@@ -215,3 +215,71 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, words):
                     out.append(tok)
             syms[w] = out
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=400), min_size=1, max_size=8
+    ),
+    size=st.integers(min_value=1, max_value=50),
+    overlap=st.integers(min_value=0, max_value=30),
+)
+def test_chunk_overlap_reconstruction_property(spark, texts, size, overlap):
+    """Every chunk equals the corresponding python slice; strides cover
+    the full text (no tail dropped) for any size/stride combination."""
+    from data_migration_tool_spark.operators.textops import chunk_with_overlap
+
+    stride = max(1, size - min(overlap, size - 1))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_start): (r.chunk_len, r.chunk_md5)
+        for r in chunk_with_overlap(df, size=size, stride=stride).collect()
+    }
+    import hashlib
+
+    want = {}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        for start in range(0, len(t), stride):
+            piece = t[start : start + size]
+            want[(i, start)] = (
+                len(piece),
+                hashlib.md5(piece.encode()).hexdigest(),
+            )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    cap=st.integers(min_value=1, max_value=10),
+)
+def test_cap_per_group_invariants(spark, groups, cap):
+    """Output size per group = min(n, cap); kept ids are a subset; and
+    membership equals the md5-rank model computed in python."""
+    import hashlib
+
+    from data_migration_tool_spark.operators.textops import cap_per_group
+
+    df = spark.createDataFrame(groups, "source string, doc_id long")
+    kept = [
+        (r.source, r.doc_id)
+        for r in cap_per_group(df, "source", "doc_id", cap=cap).collect()
+    ]
+    by_group: dict[str, list[int]] = {}
+    for g, i in groups:
+        by_group.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_group.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update((g, i) for i in ranked[:cap])
+    assert set(kept) == want and len(kept) == len(want)
