@@ -600,12 +600,12 @@ _PRIORITY: tuple[str, ...] = (
     "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",
-    "doc_token_frequencies",
+    "doc_chunk_overlap",
     "doc_exact_dedup",
     "doc_minhash_lsh_dedup",
     "doc_dup_clusters",
     "doc_ngram_jaccard_pairs",
-    "doc_simhash",
+    "doc_source_cap",
     "corpus_prep_pipeline",
     "knn_brute_force",
     "embedding_cosine_stats",
@@ -628,10 +628,10 @@ _PRIORITY: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "doc_train_val_test_split",
     "media_feature_extract",
-    "media_frame_luma",
+    "embedding_pq_codes",
     "orders_upsert_merge",
     "sketch_distinct_users",
-    "sketch_price_median",
+    "events_stream_dedup",
     "orders_table_profile",
     "referential_integrity_orphans",
     "order_reconciliation",
