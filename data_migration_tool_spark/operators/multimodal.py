@@ -467,3 +467,77 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             meta = (w, h, nf * 200, "video/avi")
         rows.append((i, kind, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor downsample of BMP images by ``factor`` — the
+    resize stage of a vision-data pipeline (thumbnailing before feature
+    extraction). Real pixel work: decode the 24-bit BMP, normalize to
+    logical top-down orientation (BMP stores rows bottom-up), take
+    every ``factor``-th pixel from (0,0), and report the downsampled
+    dims plus integer pixel sum (exact) and mean (derived sum/count, so
+    no float-accumulation-order dependence).
+
+    Same dedup-before-decode shape as ``extract_media_features``:
+    distinct blobs resize once, results join back by content hash."""
+    import struct as _struct
+
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
+        ["content_sha"]
+    )
+
+    def _resize_one(content: bytes) -> tuple:
+        if len(content) < 54 or content[:2] != b"BM":
+            return (None, None, None)
+        offset = _struct.unpack_from("<I", content, 10)[0]
+        w = _struct.unpack_from("<i", content, 18)[0]
+        h = _struct.unpack_from("<i", content, 22)[0]
+        bpp = _struct.unpack_from("<H", content, 28)[0]
+        comp = _struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return (None, None, None)
+        n_rows = abs(h)
+        row_size = (3 * w + 3) // 4 * 4
+        if offset + row_size * n_rows > len(content):
+            return (None, None, None)
+        arr = np.frombuffer(
+            content, np.uint8, count=row_size * n_rows, offset=offset
+        ).reshape(n_rows, row_size)
+        px = arr[:, : 3 * w].reshape(n_rows, w, 3)
+        logical = px[::-1] if h > 0 else px  # undo bottom-up storage
+        ds = logical[::factor, ::factor, 0]  # grayscale: channels equal
+        return (
+            int(ds.shape[1]),
+            int(ds.shape[0]),
+            int(ds.astype(np.int64).sum()),
+        )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [_resize_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "content_sha": pdf["content_sha"].values,
+                    "out_w": pd.array([r[0] for r in recs], dtype="Int32"),
+                    "out_h": pd.array([r[1] for r in recs], dtype="Int32"),
+                    "ds_pixel_sum": pd.array(
+                        [r[2] for r in recs], dtype="Int64"
+                    ),
+                }
+            )
+
+    resized = distinct_blobs.mapInPandas(
+        dec, "content_sha string, out_w int, out_h int, ds_pixel_sum long"
+    )
+    return hashed.join(resized, "content_sha").select(
+        "media_id",
+        "out_w",
+        "out_h",
+        "ds_pixel_sum",
+        F.round(
+            F.col("ds_pixel_sum").cast("double")
+            / (F.col("out_w") * F.col("out_h")).cast("double"),
+            6,
+        ).alias("ds_mean_luma"),
+    )

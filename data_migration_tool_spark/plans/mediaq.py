@@ -209,3 +209,41 @@ SELECT doc_id AS media_id,
 FROM documents
 WHERE doc_id % 3 = 2
 """
+
+
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2× nearest-neighbor thumbnail pass over the image subset of the
+    media corpus — REAL BMP pixel decode + stride sampling
+    (operators/multimodal.resize_images), dedup-before-decode. The
+    oracle regenerates the sampled pixel lattice arithmetically from
+    the same deterministic pixel function, so dims, exact integer
+    pixel sum, and derived mean all hash-match."""
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "image"
+    )
+    from data_migration_tool_spark.operators.multimodal import resize_images
+
+    return resize_images(media, factor=2)
+
+
+MEDIA_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id,
+         (w + 1) // 2 AS w2, (h + 1) // 2 AS h2,
+         list_transform(range(((w + 1) // 2) * ((h + 1) // 2)),
+           i -> (doc_id + 2 * (i % ((w + 1) // 2))
+                 + 3 * (2 * (i // ((w + 1) // 2)))) % 256) AS vals
+  FROM dims
+)
+SELECT doc_id AS media_id,
+       CAST(w2 AS INT) AS out_w,
+       CAST(h2 AS INT) AS out_h,
+       CAST(list_sum(vals) AS BIGINT) AS ds_pixel_sum,
+       round(CAST(list_sum(vals) AS DOUBLE) / CAST(w2 * h2 AS DOUBLE), 6)
+         AS ds_mean_luma
+FROM px
+"""

@@ -577,6 +577,12 @@ _DEFS: list[QueryDef] = [
         TQ.CORPUS_TEMP_MIX_SQL,
         ("text", "training", "sampling", "multilingual"),
     ),
+    QueryDef(
+        "media_image_resize",
+        MQ.media_image_resize,
+        MQ.MEDIA_RESIZE_SQL,
+        ("media", "multimodal", "resize"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
