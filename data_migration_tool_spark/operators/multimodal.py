@@ -541,3 +541,71 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
             6,
         ).alias("ds_mean_luma"),
     )
+
+
+def frame_audio(media: DataFrame, frame_size: int = 8) -> DataFrame:
+    """Frame the PCM payload of WAV blobs into fixed-size windows and
+    report per-frame energy — the framing primitive under VAD /
+    silence trimming / audio feature extraction. Real decode: RIFF
+    walk to the data chunk, int16 samples, per-frame integer
+    sum-of-squares (exact); RMS derives as sqrt(sq_sum/n) so no float
+    accumulation order is involved. Frames explode executor-side in
+    the same Arrow pass as the decode; dedup-before-decode as usual."""
+    import struct as _struct
+
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
+        ["content_sha"]
+    )
+
+    def _frames_of(content: bytes) -> list[tuple]:
+        if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            return []
+        pos = 12
+        samples = None
+        while pos + 8 <= len(content):
+            cid, size = _struct.unpack_from("<4sI", content, pos)
+            if cid == b"data":
+                n = size // 2
+                samples = _struct.unpack_from(f"<{n}h", content, pos + 8)
+                break
+            pos += 8 + size + (size & 1)
+        if samples is None:
+            return []
+        out = []
+        for f in range(0, (len(samples) + frame_size - 1) // frame_size):
+            chunk = samples[f * frame_size : (f + 1) * frame_size]
+            out.append((f, len(chunk), sum(int(s) * int(s) for s in chunk)))
+        return out
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, idxs, ns, sqs = [], [], [], []
+            for sha, content in zip(pdf["content_sha"], pdf["content"]):
+                for f, n, sq in _frames_of(content):
+                    shas.append(sha)
+                    idxs.append(f)
+                    ns.append(n)
+                    sqs.append(sq)
+            yield pd.DataFrame(
+                {
+                    "content_sha": pd.Series(shas, dtype="string"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sq_sum": pd.Series(sqs, dtype="int64"),
+                }
+            )
+
+    framed = distinct_blobs.mapInPandas(
+        dec, "content_sha string, frame_idx int, n_samples int, sq_sum long"
+    )
+    return hashed.join(framed, "content_sha").select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        "sq_sum",
+        F.round(
+            F.sqrt(F.col("sq_sum").cast("double") / F.col("n_samples").cast("double")),
+            6,
+        ).alias("rms"),
+    )

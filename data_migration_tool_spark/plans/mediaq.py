@@ -247,3 +247,40 @@ SELECT doc_id AS media_id,
          AS ds_mean_luma
 FROM px
 """
+
+
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over the WAV subset (8-sample windows) —
+    REAL RIFF walk + int16 payload decode, frames exploded in the same
+    Arrow pass. Integer sum-of-squares is exact; RMS derives from it,
+    so the arithmetic oracle regenerating the synthetic PCM stream
+    hash-matches every frame."""
+    media = media_from_documents(spark, sf_dir).filter(F.col("kind") == "audio")
+    from data_migration_tool_spark.operators.multimodal import frame_audio
+
+    return frame_audio(media, frame_size=8)
+
+
+MEDIA_AUDIO_FRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 33 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT doc_id, n, f
+  FROM dims, unnest(range((n + 7) // 8)) AS u(f)
+),
+vals AS (
+  SELECT doc_id, f,
+         list_transform(range(f * 8, least(f * 8 + 8, n)),
+           j -> CAST(((doc_id * 131 + j * 17) % 2001) - 1000 AS BIGINT)) AS s
+  FROM fr
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(len(s) AS INT) AS n_samples,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sq_sum,
+       round(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                  / CAST(len(s) AS DOUBLE)), 6) AS rms
+FROM vals
+"""

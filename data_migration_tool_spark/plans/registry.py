@@ -583,6 +583,12 @@ _DEFS: list[QueryDef] = [
         MQ.MEDIA_RESIZE_SQL,
         ("media", "multimodal", "resize"),
     ),
+    QueryDef(
+        "media_audio_frames",
+        MQ.media_audio_frames,
+        MQ.MEDIA_AUDIO_FRAMES_SQL,
+        ("media", "multimodal", "audio"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
