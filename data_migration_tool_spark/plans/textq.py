@@ -1308,30 +1308,40 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
+    # the whole rate derivation is language-grain: ONE aggregation
+    # shuffle then stacked windows over the same tiny single partition
+    # (ordered cumsum for the float Σ√n; full-frame MAX/SUM for the
+    # scalars — integer SUM and MAX are order-insensitive-exact, the
+    # one float sum is the ordered cumulative)
     langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    total = d.agg(F.count(F.lit(1)).alias("n_total"))
-    wcum = W.orderBy("lang").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = langs.select(
-        "lang", "n", F.sum(F.sqrt(F.col("n").cast("double"))).over(wcum).alias("cums")
+    w_ord = W.orderBy("lang").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    sum_sqrt = cum.agg(F.max_by("cums", "lang").alias("sum_sqrt"))
-    enriched = (
-        cum.crossJoin(F.broadcast(sum_sqrt))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            "n",
-            "n_total",
-            # target_p / corpus_share = (sqrt(n)/sum_sqrt) / (n/n_total)
-            (
-                (F.sqrt(F.col("n").cast("double")) / F.col("sum_sqrt"))
-                / (F.col("n").cast("double") / F.col("n_total").cast("double"))
-            ).alias("ratio"),
-        )
+    staged = langs.select(
+        "lang",
+        "n",
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).over(w_ord).alias("cums"),
+    ).select(
+        "lang",
+        "n",
+        "n_total",
+        F.max("cums").over(w_all).alias("sum_sqrt"),  # last cum = Σ√n
     )
-    max_ratio = enriched.agg(F.max("ratio").alias("max_ratio"))
-    rates = enriched.crossJoin(F.broadcast(max_ratio)).select(
-        "lang", "n", (F.col("ratio") / F.col("max_ratio")).alias("rate")
+    enriched = staged.select(
+        "lang",
+        "n",
+        # target_p / corpus_share = (sqrt(n)/sum_sqrt) / (n/n_total)
+        (
+            (F.sqrt(F.col("n").cast("double")) / F.col("sum_sqrt"))
+            / (F.col("n").cast("double") / F.col("n_total").cast("double"))
+        ).alias("ratio"),
+    )
+    rates = enriched.select(
+        "lang",
+        "n",
+        (F.col("ratio") / F.max("ratio").over(w_all)).alias("rate"),
     )
     # md5-prefix uniform in [0,1): conv 8 hex chars / 2^32
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
