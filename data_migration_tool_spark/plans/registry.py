@@ -589,6 +589,12 @@ _DEFS: list[QueryDef] = [
         MQ.MEDIA_AUDIO_FRAMES_SQL,
         ("media", "multimodal", "audio"),
     ),
+    QueryDef(
+        "doc_containment_pairs",
+        TQ.doc_containment_pairs,
+        TQ.DOC_CONTAINMENT_SQL,
+        ("text", "dedup", "containment"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

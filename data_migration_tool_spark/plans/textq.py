@@ -1395,3 +1395,58 @@ SELECT r.lang, r.n AS n_total_lang, round(r.rate, 6) AS rate,
        k.n_kept
 FROM rates r JOIN kept k ON k.lang = r.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup: short doc inside long doc)
+# ---------------------------------------------------------------------------
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment coefficient |A∩B| / |A| ≥ 0.9 over 3-gram shingle
+    sets — the asymmetric complement of Jaccard: a short document
+    embedded verbatim in a much longer one scores near 1.0 here while
+    its Jaccard stays low, so symmetric thresholds never catch it.
+    Same inverted-index join as the Jaccard path (cost follows shared
+    shingles, never n²); only the denominator changes. Both directions
+    are reported (contained_id, container_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text"))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("na").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+DOC_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a AS contained_id, id_b AS container_id,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS containment
+FROM common JOIN sizes na ON na.doc_id = id_a
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= 0.9
+"""

@@ -24,3 +24,29 @@ def test_all_queries_run_sf0001(spark):
     for name, builder in ent.queries().items():
         df = builder(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_every_oracle_parses_in_duckdb():
+    """Meta-gate: every registered oracle must at least EXPLAIN against
+    the real table schemas — catches SQL typos/engine-dialect breakage
+    without paying for execution."""
+    import duckdb
+
+    from data_migration_tool_spark.plans.registry import QUERIES
+    from data_migration_tool_spark.tables import TPCH_TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{table_path('/root/testdata/sf0.001', t)}'"
+        )
+    bad = []
+    for name, qd in QUERIES.items():
+        if qd.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {qd.oracle}")
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, str(exc)[:120]))
+    assert not bad, bad
