@@ -1,0 +1,82 @@
+"""Iterative graph algorithms on edge DataFrames.
+
+PageRank joins connected components (operators/dedup) as the second
+canonical iterative graph workload: rank flows along edges in rounds,
+each round exactly ONE join (ranks onto out-edges) and ONE groupBy
+(contributions at the destination) — the same bounded-lineage loop
+discipline as ``dup_clusters`` (localCheckpoint per round keeps the
+plan O(1) in iteration count).
+
+At 100 TB of edges: both the join and the aggregation are keyed
+shuffles on node id; degree skew (celebrity nodes) is the classic
+hazard and is AQE-skew-split territory, with salting as the manual
+fallback. Ranks are one double per node — state scales with nodes,
+not edges.
+
+Float note: per-destination contribution sums are floating-point and
+partition-order dependent, so PageRank is a rows-only query at the
+cross-engine gate (same policy as k-means/PCA/BPE); the value contract
+is the numpy power-iteration equality test in tests/test_dataops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Returns (node, rank). Dangling mass (nodes with no out-edges) is
+    redistributed uniformly each round, so ranks sum to 1 and match
+    the standard formulation.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+
+    for _ in range(iters):
+        # dangling mass (nodes without out-edges) as a lazy 1-row
+        # broadcast — folded into the round's single job instead of a
+        # separate driver action per iteration
+        dangling = ranks.join(
+            out_deg, ranks.node == out_deg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("m") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    return ranks

@@ -595,6 +595,12 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_CONTAINMENT_SQL,
         ("text", "dedup", "containment"),
     ),
+    QueryDef(
+        "part_pagerank",
+        R.part_pagerank,
+        None,  # iterative float — rows-only; numpy contract in pytest
+        ("graph", "iterative", "pagerank"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1141,3 +1141,32 @@ SELECT month, n_orders, revenue,
                        / LAG(revenue) OVER (ORDER BY month) END, 6) AS mom_growth
 FROM monthly
 """
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts linked when
+    bought in the same order, both directions): centrality of each part
+    in the catalog — which parts anchor baskets. Iterative float, so
+    rows-only at the gate (the numpy power-iteration equality test in
+    tests/test_dataops.py is the value contract). Top-100 by rank with
+    rank rounded for display stability."""
+    from data_migration_tool_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    ranks = pagerank(edges, iters=8)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(100)
+    )

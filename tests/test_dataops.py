@@ -996,3 +996,33 @@ def test_anomaly_flags_seeded_spike(spark, tmp_path):
     spike = "2024-03-02 16:00"  # base + 40 hours
     assert out[spike].is_anomaly is True
     assert all(r.is_anomaly is False for h, r in out.items() if h != spike)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from data_migration_tool_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3), (4, 2), (2, 4),
+        (5, 0),  # 5 has out-edges; 6 is dangling (in-edges only)
+        (0, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=12).collect()}
+
+    n = 7
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    for s, ds in out.items():
+        for d in ds:
+            M[d, s] = 1.0 / len(ds)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        r = (1 - 0.85) / n + 0.85 * (M @ r) + 0.85 * dangling / n
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
