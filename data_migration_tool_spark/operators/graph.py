@@ -31,16 +31,29 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
     Returns (node, rank). Dangling mass (nodes with no out-edges) is
     redistributed uniformly each round, so ranks sum to 1 and match
     the standard formulation.
+
+    ``broadcast_ranks=True`` hints the per-round rank table onto the
+    edge join as a broadcast: when the node set is dimension-scale
+    (e.g. a parts catalog under billions of fact edges), this removes
+    the per-iteration EDGE shuffle entirely — edges never move, only
+    the contribution aggregation shuffles. Leave False when nodes are
+    fact-scale and let AQE decide.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the (possibly expensive) edge derivation once — every
+    # iteration re-reads it, and without the persist an edge list built
+    # from a self-join would be recomputed per round
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -48,7 +61,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
 
     for _ in range(iters):
@@ -58,8 +71,9 @@ def pagerank(
         dangling = ranks.join(
             out_deg, ranks.node == out_deg.src, "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(rank_side, e.src == rank_side.node)
             .join(out_deg, "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
@@ -78,5 +92,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    e.unpersist()
+    out_deg.unpersist()
     nodes.unpersist()
     return ranks

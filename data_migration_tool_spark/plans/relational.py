@@ -1164,7 +1164,8 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    ranks = pagerank(edges, iters=8)
+    # parts are dimension-scale under any lineitem volume -> broadcast
+    ranks = pagerank(edges, iters=8, broadcast_ranks=True)
     return (
         ranks.select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
