@@ -96,3 +96,64 @@ def pagerank(
     out_deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Exact triangle count of the undirected graph.
+
+    Degree-ordered orientation (each undirected edge directed from its
+    lower-(degree, id) endpoint) before the wedge join — the standard
+    trick that bounds per-node out-degree by O(√|E|), so the wedge
+    intermediate follows arboricity instead of hub-degree², which is
+    what makes exact triangle counting survive power-law graphs at
+    100 TB. Two joins + one count; every key is a node id.
+
+    Returns one row: (n_nodes, n_edges, n_triangles) — all integers,
+    so the result is exact-oracle comparable."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y1"))
+    e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y2"))
+    wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
+    # close the wedge with an edge between y1,y2 in EITHER orientation
+    closing = oriented.select(
+        F.least("a", "b").alias("y1"), F.greatest("a", "b").alias("y2")
+    )
+    tri = wedges.join(
+        closing.withColumn("hit", F.lit(1)), ["y1", "y2"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    out = stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    return out

@@ -601,6 +601,12 @@ _DEFS: list[QueryDef] = [
         None,  # iterative float — rows-only; numpy contract in pytest
         ("graph", "iterative", "pagerank"),
     ),
+    QueryDef(
+        "part_triangle_count",
+        R.part_triangle_count,
+        R.PART_TRIANGLE_SQL,
+        ("graph", "triangles"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -1171,3 +1171,45 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(100)
     )
+
+
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph — the
+    clustering-structure scalar behind community/cohesion analysis.
+    Degree-ordered orientation bounds the wedge intermediate by
+    arboricity (operators/graph.triangle_count); the oracle recomputes
+    the same integers with a declarative three-way self-join."""
+    from data_migration_tool_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+PART_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT DISTINCT x AS u, y AS v FROM p)
+SELECT
+  (SELECT COUNT(DISTINCT node)
+   FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*)
+   FROM e e1
+   JOIN e e2 ON e2.u = e1.v
+   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""

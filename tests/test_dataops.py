@@ -1026,3 +1026,18 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    from data_migration_tool_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a pendant edge + an isolated triangle = 5
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+        (3, 4),                                           # pendant
+        (5, 6), (6, 7), (5, 7),                           # triangle
+        (1, 0),                                           # dup reversed
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (8, 10, 5)
