@@ -237,3 +237,58 @@ def test_quota_stream_v2_gate_or_run(spark, tmp_path):
         for r in events_stream_user_quota(spark, "/root/testdata/sf0.001").collect()
     }
     assert v2 == v1
+
+
+def test_stream_dedup_across_two_microbatches(spark, tmp_path):
+    """Redelivery arriving in a LATER micro-batch: batch 1 lands the
+    events once, batch 2 redelivers every event. Rows still inside the
+    watermark dedup against state; rows behind the advanced watermark
+    are dropped as late — either way each event contributes exactly
+    once, so the aggregate equals batch-distinct."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_migration_tool_spark.tables import load_table, normalize_timestamps
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ck = str(tmp_path / "ckpt")
+    batch.write.parquet(os.path.join(landing, "f1"))
+
+    stream = normalize_timestamps(
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "64")
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"dedup2_{uuid.uuid4().hex[:8]}"
+    w = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    # batch 2: full redelivery, then drain again from the checkpoint
+    batch.write.parquet(os.path.join(landing, "f2"))
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {r.event_type: r.n for r in spark.table(sink).collect()}
+    want = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
