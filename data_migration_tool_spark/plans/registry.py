@@ -607,6 +607,12 @@ _DEFS: list[QueryDef] = [
         R.PART_TRIANGLE_SQL,
         ("graph", "triangles"),
     ),
+    QueryDef(
+        "nation_revenue_trend_slope",
+        R.nation_revenue_trend_slope,
+        R.NATION_TREND_SQL,
+        ("agg", "regression", "moments"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

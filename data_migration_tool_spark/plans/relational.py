@@ -1213,3 +1213,81 @@ SELECT
    JOIN e e2 ON e2.u = e1.v
    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
 """
+
+
+def nation_revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS slope of monthly revenue over time — in-database
+    regression from sufficient statistics: every moment (n, Σx, Σx²,
+    Σy, Σxy) accumulates as integers/decimals (order-independent,
+    exact at any parallelism), and only the final slope division runs
+    in floating point with an identical formula on both engines. The
+    pattern that lets a 1000-executor cluster fit millions of
+    group-wise regressions in one aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("long")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+        )
+    )
+    moments = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(30,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("decimal(38,2)")
+        .alias("sxy"),
+    )
+    num = (
+        F.col("n_months").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n_months").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return moments.select(
+        "n_name",
+        "n_months",
+        F.round(num / den, 6).alias("slope"),
+    ).orderBy("n_name")
+
+
+NATION_TREND_SQL = """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST((year(o.o_orderdate) - 1992) * 12
+              + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+moments AS (
+  SELECT n_name,
+         COUNT(*) AS n_months,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         CAST(SUM(y) AS DECIMAL(30,2)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DECIMAL(38,2)) AS sxy
+  FROM monthly GROUP BY 1
+)
+SELECT n_name, n_months,
+       round((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+FROM moments
+ORDER BY n_name
+"""
