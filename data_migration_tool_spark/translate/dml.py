@@ -85,6 +85,164 @@ _TD_TOKens = [
 ]
 
 
+def _split_args(s: str) -> list[str]:
+    """Split a function-argument string at top-level commas
+    (paren- and string-literal-aware)."""
+    out, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf).strip())
+    return out
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at ``open_idx`` (literal-aware);
+    -1 if unbalanced."""
+    depth, i, n = 0, open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n and not (s[i] == "'" and (i + 1 >= n or s[i + 1] != "'")):
+                i += 2 if s[i] == "'" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_decode(sql: str) -> str:
+    """Oracle/Teradata ``DECODE(expr, s1, r1, ..., [default])`` →
+    ``CASE expr WHEN s1 THEN r1 ... [ELSE default] END``. Applied
+    repeatedly so nested DECODEs resolve inside-out."""
+    while True:
+        m = re.search(r"\bDECODE\s*\(", sql, re.I)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close = _match_paren(sql, open_idx)
+        if close < 0:
+            return sql  # unbalanced — leave untouched
+        args = _split_args(sql[open_idx + 1 : close])
+        if len(args) < 3:
+            return sql
+        expr, rest = args[0], args[1:]
+        parts = [f"CASE {expr}"]
+        while len(rest) >= 2:
+            parts.append(f"WHEN {rest[0]} THEN {rest[1]}")
+            rest = rest[2:]
+        if rest:
+            parts.append(f"ELSE {rest[0]}")
+        parts.append("END")
+        sql = sql[: m.start()] + " ".join(parts) + sql[close + 1 :]
+
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.I)
+_TRAILER_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|SAMPLE)\b", re.I)
+_WINFUNC_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.I)
+
+
+def rewrite_qualify(sql: str) -> tuple[str, bool]:
+    """Teradata ``QUALIFY <pred>`` → windowed subquery.
+
+    Handles the top-level form ``SELECT ... FROM ... QUALIFY pred
+    [ORDER BY ...] [LIMIT n]``: each ``fn(...) OVER (...)`` in the
+    predicate becomes a generated ``__qual_i`` column of an inner
+    query, and the outer query filters on it then drops it with
+    ``* EXCEPT`` — semantically exactly Teradata's post-window filter.
+    Returns (sql, applied)."""
+    m = _QUALIFY_RE.search(sql)
+    if not m or sql[: m.start()].count("(") != sql[: m.start()].count(")"):
+        return sql, False  # absent, or nested inside a subquery — skip
+    head = sql[: m.start()].rstrip()
+    tail = sql[m.end() :].strip()
+    # trailer keywords count only at top paren depth (an ORDER BY inside
+    # an OVER clause is part of the predicate, not the query trailer)
+    tm = next(
+        (
+            t
+            for t in _TRAILER_RE.finditer(tail)
+            if tail[: t.start()].count("(") == tail[: t.start()].count(")")
+        ),
+        None,
+    )
+    pred, trailer = (
+        (tail[: tm.start()].strip(), tail[tm.start() :]) if tm else (tail, "")
+    )
+    # extract window expressions fn(...) OVER (...) from the predicate
+    quals: list[str] = []
+    out_pred = []
+    i = 0
+    while i < len(pred):
+        fm = _WINFUNC_RE.search(pred, i)
+        if not fm:
+            out_pred.append(pred[i:])
+            break
+        close = _match_paren(pred, pred.index("(", fm.start()))
+        rest = pred[close + 1 :].lstrip() if close >= 0 else ""
+        if close >= 0 and rest[:4].upper() == "OVER":
+            oidx = close + 1 + (len(pred[close + 1 :]) - len(rest)) + 4
+            op = pred.index("(", oidx)
+            oclose = _match_paren(pred, op)
+            if oclose >= 0:
+                out_pred.append(pred[i : fm.start()])
+                quals.append(pred[fm.start() : oclose + 1])
+                out_pred.append(f"__qual_{len(quals) - 1}")
+                i = oclose + 1
+                continue
+        out_pred.append(pred[i : (close + 1) if close >= 0 else len(pred)])
+        i = (close + 1) if close >= 0 else len(pred)
+    if not quals:
+        return sql, False
+    gen = ", ".join(f"{q} AS __qual_{i}" for i, q in enumerate(quals))
+    drop = ", ".join(f"__qual_{i}" for i in range(len(quals)))
+    # generated columns join the SELECT list: insert before the
+    # top-level FROM (paren-balanced so subquery FROMs don't match)
+    fm_from = next(
+        (
+            t
+            for t in re.finditer(r"\bFROM\b", head, re.I)
+            if head[: t.start()].count("(") == head[: t.start()].count(")")
+        ),
+        None,
+    )
+    if fm_from is None or not re.match(r"^\s*SELECT\b", head, re.I):
+        return sql, False
+    inner = f"{head[: fm_from.start()].rstrip()}, {gen} {head[fm_from.start():]}"
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) __qualified "
+        f"WHERE {''.join(out_pred).strip()} {trailer}".rstrip(),
+        True,
+    )
+
+
 def translate_statement(
     stmt: str,
     dialect: str = "teradata",
@@ -93,14 +251,19 @@ def translate_statement(
     """One statement → Spark SQL + classification + warnings."""
     warnings: list[str] = []
     sql = strip_comments(stmt).strip().rstrip(";")
+    if dialect.lower() in ("teradata", "oracle"):
+        sql = rewrite_decode(sql)
     if dialect.lower() == "teradata":
         for pat, full in _TD_TOKens:
             if pat.match(sql):
                 sql = pat.sub(full, sql, count=1)
-        if re.search(r"\bQUALIFY\b", sql, re.I):
-            warnings.append(
-                "QUALIFY is not Spark SQL — rewrite as a windowed subquery"
-            )
+        if _QUALIFY_RE.search(sql):
+            sql, applied = rewrite_qualify(sql)
+            if not applied:
+                warnings.append(
+                    "QUALIFY could not be auto-rewritten (subquery or "
+                    "non-window predicate) — rewrite manually"
+                )
         # DELETE [FROM] tbl ALL → DELETE [FROM] tbl. FROM must be optional
         # here: this runs BEFORE the FROM-less rewrite below, so requiring
         # it would leave "DELETE FROM tbl ALL" with a trailing ALL.

@@ -313,13 +313,16 @@ def test_translate_teradata_abbreviations():
     assert t.sql == "DELETE FROM test.EMPLOYEE2"
 
 
-def test_translate_qualify_warns():
+def test_translate_qualify_rewrites_not_warns():
     from data_migration_tool_spark.translate.dml import translate_statement
 
     t = translate_statement(
         "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
     )
-    assert any("QUALIFY" in w for w in t.warnings)
+    # auto-rewritten to a windowed subquery since r4 — no warning left
+    assert not t.warnings
+    assert "QUALIFY" not in t.sql.upper()
+    assert "__qual_0" in t.sql and "EXCEPT" in t.sql
 
 
 def test_translate_reference_dml_corpus_dry_runs(spark, tmp_path):
@@ -369,3 +372,52 @@ def test_translate_reference_dml_corpus_dry_runs(spark, tmp_path):
             n_stmts += 1
     assert n_stmts >= 10
     spark.sql("DROP DATABASE dmltest CASCADE")
+
+
+def test_rewrite_decode_nested_and_default():
+    from data_migration_tool_spark.translate.dml import rewrite_decode
+
+    got = rewrite_decode(
+        "SELECT DECODE(status, 'A', 1, 'B', DECODE(sub, 'x', 2, 9), 0) FROM t"
+    )
+    assert "DECODE" not in got.upper()
+    assert got.count("CASE") == 2 and got.count("END") == 2
+    assert "ELSE 0" in got and "ELSE 9" in got
+
+
+def test_qualify_rewrite_executes(spark, tables):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SEL o_custkey, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1",
+        dialect="teradata",
+    )
+    assert not ts.warnings
+    got = {(r.o_custkey, r.o_orderkey) for r in spark.sql(ts.sql).collect()}
+    want = {
+        (r.o_custkey, r.o_orderkey)
+        for r in spark.sql(
+            "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey,"
+            " ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+            " DESC, o_orderkey) rn FROM orders) WHERE rn = 1"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # schema must not leak the generated column
+    assert spark.sql(ts.sql).columns == ["o_custkey", "o_orderkey", "o_totalprice"]
+
+
+def test_qualify_with_trailer_and_decode_combined(spark, tables):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SEL o_orderkey, DECODE(o_orderstatus, 'F', 'done', 'open') AS st "
+        "FROM orders QUALIFY RANK() OVER (ORDER BY o_totalprice DESC) <= 5 "
+        "ORDER BY o_orderkey LIMIT 3",
+        dialect="teradata",
+    )
+    assert not ts.warnings and "DECODE" not in ts.sql.upper()
+    rows = spark.sql(ts.sql).collect()
+    assert len(rows) == 3 and rows[0].st in ("done", "open")
