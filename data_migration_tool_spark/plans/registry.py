@@ -195,6 +195,18 @@ _DEFS: list[QueryDef] = [
         ("validation", "antijoin"),
     ),
     QueryDef(
+        "orders_quality_expectations",
+        V.orders_quality_expectations,
+        V.ORDERS_EXPECTATIONS_SQL,
+        ("validation", "expectations"),
+    ),
+    QueryDef(
+        "doc_split_ks_drift",
+        TQ.doc_split_ks_drift,
+        TQ.DOC_SPLIT_KS_SQL,
+        ("text", "drift", "window"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -1450,3 +1450,79 @@ SELECT id_a AS contained_id, id_b AS container_id,
 FROM common JOIN sizes na ON na.doc_id = id_a
 WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= 0.9
 """
+
+
+def doc_split_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the train and
+    val splits' document-length distributions — the QA gate a training
+    pipeline runs after sharding to prove the hash split didn't skew a
+    covariate. Pipeline: tag each doc with its md5-prefix split (same
+    pure function as doc_train_val_test_split), aggregate counts per
+    distinct n_chars (the ONLY event-scale shuffle), then compute the
+    empirical-CDF sup-distance on the value-grain partials. The window
+    cumsum runs at distinct-length grain (bounded by the length domain,
+    ~1e4 values even at 100 TB — aggregate-scale, never doc-scale).
+    The KS numerator max|cum_t*n_v - cum_v*n_t| is exact integer
+    arithmetic; the final statistic is one IEEE division, so the result
+    is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(pref < "e6", "train").when(pref < "f3", "val")
+    counts = (
+        d.select(split.alias("split"), "n_chars")
+        .filter(F.col("split").isNotNull())
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+        )
+    )
+    wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = counts.select(
+        F.sum("ct").over(wcum).alias("cum_t"),
+        F.sum("cv").over(wcum).alias("cum_v"),
+        F.sum("ct").over(wall).alias("tot_t"),
+        F.sum("cv").over(wall).alias("tot_v"),
+    )
+    numer = F.abs(F.col("cum_t") * F.col("tot_v") - F.col("cum_v") * F.col("tot_t"))
+    return cum.agg(
+        F.max("tot_t").alias("n_train"),
+        F.max("tot_v").alias("n_val"),
+        F.max(numer).alias("ks_numer"),
+        (
+            F.max(numer).cast("double")
+            / (F.max("tot_t") * F.max("tot_v")).cast("double")
+        ).alias("ks_stat"),
+    )
+
+
+DOC_SPLIT_KS_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              END AS split, n_chars
+  FROM documents
+),
+counts AS (
+  SELECT n_chars,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+  FROM tagged WHERE split IS NOT NULL GROUP BY n_chars
+),
+cum AS (
+  SELECT SUM(ct) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_t,
+         SUM(cv) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_v,
+         SUM(ct) OVER () AS tot_t,
+         SUM(cv) OVER () AS tot_v
+  FROM counts
+)
+SELECT CAST(MAX(tot_t) AS BIGINT) AS n_train,
+       CAST(MAX(tot_v) AS BIGINT) AS n_val,
+       CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS BIGINT) AS ks_numer,
+       CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS DOUBLE)
+         / CAST(MAX(tot_t) * MAX(tot_v) AS DOUBLE) AS ks_stat
+FROM cum
+"""

@@ -500,3 +500,82 @@ SELECT 'probe:events.user_id->supplier',
        (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)),
        (SELECT COUNT(*) FROM events)
 """
+
+
+def orders_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative single-table contract check over orders: seven
+    expectations (null, unique, set, range, regex, custom predicate)
+    evaluated in ONE aggregation pass — the single-engine complement of
+    DVT's cross-engine validations (reference validation-params
+    min/max/count specs, storage_utils.py:12-38, generalized to a
+    Deequ-style suite). One scan, map-side combinable, 1-row shuffle;
+    the per-expectation report is a zero-shuffle explode. Exact-integer
+    verdicts only — no float thresholds — so the report is bit-stable
+    across engines and scale factors."""
+    from data_migration_tool_spark.operators import expectations as X
+
+    o = load_table(spark, sf_dir, "orders")
+    suite = X.Suite(
+        [
+            X.not_null("o_orderkey"),
+            X.unique("o_orderkey"),
+            X.not_null("o_orderdate"),
+            X.in_set("o_orderstatus", ["O", "F", "P"]),
+            X.in_range("o_totalprice", 0.0, 600000.0),
+            X.matches("o_orderpriority", "^[1-5]-"),
+            X.satisfies("o_custkey > 0", "o_custkey"),
+        ]
+    )
+    return suite.run(o)
+
+
+_EXPECT_ROW = """
+SELECT {i} AS ordinal, '{name}' AS expectation, '{col}' AS "column",
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       CAST({viol} AS BIGINT) AS n_violations,
+       CAST(0 AS BIGINT) AS max_violations,
+       CASE WHEN {viol} <= 0 THEN 'PASS' ELSE 'FAIL' END AS status
+"""
+
+ORDERS_EXPECTATIONS_SQL = "\nUNION ALL\n".join(
+    _EXPECT_ROW.format(i=i, name=name, col=col, viol=viol)
+    for i, (name, col, viol) in enumerate(
+        [
+            (
+                "not_null(o_orderkey)",
+                "o_orderkey",
+                "(SELECT COUNT(*) - COUNT(o_orderkey) FROM orders)",
+            ),
+            (
+                "unique(o_orderkey)",
+                "o_orderkey",
+                "(SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)",
+            ),
+            (
+                "not_null(o_orderdate)",
+                "o_orderdate",
+                "(SELECT COUNT(*) - COUNT(o_orderdate) FROM orders)",
+            ),
+            (
+                "in_set(o_orderstatus)[O,F,P]",
+                "o_orderstatus",
+                "(SELECT COUNT(*) - SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders)",
+            ),
+            (
+                "in_range(o_totalprice)[0.0,600000.0]",
+                "o_totalprice",
+                "(SELECT COUNT(*) - SUM(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 600000.0 THEN 1 ELSE 0 END) FROM orders)",
+            ),
+            (
+                "matches(o_orderpriority)[^[1-5]-]",
+                "o_orderpriority",
+                "(SELECT COUNT(*) - SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) FROM orders)",
+            ),
+            (
+                "satisfies(o_custkey)[o_custkey > 0]",
+                "o_custkey",
+                "(SELECT COUNT(*) - SUM(CASE WHEN o_custkey > 0 THEN 1 ELSE 0 END) FROM orders)",
+            ),
+        ]
+    )
+)

@@ -300,3 +300,59 @@ def test_spec_xlsx_cells_without_refs(tmp_path):
             f'<?xml version="1.0"?><worksheet {ns}><sheetData>{rows_xml}</sheetData></worksheet>',
         )
     assert xlsx_to_csv_text(path.read_bytes()) == "a,b,,d,e\n"
+
+
+def test_expectations_suite_single_pass_and_verdicts(spark):
+    from data_migration_tool_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (2, "F", -5.0, "9-BAD"),
+            (2, "Z", 50.0, "3-MEDIUM"),
+            (None, "P", 20.0, "5-LOW"),
+        ],
+        "k long, st string, price double, prio string",
+    )
+    suite = X.Suite(
+        [
+            X.not_null("k"),
+            X.unique("k"),
+            X.in_set("st", ["O", "F", "P"]),
+            X.in_range("price", 0.0, 100.0),
+            X.matches("prio", "^[1-5]-"),
+            X.satisfies("price < 1000", "price"),
+            X.Expectation(
+                "not_null",
+                "st",
+                F.col("st").isNotNull(),
+                max_violations=2,
+            ),
+        ]
+    )
+    res = suite.run(df).collect()
+    assert len(res) == 7
+    got = {r["ordinal"]: (r["n_violations"], r["status"]) for r in res}
+    assert got[0] == (1, "FAIL")  # one NULL k
+    assert got[1] == (1, "FAIL")  # k=2 duplicated (NULLs don't violate)
+    assert got[2] == (1, "FAIL")  # 'Z'
+    assert got[3] == (1, "FAIL")  # -5.0
+    assert got[4] == (1, "FAIL")  # 9-BAD
+    assert got[5] == (0, "PASS")
+    assert got[6] == (0, "PASS")  # within violation budget
+    assert all(r["n_rows"] == 4 for r in res)
+    # ONE aggregation pass: a single Exchange in the physical plan
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = suite.run(df)._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") <= 2  # countDistinct expands to 2-stage agg
+    assert "Python" not in plan
+
+
+def test_expectations_all_pass_on_clean_table(spark):
+    from data_migration_tool_spark.operators import expectations as X
+
+    df = spark.createDataFrame([(i, "ok") for i in range(10)], "k long, v string")
+    res = X.Suite([X.not_null("k"), X.unique("k"), X.matches("v", "^ok$")]).run(df)
+    assert [r["status"] for r in res.collect()] == ["PASS"] * 3
