@@ -1,0 +1,90 @@
+"""Incremental aggregate maintenance — materialized-rollup algebra.
+
+The reference's incremental load path appends only the new time window
+(src/datamigration/dags/datamigration_utils/hive_bq_load_utils_inc.py:
+542-667) but then re-derives downstream aggregates from scratch.  At
+100 TB the rescan is the bottleneck: a day's delta is ~1/1000 of the
+corpus.  This module gives rollups the same incremental contract the
+loads already have, via the classic partial-aggregate algebra:
+
+    agg(base ∪ delta) == merge(partials(base), partials(delta))
+
+* ``partials`` reduces a table to per-key states (count, Σx, Σx²,
+  min, max).  Σx/Σx² accumulate in EXACT decimal — order-independent,
+  so states computed at different times / parallelisms merge cleanly.
+* ``merge_partials`` combines any number of state tables with one
+  groupBy: counts and sums add, min/max fold.  States are tiny
+  (key-grain), so maintenance cost is O(delta + |keys|), never O(base).
+* ``finalize`` assembles mean/variance from the exact sums with a fixed
+  IEEE sequence (same guarantees as plans/relational.price_dispersion_
+  stats — no catastrophic cancellation because the sums are exact).
+
+The correctness gate (``orders_incremental_agg``) proves the algebra
+end-to-end: Spark computes merge(partials(pre-1997), partials(1997+));
+the DuckDB oracle aggregates the whole table directly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("n", "sx", "sxx", "mn", "mx")
+
+
+def partials(
+    df: DataFrame,
+    keys: list[str],
+    measure: str,
+    dec: str = "decimal(12,2)",
+) -> DataFrame:
+    """Reduce ``df`` to the per-key mergeable state of ``measure``.
+
+    One map-side-combinable shuffle on ``keys``; the result is
+    key-grain (tiny), suitable for persisting as the rollup's state
+    table between micro-batches."""
+    x = F.col(measure).cast(dec)
+    return df.groupBy(*keys).agg(
+        F.count(measure).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.min(measure).alias("mn"),
+        F.max(measure).alias("mx"),
+    )
+
+
+def merge_partials(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Combine state tables: counts/sums add, min/max fold.
+
+    Input states are key-grain, so this groupBy shuffles only
+    |keys|-scale rows — the whole point of maintaining partials."""
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sxx").alias("sxx"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Assemble the user-facing rollup from exact sums.
+
+    mean/var derive from Σx/Σx² with a fixed IEEE sequence — identical
+    on any engine and at any parallelism."""
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    n = F.col("n")
+    var = (sxx_d - sx_d * sx_d / n) / (n - 1)
+    return state.select(
+        *keys,
+        n.alias("n_rows"),
+        F.col("sx").cast("decimal(38,2)").alias("total"),
+        (sx_d / n).alias("mean"),
+        var.alias("variance"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    )

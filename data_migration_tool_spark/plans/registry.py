@@ -207,6 +207,18 @@ _DEFS: list[QueryDef] = [
         ("text", "drift", "window"),
     ),
     QueryDef(
+        "doc_split_chi2_drift",
+        TQ.doc_split_chi2_drift,
+        TQ.DOC_SPLIT_CHI2_SQL,
+        ("text", "drift", "window"),
+    ),
+    QueryDef(
+        "orders_incremental_agg",
+        V.orders_incremental_agg,
+        V.ORDERS_INCREMENTAL_AGG_SQL,
+        ("validation", "incremental", "agg"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -1526,3 +1526,84 @@ SELECT CAST(MAX(tot_t) AS BIGINT) AS n_train,
          / CAST(MAX(tot_t) * MAX(tot_v) AS DOUBLE) AS ks_stat
 FROM cum
 """
+
+
+def doc_split_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift check between the train and val splits'
+    LANGUAGE mix — the categorical twin of doc_split_ks_drift. One
+    event-scale shuffle (groupBy lang over the split-tagged corpus);
+    the contingency totals ride windows over the lang-grain partials.
+    Expected counts and cell contributions are derived from exact
+    integer totals with a fixed IEEE sequence per row — no float
+    accumulation across rows, so every cell is bit-stable. The global
+    statistic is the (tiny) sum of cells the caller does; the gate
+    checks the per-cell table itself."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(pref < "e6", "train").when(pref < "f3", "val")
+    counts = (
+        d.select(split.alias("split"), "lang")
+        .filter(F.col("split").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("o_t"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("o_v"),
+        )
+    )
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = counts.select(
+        "lang",
+        "o_t",
+        "o_v",
+        (F.col("o_t") + F.col("o_v")).alias("r"),
+        F.sum("o_t").over(wall).alias("c_t"),
+        F.sum("o_v").over(wall).alias("c_v"),
+        (F.sum("o_t").over(wall) + F.sum("o_v").over(wall)).alias("n"),
+    )
+
+    def cell(o: str, c: str):
+        e = (F.col("r") * F.col(c)).cast("double") / F.col("n").cast("double")
+        diff = F.col(o).cast("double") - e
+        return diff * diff / e
+
+    return t.select(
+        "lang",
+        "o_t",
+        "o_v",
+        cell("o_t", "c_t").alias("chi2_train"),
+        cell("o_v", "c_v").alias("chi2_val"),
+    )
+
+
+DOC_SPLIT_CHI2_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              END AS split, lang
+  FROM documents
+),
+counts AS (
+  SELECT lang,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS o_t,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS o_v
+  FROM tagged WHERE split IS NOT NULL GROUP BY lang
+),
+tot AS (
+  SELECT lang, o_t, o_v, o_t + o_v AS r,
+         SUM(o_t) OVER () AS c_t, SUM(o_v) OVER () AS c_v,
+         SUM(o_t) OVER () + SUM(o_v) OVER () AS n
+  FROM counts
+),
+cells AS (
+  SELECT lang, o_t, o_v,
+         CAST(r * c_t AS DOUBLE) / CAST(n AS DOUBLE) AS e_t,
+         CAST(r * c_v AS DOUBLE) / CAST(n AS DOUBLE) AS e_v
+  FROM tot
+)
+SELECT lang,
+       CAST(o_t AS BIGINT) AS o_t,
+       CAST(o_v AS BIGINT) AS o_v,
+       (CAST(o_t AS DOUBLE) - e_t) * (CAST(o_t AS DOUBLE) - e_t) / e_t AS chi2_train,
+       (CAST(o_v AS DOUBLE) - e_v) * (CAST(o_v AS DOUBLE) - e_v) / e_v AS chi2_val
+FROM cells
+"""

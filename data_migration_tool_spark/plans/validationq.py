@@ -579,3 +579,60 @@ ORDERS_EXPECTATIONS_SQL = "\nUNION ALL\n".join(
         ]
     )
 )
+
+
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance gate: the per-priority price
+    rollup is computed as merge(partials(pre-1997 base), partials(1997+
+    delta)) — the state-table path a 100 TB pipeline runs per
+    micro-batch instead of rescanning base — and the oracle aggregates
+    the whole table directly. Hash equality proves the partial-agg
+    algebra (exact decimal Σx/Σx², additive counts, foldable min/max)
+    end-to-end, variance included. See operators/incremental_agg."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cut)
+    delta = o.filter(F.col("o_orderdate") >= cut)
+    keys = ["o_orderpriority"]
+    state = IA.merge_partials(
+        [
+            IA.partials(base, keys, "o_totalprice"),
+            IA.partials(delta, keys, "o_totalprice"),
+        ],
+        keys,
+    )
+    return IA.finalize(state, keys)
+
+
+ORDERS_INCREMENTAL_AGG_SQL = """
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(o_totalprice) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))
+             * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx,
+         MIN(o_totalprice) AS mn,
+         MAX(o_totalprice) AS mx
+  FROM orders GROUP BY o_orderpriority
+),
+-- decimal→double must round ONCE: DuckDB's direct DECIMAL→DOUBLE cast
+-- double-rounds through int128/10^scale, so route through VARCHAR
+-- (string→double is correctly rounded, matching Spark's
+-- BigDecimal.doubleValue)
+d AS (
+  SELECT o_orderpriority, n, sx,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         mn, mx
+  FROM s
+)
+SELECT o_orderpriority, n AS n_rows,
+       CAST(sx AS DECIMAL(38,2)) AS total,
+       sx_d / n AS mean,
+       (sxx_d - sx_d * sx_d / n) / (n - 1) AS variance,
+       mn AS min_value,
+       mx AS max_value
+FROM d
+"""

@@ -1041,3 +1041,33 @@ def test_triangle_count_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     row = triangle_count(df).first()
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (8, 10, 5)
+
+
+def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
+    """Partial states persisted to parquet, then merged with a later
+    delta's partials, must equal a from-scratch aggregate — counts,
+    exact sums, mean, variance, min/max."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    base = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 51)]
+        + [("b", float(i * 3)) for i in range(1, 31)],
+        "k string, x double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 99.25), ("b", 0.5), ("c", 7.0), ("c", 9.0)], "k string, x double"
+    )
+    state_path = str(tmp_path / "state")
+    IA.partials(base, ["k"], "x").write.parquet(state_path)
+    restored = spark.read.parquet(state_path)
+    merged = IA.finalize(
+        IA.merge_partials([restored, IA.partials(delta, ["k"], "x")], ["k"]),
+        ["k"],
+    )
+    direct = IA.finalize(
+        IA.partials(base.unionByName(delta), ["k"], "x"), ["k"]
+    )
+    got = {r["k"]: r.asDict() for r in merged.collect()}
+    want = {r["k"]: r.asDict() for r in direct.collect()}
+    assert got == want
+    assert got["c"]["n_rows"] == 2 and float(got["c"]["total"]) == 16.0
