@@ -219,6 +219,12 @@ _DEFS: list[QueryDef] = [
         ("validation", "incremental", "agg"),
     ),
     QueryDef(
+        "orders_zorder_layout",
+        V.orders_zorder_layout,
+        V.ORDERS_ZORDER_SQL,
+        ("layout", "pruning", "bitops"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -636,3 +636,66 @@ SELECT o_orderpriority, n AS n_rows,
        mx AS max_value
 FROM d
 """
+
+
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (o_custkey, orderdate
+    epoch-seconds) into a 32-bit z-value, bucket by the top 6 bits (the
+    64 z-ranges repartitionByRange would turn into files), and emit
+    each bucket's row count plus BOTH dimensions' min/max envelope —
+    the footer stats that prune scans on either column. See
+    operators/zorder for the 100 TB write path; integer-exact ranks
+    and shifts make the whole layout engine-portable."""
+    from data_migration_tool_spark.operators.zorder import zorder_by
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.unix_timestamp("o_orderdate").alias("o_epoch"),
+    )
+    z = zorder_by(o, ["o_custkey", "o_epoch"], bits=16, out="zv")
+    return (
+        z.withColumn("z_bucket", F.shiftright("zv", 26))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )
+
+
+def _z_interleave_sql(ra: str, rb: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ra} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({rb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ORDERS_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+         MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS mn_d,
+         MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS mx_d
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         ((o_custkey - mn_c) * 65535) // GREATEST(mx_c - mn_c, 1) AS rc,
+         ((CAST(epoch(o_orderdate) AS BIGINT) - mn_d) * 65535)
+           // GREATEST(mx_d - mn_d, 1) AS rd
+  FROM orders, b
+),
+z AS (
+  SELECT o_custkey, o_orderdate,
+         ({_z_interleave_sql("rc", "rd")}) AS zv
+  FROM r
+)
+SELECT zv >> 26 AS z_bucket, COUNT(*) AS n_orders,
+       MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM z GROUP BY 1
+"""

@@ -1071,3 +1071,54 @@ def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
     want = {r["k"]: r.asDict() for r in direct.collect()}
     assert got == want
     assert got["c"]["n_rows"] == 2 and float(got["c"]["total"]) == 16.0
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    from data_migration_tool_spark.operators.zorder import zorder_by
+
+    rows = [(a, b) for a in range(0, 16) for b in range(0, 16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in zorder_by(df, ["a", "b"], bits=4).collect()
+    }
+
+    def ref_z(a, b, bits=4):  # a at even bits, b at odd — matches interleave()
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # domain is [0,15] so min-max scaling to 4 bits is identity
+    assert all(got[(a, b)] == ref_z(a, b) for a, b in rows)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Top-k z-bits split BOTH dimensions: every 4-bucket (2 bits/dim)
+    envelope must span at most ~half of each dimension's domain."""
+    from data_migration_tool_spark.operators.zorder import zorder_by
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = zorder_by(df, ["a", "b"], bits=6, out="z")
+    env = (
+        z.withColumn("bucket", F.shiftright("z", 8))
+        .groupBy("bucket")
+        .agg(
+            F.min("a").alias("mna"), F.max("a").alias("mxa"),
+            F.min("b").alias("mnb"), F.max("b").alias("mxb"),
+        )
+        .collect()
+    )
+    assert len(env) == 16  # 4 top bits → 16 buckets
+    for r in env:
+        assert r["mxa"] - r["mna"] <= 31
+        assert r["mxb"] - r["mnb"] <= 31
+    # and the plan stays JVM-side
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = z._jdf.queryExecution().explainString(jmode)
+    assert "Python" not in plan
