@@ -666,7 +666,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",
-    "doc_chunk_overlap",
     "doc_exact_dedup",
     "doc_minhash_lsh_dedup",
     "doc_dup_clusters",
@@ -674,7 +673,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_source_cap",
     "corpus_prep_pipeline",
     "knn_brute_force",
-    "embedding_cosine_stats",
     "embedding_near_dups",
     "embedding_near_dups_ivf",
     "ivf_ann_topk",
@@ -689,9 +687,6 @@ _PRIORITY: tuple[str, ...] = (
     "next_view_after_purchase",
     "error_window_views",
     "purchase_attribution_asof",
-    "events_hypertable_rollup",
-    "doc_bpe_token_counts",
-    "doc_winnow_fingerprints",
     "doc_train_val_test_split",
     "media_feature_extract",
     "embedding_pq_codes",
@@ -700,6 +695,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_stream_dedup",
     "orders_table_profile",
     "referential_integrity_orphans",
+    "orders_quality_expectations",
+    "orders_incremental_agg",
+    "orders_zorder_layout",
+    "doc_split_ks_drift",
+    "doc_split_chi2_drift",
     "order_reconciliation",
     "doc_decontaminate",
     "embedding_int8_quantize",
