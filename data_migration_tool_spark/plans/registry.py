@@ -225,6 +225,12 @@ _DEFS: list[QueryDef] = [
         ("layout", "pruning", "bitops"),
     ),
     QueryDef(
+        "customer_rolling_30d_spend",
+        WQ.customer_rolling_30d_spend,
+        WQ.CUSTOMER_ROLLING_30D_SQL,
+        ("window", "rangeframe"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

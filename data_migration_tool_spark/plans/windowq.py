@@ -792,3 +792,45 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM events e JOIN c ON c.user_id = e.user_id
 GROUP BY 1, 2
 """
+
+
+def customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: for every order, the
+    customer's total spend over the trailing 30 days — frame bounds
+    defined by the ORDER BY value (epoch seconds), not row offsets, so
+    same-timestamp peers aggregate identically at any parallelism.
+    One shuffle on o_custkey; the running sums accumulate in exact
+    decimal so the rolling values are engine-identical. This is the
+    time-windowed-consumption shape of the reference's incremental
+    loads (hive_bq_load_utils_inc.py:60-79) expressed as a window."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
+
+
+CUSTOMER_ROLLING_30D_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(28,2)) AS spend_30d,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS orders_30d
+FROM orders WHERE o_custkey < 300
+"""
