@@ -231,6 +231,18 @@ _DEFS: list[QueryDef] = [
         ("window", "rangeframe"),
     ),
     QueryDef(
+        "customer_top2_orders_lateral",
+        R.customer_top2_orders_lateral,
+        R.CUSTOMER_TOP2_LATERAL_SQL,
+        ("lateral", "sql", "topk"),
+    ),
+    QueryDef(
+        "customer_order_chains_recursive",
+        WQ.customer_order_chains_recursive,
+        WQ.CUSTOMER_ORDER_CHAINS_SQL,
+        ("recursive", "sql", "hierarchy"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -1291,3 +1291,44 @@ SELECT n_name, n_months,
 FROM moments
 ORDER BY n_name
 """
+
+
+def customer_top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per customer,
+    the top-2 orders by price via a per-row dependent subquery with
+    ORDER BY ... LIMIT — the migration shape Teradata/Oracle workloads
+    write as correlated derived tables. Catalyst decorrelates the lateral
+    into a ranked window join, so the executed plan is the same
+    one shuffle + filter as a hand-written row_number() — proved by the
+    plan test; the gate proves the semantics. Tie-break on o_orderkey
+    makes the LIMIT deterministic across engines."""
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    ).createOrReplaceTempView("lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM lat_cust c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        """
+    )
+
+
+CUSTOMER_TOP2_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_custkey < 200) c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+"""

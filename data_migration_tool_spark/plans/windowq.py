@@ -834,3 +834,46 @@ SELECT o_custkey, o_orderkey,
        ) AS orders_30d
 FROM orders WHERE o_custkey < 300
 """
+
+
+_ORDER_CHAIN_RECURSIVE_SQL = """
+WITH RECURSIVE nexts AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         LEAD(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS next_key,
+         LAG(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_key
+  FROM {orders} WHERE o_custkey < 100
+),
+chain AS (
+  SELECT o_custkey, o_orderkey, next_key, 1 AS step,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS cum_spend
+  FROM nexts WHERE prev_key IS NULL
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.step + 1,
+         CAST(c.cum_spend + CAST(n.o_totalprice AS DECIMAL(18,2))
+              AS DECIMAL(38,2))
+  FROM chain c JOIN nexts n ON n.o_orderkey = c.next_key
+)
+SELECT o_custkey, o_orderkey, step, cum_spend FROM chain
+"""
+
+
+def customer_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE executed by Spark itself (4.x recursive CTEs) —
+    the hierarchical-walk shape Teradata/Oracle migrations carry
+    (CONNECT BY org charts, next-pointer chains). A non-recursive CTE
+    precomputes each order's successor (one LEAD window = one shuffle);
+    the recursion is then a pure linked-list walk accumulating an exact
+    decimal running total, terminating because every step consumes one
+    list node (no cycles — UNION ALL is safe). The DuckDB oracle runs
+    the IDENTICAL statement, so this also pins cross-engine recursive
+    semantics. Depth = max orders per customer (~41 in TPC-H data,
+    SF-independent), far under Spark's recursion limit."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
+    return spark.sql(_ORDER_CHAIN_RECURSIVE_SQL.format(orders="rec_orders"))
+
+
+CUSTOMER_ORDER_CHAINS_SQL = _ORDER_CHAIN_RECURSIVE_SQL.format(orders="orders")

@@ -243,6 +243,72 @@ def rewrite_qualify(sql: str) -> tuple[str, bool]:
     )
 
 
+_CONNECT_BY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<tbl>[\w$#.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+START\s+WITH\s+(?P<start>.*?))?"
+    r"\s+CONNECT\s+BY\s+(?P<nocycle>NOCYCLE\s+)?(?P<cond>.*?)"
+    r"(?P<trailer>\s+ORDER\s+BY\s+.*)?\s*$",
+    re.I | re.S,
+)
+_PRIOR_LEFT_RE = re.compile(
+    r"^PRIOR\s+(?P<a>[\w$#.]+)\s*=\s*(?P<b>[\w$#.]+)$", re.I
+)
+_PRIOR_RIGHT_RE = re.compile(
+    r"^(?P<a>[\w$#.]+)\s*=\s*PRIOR\s+(?P<b>[\w$#.]+)$", re.I
+)
+
+
+def rewrite_connect_by(sql: str) -> tuple[str, bool, list[str]]:
+    """Oracle hierarchical query → ``WITH RECURSIVE``.
+
+    Handles the canonical org-chart form
+    ``SELECT ... FROM t [WHERE w] [START WITH s] CONNECT BY [NOCYCLE]
+    PRIOR child = parent [ORDER BY ...]`` (PRIOR on either side of the
+    equality). The recursive CTE carries the whole row plus Oracle's
+    ``LEVEL`` pseudo-column, the original select list and WHERE apply
+    on top (Oracle applies WHERE after hierarchy construction), and
+    without START WITH every row anchors — exactly Oracle's semantics.
+    Returns (sql, applied, warnings)."""
+    m = _CONNECT_BY_RE.match(sql)
+    if not m or not re.search(r"\bCONNECT\s+BY\b", sql, re.I):
+        return sql, False, []
+    cond = m.group("cond").strip()
+    pm = _PRIOR_LEFT_RE.match(cond) or _PRIOR_RIGHT_RE.match(cond)
+    if pm is None:
+        return (
+            sql,
+            False,
+            ["CONNECT BY condition is not a single PRIOR equality — "
+             "rewrite manually"],
+        )
+    # PRIOR x = y: parent's x matches child's y → join c.y = p.x
+    if pm.re is _PRIOR_LEFT_RE:
+        parent_col, child_col = pm.group("a"), pm.group("b")
+    else:
+        child_col, parent_col = pm.group("a"), pm.group("b")
+    warnings = []
+    if m.group("nocycle"):
+        warnings.append(
+            "NOCYCLE dropped — WITH RECURSIVE has no cycle guard; "
+            "ensure the hierarchy is acyclic"
+        )
+    tbl = m.group("tbl")
+    anchor_where = f" WHERE {m.group('start').strip()}" if m.group("start") else ""
+    outer_where = f" WHERE {m.group('where').strip()}" if m.group("where") else ""
+    trailer = m.group("trailer") or ""
+    cols = m.group("cols").strip()
+    rewritten = (
+        f"WITH RECURSIVE __hier AS ("
+        f"SELECT t.*, 1 AS LEVEL FROM {tbl} t{anchor_where} "
+        f"UNION ALL "
+        f"SELECT c.*, p.LEVEL + 1 FROM {tbl} c "
+        f"JOIN __hier p ON c.{child_col} = p.{parent_col}"
+        f") SELECT {cols} FROM __hier{outer_where}{trailer}"
+    )
+    return rewritten, True, warnings
+
+
 def translate_statement(
     stmt: str,
     dialect: str = "teradata",
@@ -253,6 +319,13 @@ def translate_statement(
     sql = strip_comments(stmt).strip().rstrip(";")
     if dialect.lower() in ("teradata", "oracle"):
         sql = rewrite_decode(sql)
+    if dialect.lower() == "oracle" and re.search(r"\bCONNECT\s+BY\b", sql, re.I):
+        sql, applied, cb_warnings = rewrite_connect_by(sql)
+        warnings.extend(cb_warnings)
+        if not applied and not cb_warnings:
+            warnings.append(
+                "CONNECT BY could not be auto-rewritten — rewrite manually"
+            )
     if dialect.lower() == "teradata":
         for pat, full in _TD_TOKens:
             if pat.match(sql):

@@ -421,3 +421,62 @@ def test_qualify_with_trailer_and_decode_combined(spark, tables):
     assert not ts.warnings and "DECODE" not in ts.sql.upper()
     rows = spark.sql(ts.sql).collect()
     assert len(rows) == 3 and rows[0].st in ("done", "open")
+
+
+def test_connect_by_rewrites_to_recursive_cte():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT emp_id, name, LEVEL FROM emp "
+        "START WITH mgr_id IS NULL "
+        "CONNECT BY PRIOR emp_id = mgr_id",
+        dialect="oracle",
+    )
+    assert not ts.warnings
+    up = ts.sql.upper()
+    assert up.startswith("WITH RECURSIVE")
+    assert "CONNECT BY" not in up and "START WITH" not in up
+    assert "JOIN __HIER P ON C.MGR_ID = P.EMP_ID" in up
+
+
+def test_connect_by_prior_on_right_and_nocycle_warns():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT emp_id FROM emp START WITH mgr_id IS NULL "
+        "CONNECT BY NOCYCLE mgr_id = PRIOR emp_id",
+        dialect="oracle",
+    )
+    assert any("NOCYCLE" in w for w in ts.warnings)
+    assert "JOIN __hier p ON c.mgr_id = p.emp_id" in ts.sql
+
+
+def test_connect_by_unsupported_condition_warns():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT emp_id FROM emp CONNECT BY PRIOR emp_id = mgr_id "
+        "AND dept = PRIOR dept",
+        dialect="oracle",
+    )
+    assert any("rewrite manually" in w for w in ts.warnings)
+    assert "CONNECT BY" in ts.sql  # left untouched
+
+
+def test_connect_by_executes_org_chart(spark):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "vp_a"), (3, 1, "vp_b"),
+         (4, 2, "eng"), (5, 4, "intern")],
+        "emp_id int, mgr_id int, name string",
+    ).createOrReplaceTempView("emp")
+    ts = translate_statement(
+        "SELECT name, LEVEL FROM emp WHERE LEVEL >= 2 "
+        "START WITH mgr_id IS NULL "
+        "CONNECT BY PRIOR emp_id = mgr_id "
+        "ORDER BY LEVEL, name",
+        dialect="oracle",
+    )
+    rows = [(r[0], r[1]) for r in spark.sql(ts.sql).collect()]
+    assert rows == [("vp_a", 2), ("vp_b", 2), ("eng", 3), ("intern", 4)]
