@@ -644,9 +644,9 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 z-ranges repartitionByRange would turn into files), and emit
     each bucket's row count plus BOTH dimensions' min/max envelope —
     the footer stats that prune scans on either column. See
-    operators/zorder for the 100 TB write path; integer-exact ranks
+    sources/zorder for the 100 TB write path; integer-exact ranks
     and shifts make the whole layout engine-portable."""
-    from data_migration_tool_spark.operators.zorder import zorder_by
+    from data_migration_tool_spark.sources.zorder import zorder_by
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",

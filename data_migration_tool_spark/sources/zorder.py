@@ -38,6 +38,37 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     return z
 
 
+def zorder_by(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, out: str = "z"
+) -> DataFrame:
+    """Attach the Morton key of ``cols`` (integer-valued columns) as
+    ``out``: one 1-row bounds aggregate broadcast back, then each
+    column min-max scales to ``bits`` with EXACT integer arithmetic
+    (SQL ``div`` — float division + floor can be off-by-one near bucket
+    boundaries once products pass 2^53, and is not engine-portable)."""
+    top = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("long")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("long")).alias(f"{c}__mx"),
+        ]
+    joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for c in cols:
+        num = (F.col(c).cast("long") - F.col(f"{c}__mn")) * F.lit(top)
+        span = F.col(f"{c}__mx") - F.col(f"{c}__mn")
+        joined = joined.withColumn(f"{c}__num", num).withColumn(
+            f"{c}__span", span
+        )
+    ranks = [F.expr(f"`{c}__num` div greatest(`{c}__span`, 1L)") for c in cols]
+    drop = [
+        p.format(c=c)
+        for c in cols
+        for p in ("{c}__mn", "{c}__mx", "{c}__num", "{c}__span")
+    ]
+    return joined.withColumn(out, zorder_key(ranks, bits)).drop(*drop)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -50,24 +81,10 @@ def write_zordered(
     bit range first). One extra pass for the global min/max (a 1-row
     broadcast), one range shuffle — the layout cost every clustered
     write pays."""
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
-    bounds = df.agg(*aggs)
-    scaled = df.crossJoin(F.broadcast(bounds))
-    top = (1 << bits) - 1
-    norm_cols = []
-    for c in cols:
-        mn, mx = F.col(f"{c}__mn"), F.col(f"{c}__mx")
-        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1))
-        norm_cols.append(
-            ((F.col(c) - mn) * top / span).cast("long")
-        )
-    z = zorder_key(norm_cols, bits)
     (
-        scaled.withColumn("__z", z)
+        zorder_by(df, cols, bits, out="__z")
         .repartitionByRange(n_files, "__z")
-        .drop("__z", *[f"{c}__mn" for c in cols], *[f"{c}__mx" for c in cols])
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -1074,7 +1074,7 @@ def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
 
 
 def test_zorder_interleave_matches_python_reference(spark):
-    from data_migration_tool_spark.operators.zorder import zorder_by
+    from data_migration_tool_spark.sources.zorder import zorder_by
 
     rows = [(a, b) for a in range(0, 16) for b in range(0, 16)]
     df = spark.createDataFrame(rows, "a long, b long")
@@ -1097,7 +1097,7 @@ def test_zorder_interleave_matches_python_reference(spark):
 def test_zorder_buckets_bound_both_dimensions(spark):
     """Top-k z-bits split BOTH dimensions: every 4-bucket (2 bits/dim)
     envelope must span at most ~half of each dimension's domain."""
-    from data_migration_tool_spark.operators.zorder import zorder_by
+    from data_migration_tool_spark.sources.zorder import zorder_by
     from pyspark.sql import functions as F
 
     rows = [(a, b) for a in range(64) for b in range(64)]
