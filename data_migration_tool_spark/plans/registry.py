@@ -243,6 +243,12 @@ _DEFS: list[QueryDef] = [
         ("recursive", "sql", "hierarchy"),
     ),
     QueryDef(
+        "events_stream_incremental_rollup",
+        SQ.events_stream_incremental_rollup,
+        SQ.EVENTS_STREAM_INCREMENTAL_SQL,
+        ("streaming", "incremental", "agg"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -590,3 +590,80 @@ SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
          AS is_anomaly
 FROM stats
 """
+
+
+def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-rollup maintenance: the event stream
+    drains in THREE micro-batches (staged as three files,
+    maxFilesPerTrigger=1); each batch reduces to per-event_type partial
+    states (operators/incremental_agg) appended to a parquet state
+    table inside foreachBatch, and the final answer assembles from the
+    states alone — base events are never rescanned. The oracle
+    aggregates the whole table directly, so hash equality proves the
+    batch-boundary-invariant merge algebra under real micro-batch
+    execution. Production hardening (not needed for availableNow
+    drains): key state files by batchId so a replayed batch overwrites
+    instead of double-appending — the same idempotent-sink recipe as
+    orders_upsert_merge."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    work = tempfile.mkdtemp(prefix="dmt_sincagg_")
+    landing = os.path.join(work, "landing")
+    state = os.path.join(work, "state")
+    os.makedirs(landing)
+
+    batch = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(landing, f"chunk_{i}")
+        )
+
+    stream = normalize_timestamps(
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def merge_batch(bdf, batch_id: int) -> None:
+        IA.partials(bdf, ["event_type"], "value", dec="decimal(18,2)").write.mode(
+            "append"
+        ).parquet(state)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = IA.merge_partials([spark.read.parquet(state)], ["event_type"])
+    return IA.finalize(merged, ["event_type"]).select(
+        "event_type",
+        "n_rows",
+        F.col("total").cast("decimal(38,2)").alias("total_value"),
+        "mean",
+        "variance",
+    )
+
+
+EVENTS_STREAM_INCREMENTAL_SQL = """
+WITH s AS (
+  SELECT event_type, COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, sx,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d
+  FROM s
+)
+SELECT event_type, n AS n_rows,
+       CAST(sx AS DECIMAL(38,2)) AS total_value,
+       sx_d / n AS mean,
+       (sxx_d - sx_d * sx_d / n) / (n - 1) AS variance
+FROM d
+"""
