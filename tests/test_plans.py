@@ -80,6 +80,13 @@ def test_semi_join_for_exists(spark):
         "doc_token_stats",
         "doc_language_id",
         "events_last_day_window",
+        "orders_quality_expectations",
+        "orders_incremental_agg",
+        "orders_zorder_layout",
+        "doc_split_ks_drift",
+        "doc_split_chi2_drift",
+        "customer_rolling_30d_spend",
+        "customer_top2_orders_lateral",
     ],
 )
 def test_no_python_in_jvm_paths(spark, name):
@@ -306,3 +313,28 @@ def test_retention_cohorts_copartitioned_shuffles(spark):
     # no more than: first-touch agg exchange, join exchanges, final agg
     simple = _plan(spark, "user_retention_cohorts", mode="simple")
     assert simple.count("Exchange") <= 4
+
+
+def test_rolling_30d_single_shuffle(spark):
+    """The RANGE-frame rolling spend reuses one custkey exchange for
+    both window aggregates."""
+    simple = _plan(spark, "customer_rolling_30d_spend", mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "Python" not in simple
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    """Catalyst must decorrelate the LATERAL ORDER BY/LIMIT subquery
+    into a ranked window + join — never a per-row replay or a
+    cartesian product."""
+    simple = _plan(spark, "customer_top2_orders_lateral", mode="simple")
+    assert "Window" in simple
+    assert "CartesianProduct" not in simple and "BroadcastNestedLoop" not in simple
+
+
+def test_expectations_suite_single_aggregate_pass(spark):
+    """The whole expectations suite is one aggregation over orders —
+    countDistinct expands it to a two-stage agg, but there is no
+    second scan of the table."""
+    simple = _plan(spark, "orders_quality_expectations", mode="simple")
+    assert simple.count("Scan parquet") == 1
