@@ -249,6 +249,12 @@ _DEFS: list[QueryDef] = [
         ("streaming", "incremental", "agg"),
     ),
     QueryDef(
+        "doc_ingest_expectations",
+        TQ.doc_ingest_expectations,
+        TQ.DOC_INGEST_EXPECTATIONS_SQL,
+        ("text", "expectations", "validation"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -1607,3 +1607,73 @@ SELECT lang,
        (CAST(o_v AS DOUBLE) - e_v) * (CAST(o_v AS DOUBLE) - e_v) / e_v AS chi2_val
 FROM cells
 """
+
+
+def doc_ingest_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ingest contract: the expectations a training pipeline
+    asserts before documents enter the pipeline — id present+unique,
+    text present, declared n_chars consistent with the text itself,
+    language in the supported set, length within the chunker's bounds.
+    Same single-aggregation-pass engine as orders_quality_expectations
+    (operators/expectations); exact-integer verdicts."""
+    from data_migration_tool_spark.operators import expectations as X
+
+    d = load_table(spark, sf_dir, "documents")
+    suite = X.Suite(
+        [
+            X.not_null("doc_id"),
+            X.unique("doc_id"),
+            X.not_null("text"),
+            X.satisfies("length(text) = n_chars", "n_chars"),
+            X.in_set("lang", ["en", "de", "fr", "es", "ja"]),
+            X.in_range("n_chars", 1, 100000),
+        ]
+    )
+    return suite.run(d)
+
+
+_DOC_EXPECT_ROW = """
+SELECT {i} AS ordinal, '{name}' AS expectation, '{col}' AS "column",
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       CAST({viol} AS BIGINT) AS n_violations,
+       CAST(0 AS BIGINT) AS max_violations,
+       CASE WHEN {viol} <= 0 THEN 'PASS' ELSE 'FAIL' END AS status
+"""
+
+DOC_INGEST_EXPECTATIONS_SQL = "\nUNION ALL\n".join(
+    _DOC_EXPECT_ROW.format(i=i, name=name, col=col, viol=viol)
+    for i, (name, col, viol) in enumerate(
+        [
+            (
+                "not_null(doc_id)",
+                "doc_id",
+                "(SELECT COUNT(*) - COUNT(doc_id) FROM documents)",
+            ),
+            (
+                "unique(doc_id)",
+                "doc_id",
+                "(SELECT COUNT(doc_id) - COUNT(DISTINCT doc_id) FROM documents)",
+            ),
+            (
+                "not_null(text)",
+                "text",
+                "(SELECT COUNT(*) - COUNT(text) FROM documents)",
+            ),
+            (
+                "satisfies(n_chars)[length(text) = n_chars]",
+                "n_chars",
+                "(SELECT COUNT(*) - SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) FROM documents)",
+            ),
+            (
+                "in_set(lang)[en,de,fr,es,ja]",
+                "lang",
+                "(SELECT COUNT(*) - SUM(CASE WHEN lang IN ('en','de','fr','es','ja') THEN 1 ELSE 0 END) FROM documents)",
+            ),
+            (
+                "in_range(n_chars)[1,100000]",
+                "n_chars",
+                "(SELECT COUNT(*) - SUM(CASE WHEN n_chars >= 1 AND n_chars <= 100000 THEN 1 ELSE 0 END) FROM documents)",
+            ),
+        ]
+    )
+)
