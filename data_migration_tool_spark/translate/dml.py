@@ -164,6 +164,41 @@ def rewrite_decode(sql: str) -> str:
         sql = sql[: m.start()] + " ".join(parts) + sql[close + 1 :]
 
 
+def _rewrite_func(sql: str, name: str, template: str) -> str:
+    """Rewrite every ``name( ... )`` call to ``template`` (with
+    ``{args}`` = the raw argument text), paren-matched so nested calls
+    and commas inside arguments survive."""
+    pat = re.compile(rf"\b{name}\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close = _match_paren(sql, open_idx)
+        if close < 0:
+            return sql
+        inner = sql[open_idx + 1 : close]
+        repl = template.format(args=inner)
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+        # rescan from the replacement: nested same-name calls inside the
+        # argument text still need rewriting (the rewritten name itself
+        # is gone, so this cannot loop)
+        pos = m.start()
+
+
+def rewrite_td_functions(sql: str) -> str:
+    """Teradata scalar functions without Spark equivalents by the same
+    name: NULLIFZERO(x) → NULLIF(x, 0), ZEROIFNULL(x) → COALESCE(x, 0),
+    INDEX(s, sub) → INSTR(s, sub). Applied to DML only — Teradata DDL's
+    ``PRIMARY INDEX (col)`` must NOT match, so the caller gates this on
+    the statement verb."""
+    sql = _rewrite_func(sql, "NULLIFZERO", "NULLIF({args}, 0)")
+    sql = _rewrite_func(sql, "ZEROIFNULL", "COALESCE({args}, 0)")
+    sql = _rewrite_func(sql, "INDEX", "INSTR({args})")
+    return sql
+
+
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.I)
 _TRAILER_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|SAMPLE)\b", re.I)
 _WINFUNC_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(", re.I)
@@ -330,6 +365,8 @@ def translate_statement(
         for pat, full in _TD_TOKens:
             if pat.match(sql):
                 sql = pat.sub(full, sql, count=1)
+        if re.match(r"^\s*(SELECT|INSERT|UPDATE|DELETE|MERGE)\b", sql, re.I):
+            sql = rewrite_td_functions(sql)
         if _QUALIFY_RE.search(sql):
             sql, applied = rewrite_qualify(sql)
             if not applied:

@@ -480,3 +480,45 @@ def test_connect_by_executes_org_chart(spark):
     )
     rows = [(r[0], r[1]) for r in spark.sql(ts.sql).collect()]
     assert rows == [("vp_a", 2), ("vp_b", 2), ("eng", 3), ("intern", 4)]
+
+
+def test_td_function_rewrites_execute(spark):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    spark.createDataFrame(
+        [(0.0, None, "hello world")], "a double, b double, s string"
+    ).createOrReplaceTempView("tdq")
+    ts = translate_statement(
+        "SEL NULLIFZERO(a) AS z, ZEROIFNULL(b) AS nz, "
+        "INDEX(s, 'world') AS pos FROM tdq",
+        dialect="teradata",
+    )
+    assert "NULLIFZERO" not in ts.sql.upper()
+    r = spark.sql(ts.sql).first()
+    assert r.z is None and r.nz == 0.0 and r.pos == 7
+
+
+def test_td_function_rewrite_spares_ddl_primary_index():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "CREATE TABLE t (id INT) UNIQUE PRIMARY INDEX (id)",
+        dialect="teradata",
+    )
+    assert "INSTR" not in ts.sql.upper()
+
+
+def test_td_function_rewrite_nested_args():
+    from data_migration_tool_spark.translate.dml import rewrite_td_functions
+
+    out = rewrite_td_functions(
+        "SELECT ZEROIFNULL(NULLIFZERO(x + f(y, z))) FROM t"
+    )
+    assert out == "SELECT COALESCE(NULLIF(x + f(y, z), 0), 0) FROM t"
+
+
+def test_td_function_rewrite_same_name_nested():
+    from data_migration_tool_spark.translate.dml import rewrite_td_functions
+
+    out = rewrite_td_functions("SELECT NULLIFZERO(NULLIFZERO(x)) FROM t")
+    assert out == "SELECT NULLIF(NULLIF(x, 0), 0) FROM t"
