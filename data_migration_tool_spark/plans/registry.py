@@ -255,6 +255,12 @@ _DEFS: list[QueryDef] = [
         ("text", "expectations", "validation"),
     ),
     QueryDef(
+        "doc_split_tv_drift",
+        TQ.doc_split_tv_drift,
+        TQ.DOC_SPLIT_TV_SQL,
+        ("text", "drift"),
+    ),
+    QueryDef(
         "order_price_histogram",
         R.order_price_histogram,
         R.ORDER_PRICE_HISTOGRAM_SQL,

@@ -1677,3 +1677,67 @@ DOC_INGEST_EXPECTATIONS_SQL = "\nUNION ALL\n".join(
         ]
     )
 )
+
+
+def doc_split_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the train and val splits'
+    SOURCE mix — the third drift lens (KS: numeric lengths; chi-square:
+    per-cell language significance; TV: a single bounded [0,1]
+    distance). TV = ½·Σ|p_c − q_c| assembles from exact integers:
+    numer = Σ|c_t·N_v − c_v·N_t|, dist = numer / (2·N_t·N_v) with ONE
+    IEEE division at the end — bit-stable at any parallelism. One
+    event-scale groupBy; everything after runs at category grain."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(pref < "e6", "train").when(pref < "f3", "val")
+    counts = (
+        d.select(split.alias("split"), "source")
+        .filter(F.col("split").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+        )
+    )
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = counts.select(
+        "ct",
+        "cv",
+        F.sum("ct").over(wall).alias("nt"),
+        F.sum("cv").over(wall).alias("nv"),
+    )
+    numer = F.abs(F.col("ct") * F.col("nv") - F.col("cv") * F.col("nt"))
+    return t.agg(
+        F.max("nt").alias("n_train"),
+        F.max("nv").alias("n_val"),
+        F.sum(numer).alias("tv_numer"),
+        (
+            F.sum(numer).cast("double")
+            / (F.lit(2) * F.max("nt") * F.max("nv")).cast("double")
+        ).alias("tv_dist"),
+    )
+
+
+DOC_SPLIT_TV_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              END AS split, source
+  FROM documents
+),
+counts AS (
+  SELECT source,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+  FROM tagged WHERE split IS NOT NULL GROUP BY source
+),
+tot AS (
+  SELECT ct, cv, SUM(ct) OVER () AS nt, SUM(cv) OVER () AS nv FROM counts
+)
+SELECT CAST(MAX(nt) AS BIGINT) AS n_train,
+       CAST(MAX(nv) AS BIGINT) AS n_val,
+       CAST(SUM(ABS(ct * nv - cv * nt)) AS BIGINT) AS tv_numer,
+       CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
+         / CAST(2 * MAX(nt) * MAX(nv) AS DOUBLE) AS tv_dist
+FROM tot
+"""
