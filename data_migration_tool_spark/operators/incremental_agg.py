@@ -78,7 +78,10 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     sx_d = F.col("sx").cast("double")
     sxx_d = F.col("sxx").cast("double")
     n = F.col("n")
-    var = (sxx_d - sx_d * sx_d / n) / (n - 1)
+    # n==1 → NULL (not a DIVIDE_BY_ZERO under ANSI mode): sample
+    # variance is undefined for a single observation. Oracles mirror
+    # this with NULLIF(n - 1, 0).
+    var = F.when(n > F.lit(1), (sxx_d - sx_d * sx_d / n) / (n - 1))
     return state.select(
         *keys,
         n.alias("n_rows"),

@@ -682,63 +682,72 @@ _DEFS: list[QueryDef] = [
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. This priority list puts one representative of every
-# operator family — DVT validations, text analysis, dedup/LSH, vector
-# search, streaming, sessionization, as-of/range joins, media, sampling —
-# inside that window, alongside the flagship and the historically
-# hash-sensitive queries. Everything else (the remaining TPC-H shapes and
-# relational variants, all locally gated) follows after.
+# iteration order. Round-5 rotation policy (see COVERAGE.md rotation
+# log): (a) the five queries whose oracles were representation-fixed
+# this round lead, so the fix lands an official green; (b) every other
+# slot goes to an oracle-backed query that has never had an official
+# driver row (58 such after r4), so full official coverage completes in
+# ~two rounds; (c) no rows-only query occupies a scored slot (the r4
+# `ivf_trained_topk` mistake — a guaranteed `no_oracle` red).
+# Everything previously driver-green stays locally gated this round and
+# rotates back later.
 _PRIORITY: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q12_late_shipment_priority",
-    "returnflag_pivot",
-    "orders_partition_checksums",
-    "dvt_column_validation",
-    "dvt_row_validation",
-    "dvt_schema_validation",
-    "dvt_custom_query_validation",
-    "dvt_labels_rollup",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    "doc_exact_dedup",
-    "doc_minhash_lsh_dedup",
-    "doc_dup_clusters",
-    "doc_ngram_jaccard_pairs",
-    "doc_source_cap",
-    "corpus_prep_pipeline",
-    "knn_brute_force",
-    "embedding_near_dups",
-    "embedding_near_dups_ivf",
-    "ivf_ann_topk",
-    "ivf_ann_multiprobe",
-    "ann_recall_gate",
-    "ivf_trained_topk",
-    "events_stream_daily_counts",
-    "events_stream_sessions",
-    "events_stream_segment_revenue",
+    # -- representation-fixed this round: prove the fix officially --
     "user_sessions",
-    "user_purchase_funnel",
-    "next_view_after_purchase",
-    "error_window_views",
-    "purchase_attribution_asof",
+    "events_stream_sessions",
     "doc_train_val_test_split",
-    "media_feature_extract",
+    "corpus_prep_pipeline",
     "embedding_pq_codes",
-    "orders_upsert_merge",
-    "sketch_distinct_users",
-    "events_stream_dedup",
-    "orders_table_profile",
-    "referential_integrity_orphans",
-    "orders_quality_expectations",
-    "orders_incremental_agg",
-    "orders_zorder_layout",
-    "doc_split_ks_drift",
-    "doc_split_chi2_drift",
-    "order_reconciliation",
-    "doc_decontaminate",
-    "embedding_int8_quantize",
+    # -- verdict-suggested rotations (never officially checked) --
+    "pq_adc_topk",
+    "pq_adc_rerank",
+    "doc_containment_pairs",
+    "dup_cluster_canonical",
+    "doc_shingle_novelty",
+    # -- r4 demotions owed a window slot (ADVICE item) --
+    "doc_chunk_overlap",
+    "embedding_cosine_stats",
+    "events_hypertable_rollup",
+    "doc_bpe_token_counts",
+    "doc_winnow_fingerprints",
+    # -- r4-new queries that shipped with only local gating --
+    "doc_split_tv_drift",
+    "doc_ingest_expectations",
+    "customer_rolling_30d_spend",
+    "customer_top2_orders_lateral",
+    "customer_order_chains_recursive",
+    "events_stream_incremental_rollup",
+    # -- never-officially-checked rotation, batch 1 of 2 --
+    "order_line_union_counts",
+    "order_priority_buckets",
+    "event_props_json",
+    "event_props_variant",
+    "events_last_day_window",
+    "doc_token_frequencies",
+    "doc_simhash",
+    "emb_lsh_near_dups",
+    "customer_running_revenue",
+    "doc_hash_sample",
+    "overlapping_error_windows",
+    "events_session_window_native",
+    "media_frame_plan",
+    "media_frame_luma",
+    "doc_dup_clusters_star",
+    "doc_repetition_scores",
+    "doc_stratified_sample",
+    "corpus_bigram_topk",
+    "doc_tfidf_topk",
+    "doc_lm_fluency",
+    "corpus_vocab_growth",
+    "token_countmin_sketch",
+    "doc_training_shards",
+    "doc_sequence_packing",
+    # -- spillover from batch 2 (replaced in-place as r5 adds queries) --
+    "events_hourly_gapfill",
+    "doc_pii_scrub",
+    "user_retention_cohorts",
+    "minhash_recall_gate",
+    "orders_monthly_trend",
 )
 
 

@@ -117,8 +117,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -664,6 +664,6 @@ d AS (
 SELECT event_type, n AS n_rows,
        CAST(sx AS DECIMAL(38,2)) AS total_value,
        sx_d / n AS mean,
-       (sxx_d - sx_d * sx_d / n) / (n - 1) AS variance
+       (sxx_d - sx_d * sx_d / n) / NULLIF(n - 1, 0) AS variance
 FROM d
 """

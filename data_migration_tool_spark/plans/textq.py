@@ -287,7 +287,7 @@ SELECT cluster_id,
        MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
        MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
        COUNT(*) AS n_members,
-       SUM(CAST(n_chars AS BIGINT)) AS cluster_chars
+       CAST(SUM(n_chars) AS BIGINT) AS cluster_chars
 FROM ranked
 GROUP BY cluster_id
 """
@@ -872,8 +872,8 @@ SELECT CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train
             WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
             ELSE 'test' END AS split,
        p.lang, COUNT(*) AS n_docs,
-       SUM(p.n_chars) AS total_chars,
-       SUM(p.n_tokens) AS total_tokens
+       CAST(SUM(p.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens
 FROM passed p JOIN surv USING (doc_id)
 GROUP BY 1, 2
 """
@@ -1280,7 +1280,7 @@ per_doc AS (
 )
 SELECT d.doc_id,
        COALESCE(p.n_shingles, 0) AS n_shingles,
-       COALESCE(p.n_novel, 0) AS n_novel,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
        CASE WHEN COALESCE(p.n_shingles, 0) > 0
             THEN round(CAST(p.n_novel AS DOUBLE) / CAST(p.n_shingles AS DOUBLE), 6)
             END AS novelty
@@ -1463,7 +1463,11 @@ def doc_split_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum runs at distinct-length grain (bounded by the length domain,
     ~1e4 values even at 100 TB — aggregate-scale, never doc-scale).
     The KS numerator max|cum_t*n_v - cum_v*n_t| is exact integer
-    arithmetic; the final statistic is one IEEE division, so the result
+    arithmetic carried in DECIMAL(38,0) on both engines — int64 would
+    wrap past ~9.2e18, i.e. train×val count products at the 100 TB
+    scale this gate targets (DuckDB's HUGEINT is int128 and never had
+    the problem; the decimal lane makes Spark match it exactly up to
+    10^38). The final statistic is one IEEE division, so the result
     is bit-identical across engines."""
     d = load_table(spark, sf_dir, "documents")
     pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -1487,14 +1491,18 @@ def doc_split_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").over(wall).alias("tot_t"),
         F.sum("cv").over(wall).alias("tot_v"),
     )
-    numer = F.abs(F.col("cum_t") * F.col("tot_v") - F.col("cum_v") * F.col("tot_t"))
+    dec = "decimal(38,0)"
+    numer = F.abs(
+        F.col("cum_t").cast(dec) * F.col("tot_v").cast(dec)
+        - F.col("cum_v").cast(dec) * F.col("tot_t").cast(dec)
+    )
     return cum.agg(
         F.max("tot_t").alias("n_train"),
         F.max("tot_v").alias("n_val"),
-        F.max(numer).alias("ks_numer"),
+        F.max(numer).cast(dec).alias("ks_numer"),
         (
             F.max(numer).cast("double")
-            / (F.max("tot_t") * F.max("tot_v")).cast("double")
+            / (F.max("tot_t").cast(dec) * F.max("tot_v").cast(dec)).cast("double")
         ).alias("ks_stat"),
     )
 
@@ -1521,7 +1529,7 @@ cum AS (
 )
 SELECT CAST(MAX(tot_t) AS BIGINT) AS n_train,
        CAST(MAX(tot_v) AS BIGINT) AS n_val,
-       CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS BIGINT) AS ks_numer,
+       CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS DECIMAL(38,0)) AS ks_numer,
        CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS DOUBLE)
          / CAST(MAX(tot_t) * MAX(tot_v) AS DOUBLE) AS ks_stat
 FROM cum
@@ -1685,8 +1693,11 @@ def doc_split_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell language significance; TV: a single bounded [0,1]
     distance). TV = ½·Σ|p_c − q_c| assembles from exact integers:
     numer = Σ|c_t·N_v − c_v·N_t|, dist = numer / (2·N_t·N_v) with ONE
-    IEEE division at the end — bit-stable at any parallelism. One
-    event-scale groupBy; everything after runs at category grain."""
+    IEEE division at the end — bit-stable at any parallelism. The
+    integer cross-products ride DECIMAL(38,0) on both engines (int64
+    wraps past ~9.2e18 — reachable by count products at 100 TB; DuckDB
+    computes them in int128 natively). One event-scale groupBy;
+    everything after runs at category grain."""
     d = load_table(spark, sf_dir, "documents")
     pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(pref < "e6", "train").when(pref < "f3", "val")
@@ -1706,14 +1717,20 @@ def doc_split_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").over(wall).alias("nt"),
         F.sum("cv").over(wall).alias("nv"),
     )
-    numer = F.abs(F.col("ct") * F.col("nv") - F.col("cv") * F.col("nt"))
+    dec = "decimal(38,0)"
+    numer = F.abs(
+        F.col("ct").cast(dec) * F.col("nv").cast(dec)
+        - F.col("cv").cast(dec) * F.col("nt").cast(dec)
+    )
     return t.agg(
         F.max("nt").alias("n_train"),
         F.max("nv").alias("n_val"),
-        F.sum(numer).alias("tv_numer"),
+        F.sum(numer).cast(dec).alias("tv_numer"),
         (
             F.sum(numer).cast("double")
-            / (F.lit(2) * F.max("nt") * F.max("nv")).cast("double")
+            / (
+                F.lit(2).cast(dec) * F.max("nt").cast(dec) * F.max("nv").cast(dec)
+            ).cast("double")
         ).alias("tv_dist"),
     )
 
@@ -1736,7 +1753,7 @@ tot AS (
 )
 SELECT CAST(MAX(nt) AS BIGINT) AS n_train,
        CAST(MAX(nv) AS BIGINT) AS n_val,
-       CAST(SUM(ABS(ct * nv - cv * nt)) AS BIGINT) AS tv_numer,
+       CAST(SUM(ABS(ct * nv - cv * nt)) AS DECIMAL(38,0)) AS tv_numer,
        CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
          / CAST(2 * MAX(nt) * MAX(nv) AS DOUBLE) AS tv_dist
 FROM tot

@@ -480,7 +480,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators.pq import pq_encode
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(e).select("vec_id", "codes", "recon_err")
+    # codes is array<int>; project it as a comma-joined string so the
+    # driver's pandas canonicalizer (which cannot sort list columns)
+    # and the DuckDB oracle (array_to_string) agree representation-wise.
+    return pq_encode(e).select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_err",
+    )
 
 
 def _pq_ctes() -> str:
@@ -522,7 +529,8 @@ pq AS (
 
 
 EMB_PQ_SQL = (
-    "WITH " + _pq_ctes() + "\nSELECT vec_id, codes, recon_err FROM pq"
+    "WITH " + _pq_ctes()
+    + "\nSELECT vec_id, array_to_string(codes, ',') AS codes, recon_err FROM pq"
 )
 
 

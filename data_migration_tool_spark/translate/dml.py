@@ -138,14 +138,38 @@ def _match_paren(s: str, open_idx: int) -> int:
     return -1
 
 
+def _in_literal(s: str, idx: int) -> bool:
+    """True if ``idx`` falls inside a single-quoted string literal
+    (same quote-aware walk as ``_match_paren``, '' escapes included).
+    Function-name matches inside literals must NOT be rewritten — a
+    predicate like ``note = 'see INDEX(2)'`` is data, not a call."""
+    i, n = 0, len(s)
+    while i < idx:
+        if s[i] == "'":
+            i += 1
+            while i < n and not (s[i] == "'" and (i + 1 >= n or s[i + 1] != "'")):
+                i += 2 if s[i] == "'" else 1
+            if i >= idx:
+                return True
+        i += 1
+    return False
+
+
 def rewrite_decode(sql: str) -> str:
     """Oracle/Teradata ``DECODE(expr, s1, r1, ..., [default])`` →
     ``CASE expr WHEN s1 THEN r1 ... [ELSE default] END``. Applied
-    repeatedly so nested DECODEs resolve inside-out."""
+    repeatedly so nested DECODEs resolve inside-out. Literal-aware:
+    ``'DECODE(...)'`` inside a quoted string is left untouched."""
+    pos = 0
     while True:
-        m = re.search(r"\bDECODE\s*\(", sql, re.I)
+        m = re.search(r"\bDECODE\s*\(", sql[pos:], re.I)
         if not m:
             return sql
+        start = pos + m.start()
+        if _in_literal(sql, start):
+            pos = pos + m.end()
+            continue
+        m = re.compile(r"\bDECODE\s*\(", re.I).match(sql, start)
         open_idx = sql.index("(", m.start())
         close = _match_paren(sql, open_idx)
         if close < 0:
@@ -162,18 +186,25 @@ def rewrite_decode(sql: str) -> str:
             parts.append(f"ELSE {rest[0]}")
         parts.append("END")
         sql = sql[: m.start()] + " ".join(parts) + sql[close + 1 :]
+        pos = 0  # indices shifted — restart the scan (terminates: one
+        # real DECODE is consumed per rewrite, literal matches only skip)
 
 
 def _rewrite_func(sql: str, name: str, template: str) -> str:
     """Rewrite every ``name( ... )`` call to ``template`` (with
     ``{args}`` = the raw argument text), paren-matched so nested calls
-    and commas inside arguments survive."""
+    and commas inside arguments survive. Literal-aware: a match inside
+    a single-quoted string (``WHERE note = 'see INDEX(2)'``) is data,
+    not a call, and is skipped untouched."""
     pat = re.compile(rf"\b{name}\s*\(", re.I)
     pos = 0
     while True:
         m = pat.search(sql, pos)
         if not m:
             return sql
+        if _in_literal(sql, m.start()):
+            pos = m.end()
+            continue
         open_idx = sql.index("(", m.start())
         close = _match_paren(sql, open_idx)
         if close < 0:

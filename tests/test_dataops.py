@@ -1073,6 +1073,23 @@ def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
     assert got["c"]["n_rows"] == 2 and float(got["c"]["total"]) == 16.0
 
 
+def test_incremental_agg_single_row_group_null_variance(spark):
+    """A one-row group must yield NULL variance (sample variance is
+    undefined at n=1), not a DIVIDE_BY_ZERO under Spark-4 ANSI mode."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    df = spark.createDataFrame(
+        [("solo", 42.0), ("pair", 1.0), ("pair", 3.0)], "k string, x double"
+    )
+    out = {
+        r["k"]: r.asDict()
+        for r in IA.finalize(IA.partials(df, ["k"], "x"), ["k"]).collect()
+    }
+    assert out["solo"]["variance"] is None
+    assert out["solo"]["mean"] == 42.0
+    assert abs(out["pair"]["variance"] - 2.0) < 1e-12
+
+
 def test_zorder_interleave_matches_python_reference(spark):
     from data_migration_tool_spark.sources.zorder import zorder_by
 

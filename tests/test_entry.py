@@ -50,3 +50,41 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as exc:  # noqa: BLE001
             bad.append((name, str(exc)[:120]))
     assert not bad, bad
+
+
+def test_no_oracle_projects_driver_unsafe_types():
+    """Meta-gate: no oracle's OUTPUT columns may bind to HUGEINT or a
+    nested type. The official driver canonicalizes DuckDB results
+    through pandas, where HUGEINT (DuckDB's SUM(integer) result type,
+    grouped or windowed) silently becomes float64 (``10`` -> ``10.0``
+    -> value-hash mismatch vs Spark's bigint) and list/struct columns
+    crash pandas ``sort_values``. This exact class produced 6 official
+    reds in round 4; binding is cheap, so assert it on every oracle."""
+    import duckdb
+
+    from data_migration_tool_spark.plans.registry import QUERIES
+    from data_migration_tool_spark.tables import TPCH_TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{table_path('/root/testdata/sf0.001', t)}'"
+        )
+    bad = []
+    for name, qd in QUERIES.items():
+        if qd.oracle is None:
+            continue
+        try:
+            rel = con.sql(qd.oracle)
+            for c, t in zip(rel.columns, rel.types):
+                ts = str(t).upper()
+                if (
+                    "HUGEINT" in ts
+                    or ts.endswith("]")
+                    or ts.startswith(("STRUCT", "MAP", "UNION"))
+                ):
+                    bad.append((name, f"{c}:{ts}"))
+        except Exception:  # noqa: BLE001
+            continue  # parse failures are test_every_oracle_parses_in_duckdb's job
+    assert not bad, bad

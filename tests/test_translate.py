@@ -522,3 +522,26 @@ def test_td_function_rewrite_same_name_nested():
 
     out = rewrite_td_functions("SELECT NULLIFZERO(NULLIFZERO(x)) FROM t")
     assert out == "SELECT NULLIF(NULLIF(x, 0), 0) FROM t"
+
+
+def test_td_function_rewrite_skips_string_literals():
+    from data_migration_tool_spark.translate.dml import rewrite_td_functions
+
+    sql = "UPDATE t SET v = INDEX(s, 'x') WHERE note = 'see INDEX(2)'"
+    out = rewrite_td_functions(sql)
+    assert out == "UPDATE t SET v = INSTR(s, 'x') WHERE note = 'see INDEX(2)'"
+
+    # escaped '' inside the literal must not end the literal early
+    sql2 = "SELECT 'it''s INDEX(1)' , ZEROIFNULL(x) FROM t"
+    out2 = rewrite_td_functions(sql2)
+    assert out2 == "SELECT 'it''s INDEX(1)' , COALESCE(x, 0) FROM t"
+
+
+def test_rewrite_decode_skips_string_literals():
+    from data_migration_tool_spark.translate.dml import rewrite_decode
+
+    sql = "SELECT DECODE(x, 1, 'DECODE(a, b)', 'other') FROM t"
+    got = rewrite_decode(sql)
+    assert got == (
+        "SELECT CASE x WHEN 1 THEN 'DECODE(a, b)' ELSE 'other' END FROM t"
+    )

@@ -27,6 +27,28 @@ from data_migration_tool_spark.session import get_spark  # noqa: E402
 from data_migration_tool_spark.tables import TPCH_TABLES, table_path  # noqa: E402
 
 
+def oracle_type_problems(rel) -> list[str]:
+    """Column types that the driver's pandas canonicalization mangles.
+
+    The official gate fetches DuckDB results via pandas, where HUGEINT
+    (DuckDB's result type for SUM(integer), grouped or windowed)
+    silently becomes float64 (``10`` -> ``10.0`` -> hash mismatch) and
+    list/struct columns crash ``sort_values`` (unhashable). Those
+    classes must fail HERE, locally, not at the driver — cost r4 six
+    official reds. DECIMAL/JSON are fine (pandas keeps them as objects
+    and both engines stringify identically)."""
+    out = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if (
+            "HUGEINT" in ts
+            or ts.endswith("]")
+            or ts.startswith(("STRUCT", "MAP", "UNION"))
+        ):
+            out.append(f"{c}:{ts}")
+    return out
+
+
 def canon(v) -> str:
     if v is None:
         return "NULL"
@@ -92,6 +114,15 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
+            problems = oracle_type_problems(rel)
+            if problems:
+                results[name] = {
+                    "status": "ORACLE_TYPE",
+                    "error": f"driver-unsafe oracle types: {problems}",
+                }
+                n_fail += 1
+                print(f"FAIL {name}: driver-unsafe oracle types {problems}")
+                continue
             ocols = [c.lower() for c in rel.columns]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
