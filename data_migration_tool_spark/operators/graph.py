@@ -13,10 +13,13 @@ hazard and is AQE-skew-split territory, with salting as the manual
 fallback. Ranks are one double per node — state scales with nodes,
 not edges.
 
-Float note: per-destination contribution sums are floating-point and
-partition-order dependent, so PageRank is a rows-only query at the
-cross-engine gate (same policy as k-means/PCA/BPE); the value contract
-is the numpy power-iteration equality test in tests/test_dataops.py.
+Float note: ``pagerank``'s per-destination contribution sums are
+floating-point and partition-order dependent (numpy power-iteration
+equality test in tests/test_dataops.py is its value contract).
+``pagerank_exact`` removes that caveat entirely — scaled-int64
+fixed-point arithmetic with truncating division, order-independent and
+bit-identical cross-engine — and is what the registry's `part_pagerank`
+query runs so PageRank sits in the exact-hash oracle lane.
 """
 
 from __future__ import annotations
@@ -89,6 +92,84 @@ def pagerank(
                     + F.lit(damping) * F.col("m") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    out_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 6,
+    scale: int = 10**12,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Fixed-point PageRank: the same power iteration as ``pagerank``
+    carried entirely in scaled int64 (rank ≙ rank_scaled / 10^12) with
+    truncating integer division — so per-destination contribution sums
+    are order-INDEPENDENT and the whole iteration is bit-identical on
+    any engine at any parallelism. This is what lets PageRank join the
+    exact-hash oracle gate instead of the rows-only lane: a DuckDB
+    chained-CTE twin replays the identical integer recurrence.
+
+    Recurrence (damping 85/100 in exact rationals):
+      contrib(v) = Σ_{u→v} (r(u)·85) div (100·outdeg(u))
+      r'(v)      = (scale·15) div (100·n) + (m·85) div (100·n) + contrib(v)
+    with m = Σ ranks of dangling nodes. Truncation loses ≤1 unit per
+    term (≤1e-12 of mass) — irrelevant for ranking, and exactly the
+    same loss on every engine. Same join/groupBy/localCheckpoint loop
+    shape and 100 TB posture as ``pagerank``; max intermediate is
+    rank·85 ≤ 8.5e13, far inside int64."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    base = (scale * 15) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iters):
+        dangling = ranks.join(
+            out_deg, ranks.node == out_deg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("m"))
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            e.join(rank_side, e.src == rank_side.node)
+            .join(out_deg, "src")
+            .select(
+                "dst",
+                F.expr("(rank * 85) div (100 * out_deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(m * 85) div (100 * {n})")
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
             )
             .localCheckpoint()
         )

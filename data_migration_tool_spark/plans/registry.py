@@ -664,7 +664,7 @@ _DEFS: list[QueryDef] = [
     QueryDef(
         "part_pagerank",
         R.part_pagerank,
-        None,  # iterative float — rows-only; numpy contract in pytest
+        R.PART_PAGERANK_SQL,  # exact fixed-point iteration — hash-checkable
         ("graph", "iterative", "pagerank"),
     ),
     QueryDef(
@@ -743,11 +743,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_training_shards",
     "doc_sequence_packing",
     # -- spillover from batch 2 (replaced in-place as r5 adds queries) --
+    "part_pagerank",  # newly exact-arithmetic + oracle-backed this round
     "events_hourly_gapfill",
     "doc_pii_scrub",
     "user_retention_cohorts",
     "minhash_recall_gate",
-    "orders_monthly_trend",
 )
 
 

@@ -1143,14 +1143,21 @@ FROM monthly
 """
 
 
+_PAGERANK_ITERS = 6
+_PAGERANK_SCALE = 10**12
+
+
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts linked when
     bought in the same order, both directions): centrality of each part
-    in the catalog — which parts anchor baskets. Iterative float, so
-    rows-only at the gate (the numpy power-iteration equality test in
-    tests/test_dataops.py is the value contract). Top-100 by rank with
-    rank rounded for display stability."""
-    from data_migration_tool_spark.operators.graph import pagerank
+    in the catalog — which parts anchor baskets. Runs the EXACT
+    fixed-point iteration (operators/graph.pagerank_exact: scaled-int64
+    ranks, truncating division — order-independent, bit-identical
+    cross-engine), so unlike classic float PageRank this query lives in
+    the exact-hash oracle lane: the DuckDB twin unrolls the identical
+    integer recurrence for the same fixed round count. Top-100 by
+    scaled rank, ties broken by node id."""
+    from data_migration_tool_spark.operators.graph import pagerank_exact
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1165,12 +1172,81 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     # parts are dimension-scale under any lineitem volume -> broadcast
-    ranks = pagerank(edges, iters=8, broadcast_ranks=True)
+    ranks = pagerank_exact(
+        edges,
+        iters=_PAGERANK_ITERS,
+        scale=_PAGERANK_SCALE,
+        broadcast_ranks=True,
+    )
     return (
-        ranks.select("node", F.round("rank", 8).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
+        ranks.select(
+            "node",
+            F.col("rank").alias("rank_scaled"),
+            (F.col("rank").cast("double") / F.lit(float(_PAGERANK_SCALE))).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
         .limit(100)
     )
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS, scale: int = _PAGERANK_SCALE) -> str:
+    """Chained-CTE unroll of the exact integer PageRank recurrence —
+    one (dangling-mass, contribution, rank) CTE triple per round. No
+    recursion needed: the round count is fixed, so the oracle is plain
+    derived-table SQL any engine runs. Every quantity is integral until
+    the final display division."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""m{i} AS (
+  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS m
+  FROM r{p} r LEFT JOIN outd ON r.node = outd.src
+  WHERE outd.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst, CAST(SUM((r.rank * 85) // (100 * outd.od)) AS BIGINT) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node JOIN outd ON outd.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         CAST(({scale} * 15) // (100 * nn.n)
+              + (m{i}.m * 85) // (100 * nn.n)
+              + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN m{i}
+  LEFT JOIN c{i} c ON c.dst = nd.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, rank AS rank_scaled,
+       CAST(rank AS DOUBLE) / {float(scale)} AS rank
+FROM r{iters}
+ORDER BY rank_scaled DESC, node ASC
+LIMIT 100
+"""
+    )
+
+
+PART_PAGERANK_SQL = _pagerank_sql()
 
 
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1028,6 +1028,49 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_exact_matches_python_integer_recurrence(spark):
+    """pagerank_exact must replay the scaled-int64 truncating-division
+    recurrence bit-for-bit — the contract that lets the registry's
+    part_pagerank carry an exact-hash DuckDB oracle. Also pins that
+    the fixed-point ranks track float PageRank to ~1e-9."""
+    from data_migration_tool_spark.operators.graph import pagerank_exact
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3), (4, 2), (2, 4),
+        (5, 0), (0, 6),  # 6 is dangling
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    iters, scale = 6, 10**12
+    got = {r.node: r.rank for r in pagerank_exact(df, iters=iters).collect()}
+
+    n = 7
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {v: scale // n for v in range(n)}
+    base = (scale * 15) // (100 * n)
+    for _ in range(iters):
+        m = sum(rank[v] for v in range(n) if v not in out)
+        contrib = {v: 0 for v in range(n)}
+        for s, ds in out.items():
+            c = (rank[s] * 85) // (100 * len(ds))
+            for d in ds:
+                contrib[d] += c
+        rank = {v: base + (m * 85) // (100 * n) + contrib[v] for v in range(n)}
+    assert got == rank
+    # fixed-point tracks the float power iteration to sub-ppb error
+    fr = {v: 1.0 / n for v in range(n)}
+    for _ in range(iters):
+        fm = sum(fr[v] for v in range(n) if v not in out)
+        fc = {v: 0.0 for v in range(n)}
+        for s, ds in out.items():
+            for d in ds:
+                fc[d] += 0.85 * fr[s] / len(ds)
+        fr = {v: 0.15 / n + 0.85 * fm / n + fc[v] for v in range(n)}
+    for v in range(n):
+        assert abs(got[v] / scale - fr[v]) < 1e-9
+
+
 def test_triangle_count_known_graph(spark):
     from data_migration_tool_spark.operators.graph import triangle_count
 
