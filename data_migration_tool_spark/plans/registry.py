@@ -490,7 +490,7 @@ _DEFS: list[QueryDef] = [
     QueryDef(
         "bpe_merges_train",
         TQ.bpe_merges_train,
-        None,
+        TQ.BPE_TRAIN_SQL,  # integer-exact iteration — unrolled-CTE twin
         ("text", "tokenization", "iterative"),
     ),
     QueryDef(
@@ -502,7 +502,7 @@ _DEFS: list[QueryDef] = [
     QueryDef(
         "doc_bpe_encoded_lengths",
         TQ.doc_bpe_encoded_lengths,
-        None,
+        TQ.DOC_BPE_ENCODE_SQL,  # reuses the unrolled training chain
         ("text", "tokenization", "iterative"),
     ),
     QueryDef(
@@ -742,12 +742,13 @@ _PRIORITY: tuple[str, ...] = (
     "token_countmin_sketch",
     "doc_training_shards",
     "doc_sequence_packing",
-    # -- spillover from batch 2 (replaced in-place as r5 adds queries) --
-    "part_pagerank",  # newly exact-arithmetic + oracle-backed this round
+    # -- newly oracle-backed this round (were rows-only before r5) --
+    "part_pagerank",
+    "bpe_merges_train",
+    "doc_bpe_encoded_lengths",
+    # -- spillover from batch 2 --
     "events_hourly_gapfill",
     "doc_pii_scrub",
-    "user_retention_cohorts",
-    "minhash_recall_gate",
 )
 
 

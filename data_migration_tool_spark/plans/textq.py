@@ -631,21 +631,94 @@ GROUP BY l.token, l.exact_n
 
 def bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 10 BPE merges from the documents corpus
-    (operators/bpe.bpe_train — iterative, so no SQL oracle; the exact
-    merge sequence is value-checked against a pure-Python reference
-    implementation in tests/test_dataops.py)."""
+    (operators/bpe.bpe_train). BPE training is iterative but every
+    quantity is an INTEGER (pair frequencies) with a deterministic
+    lexicographic tie-break, so unlike the float-iterative ops it IS
+    exactly SQL-expressible: the oracle unrolls the 10 merge rounds as
+    chained CTEs (see ``_bpe_ctes`` — spaced-string merge application,
+    provably equivalent to the engine's greedy left-to-right fold) and
+    hash-matches the engine merge-for-merge. A pure-Python reference
+    test in tests/test_dataops.py pins the semantics independently."""
     from data_migration_tool_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
     return bpe.bpe_train(d, num_merges=10)
 
 
+def _bpe_ctes(num_merges: int = 10) -> list[str]:
+    """Chained-CTE unroll of integer-exact BPE training — the DuckDB
+    twin of ``operators/bpe.bpe_train``.
+
+    State per round is the word table with symbols encoded as a
+    delimiter-framed string: every symbol wrapped in its own chr(31)
+    frame (``\\x1f a \\x1f \\x1f b \\x1f``). Applying merge (l, r) is then
+    ONE ``replace`` of ``\\x1f l \\x1f \\x1f r \\x1f`` with
+    ``\\x1f lr \\x1f`` — left-to-right non-overlapping, which matches
+    the engine's greedy fold exactly: within a round the merged symbol
+    can never re-pair (it equals neither l nor r), so replace() and the
+    fold produce identical segmentations. Tie-break ORDER BY freq DESC,
+    l, r equals the engine's pair-string order (NUL separator sorts
+    below every symbol byte). MATERIALIZED keeps each round evaluated
+    once instead of inlining the whole chain per reference."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT w, cnt,
+         chr(31) || array_to_string(regexp_extract_all(w, '.'), chr(31) || chr(31)) || chr(31) AS st
+  FROM wf
+)""",
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""p{i} AS (
+  SELECT sy[i] AS l, sy[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (SELECT cnt, list_filter(string_split(st, chr(31)), x -> x <> '') AS sy FROM s{p}),
+       UNNEST(range(1, len(sy))) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT w, cnt,
+         replace(st, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                     chr(31) || b.l || b.r || chr(31)) AS st
+  FROM s{p}, b{i} b
+)"""
+        )
+    return ctes
+
+
+_BPE_K = 10
+
+BPE_TRAIN_SQL = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(_BPE_K))
+    + "\nSELECT * FROM ("
+    + "\nUNION ALL\n".join(
+        f'SELECT {i} AS rank, l AS "left", r AS "right", freq FROM b{i}'
+        for i in range(1, _BPE_K + 1)
+    )
+    + ")"
+)
+
+
 def doc_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 10 BPE merges on the corpus, then encode the corpus with
     them: per-doc whitespace-token and post-merge symbol counts (the
-    token budget after tokenizer compression). Iterative train +
-    vocabulary-grain apply — no SQL oracle; value-checked against a
-    pure-Python train+encode reference in tests/test_dataops.py."""
+    token budget after tokenizer compression). The oracle reuses the
+    unrolled training chain (``_bpe_ctes``) and reads each word's
+    encoded length straight off the final round's segmentation state —
+    hash-exact end to end."""
     from data_migration_tool_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
@@ -653,6 +726,25 @@ def doc_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"]) for r in bpe.bpe_train(d, num_merges=10).collect()
     ]
     return bpe.bpe_encode_lengths(d, merges)
+
+
+DOC_BPE_ENCODE_SQL = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(_BPE_K))
+    + f""",
+enc AS (
+  SELECT w,
+         CAST(len(list_filter(string_split(st, chr(31)), x -> x <> '')) AS BIGINT) AS enc_len
+  FROM s{_BPE_K}
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(enc_len) AS BIGINT) AS n_symbols
+FROM tok JOIN enc USING (w)
+GROUP BY doc_id
+"""
+)
 
 
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
