@@ -414,20 +414,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidate_pairs: DataFrame | None = None,
     max_join_pairs: int | None = 50_000_000,
+    auto_candidates: bool = False,
 ) -> DataFrame:
     """Exact Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path.
 
     The shingle-equality self-join emits Σ_s C(df_s, 2) rows — hot
-    shingles make that quadratic in corpus size. Two guards:
+    shingles make that quadratic in corpus size. Guards:
 
     - ``candidate_pairs``: restrict the compare to a pre-computed pair
       set (``lsh_candidate_pairs`` output) — the sub-quadratic path;
       Jaccard values stay exact, only pair GENERATION is pruned.
     - ``max_join_pairs``: with no candidate set, the implied join size
-      is counted first (one cheap shingle-histogram agg) and the
-      operator refuses loudly above the cap instead of melting the
-      cluster. ``None`` disables (explicit opt-in to quadratic cost).
+      is counted first (one cheap shingle-histogram agg — the LSH-free
+      candidate statistic) and above the cap the operator either
+      refuses loudly (default) or, with ``auto_candidates=True``,
+      degrades itself to the LSH-candidate path: pair generation via
+      ``lsh_candidate_pairs`` banding, exact Jaccard verify on the
+      candidates. The degraded mode can miss pairs LSH banding misses
+      (recall contracted by ``minhash_recall_gate``), which is why it
+      is opt-in rather than silent. ``None`` disables the cap
+      (explicit opt-in to quadratic cost).
     """
     # persist: sh feeds four plan branches (both join sides + two size
     # lookups) — uncached, the explode+distinct recomputes per branch
@@ -444,12 +451,19 @@ def ngram_jaccard_pairs(
             .collect()[0]["p"]
         )
         if implied is not None and implied > max_join_pairs:
+            if auto_candidates:
+                sigs = minhash_signatures(sh, id_col=id_col)
+                cands = lsh_candidate_pairs(sigs, id_col=id_col)
+                return jaccard_verify(cands, sh, id_col).filter(
+                    F.col("jaccard") >= threshold
+                )
             raise RuntimeError(
                 f"ngram_jaccard_pairs: shingle self-join would emit "
                 f"~{int(implied):,} pairs (> max_join_pairs="
                 f"{max_join_pairs:,}). Pass candidate_pairs from "
-                f"lsh_candidate_pairs() (sub-quadratic), raise "
-                f"max_join_pairs, or use minhash_lsh_dedup()."
+                f"lsh_candidate_pairs() (sub-quadratic), pass "
+                f"auto_candidates=True to degrade to the LSH path, "
+                f"raise max_join_pairs, or use minhash_lsh_dedup()."
             )
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -679,6 +679,31 @@ _DEFS: list[QueryDef] = [
         R.NATION_TREND_SQL,
         ("agg", "regression", "moments"),
     ),
+    # --- round-5 additions ---
+    QueryDef(
+        "sketch_hll_daily_rollup",
+        SK.sketch_hll_daily_rollup,
+        SK.SKETCH_HLL_ROLLUP_SQL,
+        ("sketch", "hll", "rollup", "mergeable-state"),
+    ),
+    QueryDef(
+        "corpus_pmi_bigrams",
+        TQ.corpus_pmi_bigrams,
+        TQ.CORPUS_PMI_SQL,
+        ("text", "collocations", "pmi"),
+    ),
+    QueryDef(
+        "doc_length_buckets",
+        TQ.doc_length_buckets,
+        TQ.DOC_LENGTH_BUCKETS_SQL,
+        ("text", "batching", "layout"),
+    ),
+    QueryDef(
+        "split_leakage_matrix",
+        TQ.split_leakage_matrix,
+        TQ.SPLIT_LEAKAGE_SQL,
+        ("text", "dedup", "split", "audit"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
@@ -746,9 +771,9 @@ _PRIORITY: tuple[str, ...] = (
     "part_pagerank",
     "bpe_merges_train",
     "doc_bpe_encoded_lengths",
-    # -- spillover from batch 2 --
-    "events_hourly_gapfill",
-    "doc_pii_scrub",
+    # -- brand-new round-5 queries --
+    "sketch_hll_daily_rollup",
+    "split_leakage_matrix",
 )
 
 

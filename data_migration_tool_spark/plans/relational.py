@@ -1196,37 +1196,40 @@ def _pagerank_sql(iters: int = _PAGERANK_ITERS, scale: int = _PAGERANK_SCALE) ->
     one (dangling-mass, contribution, rank) CTE triple per round. No
     recursion needed: the round count is fixed, so the oracle is plain
     derived-table SQL any engine runs. Every quantity is integral until
-    the final display division."""
+    the final display division. MATERIALIZED on every multiply-
+    referenced CTE is load-bearing: without it the engine inlines the
+    edge self-join into every round (12+ recomputations — ran a DuckDB
+    temp volume out of disk at sf0.1)."""
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
-        """e AS (
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b USING (l_orderkey)
   WHERE a.l_partkey <> b.l_partkey
 )""",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
-        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank FROM nodes, nn)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS BIGINT) AS rank FROM nodes, nn)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         ctes.append(
-            f"""m{i} AS (
+            f"""m{i} AS MATERIALIZED (
   SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS m
   FROM r{p} r LEFT JOIN outd ON r.node = outd.src
   WHERE outd.src IS NULL
 )"""
         )
         ctes.append(
-            f"""c{i} AS (
+            f"""c{i} AS MATERIALIZED (
   SELECT e.dst, CAST(SUM((r.rank * 85) // (100 * outd.od)) AS BIGINT) AS contrib
   FROM e JOIN r{p} r ON e.src = r.node JOIN outd ON outd.src = e.src
   GROUP BY e.dst
 )"""
         )
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT nd.node,
          CAST(({scale} * 15) // (100 * nn.n)
               + (m{i}.m * 85) // (100 * nn.n)

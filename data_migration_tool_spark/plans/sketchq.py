@@ -98,3 +98,59 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-HOUR HLL sketch states
+    (``hll_sketch_agg``, Apache DataSketches) unioned up to per-DAY
+    distinct-user estimates (``hll_union_agg``) — the state-table
+    pattern approx_count_distinct cannot do (its output is a scalar;
+    a sketch STATE unions losslessly, so hourly partials roll up to
+    day/week/month without rescanning events).
+
+    At 100 TB: the hourly pass is the only event-scale shuffle; the
+    rollup moves one ~KB register blob per (hour, type) — this is how
+    hypertable distinct-rollups stay O(buckets), not O(events).
+
+    Oracle contract (same as sketch_distinct_users): the hashed payload
+    is the EXACT per-day distinct count plus a per-engine boolean that
+    its own sketch estimate lands within 5%; DuckDB checks its native
+    approx_count_distinct, Spark checks the merged DataSketches HLL —
+    both must emit true."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hourly = (
+        e.select(
+            day.alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "user_id",
+        )
+        .groupBy("day", "hour")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    daily_est = (
+        hourly.groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select("day", F.hll_sketch_estimate("sk").alias("est"))
+    )
+    exact = e.select(day.alias("day"), "user_id").groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(daily_est, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("rollup_sketch_ok"),
+    )
+
+
+SKETCH_HLL_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= 0.05 * COUNT(DISTINCT user_id) AS rollup_sketch_ok
+FROM events
+GROUP BY 1
+"""

@@ -1850,3 +1850,246 @@ SELECT CAST(MAX(nt) AS BIGINT) AS n_train,
          / CAST(2 * MAX(nt) * MAX(nv) AS DOUBLE) AS tv_dist
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations by exact lift (round-5 additions)
+# ---------------------------------------------------------------------------
+
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent-token pairs by LIFT
+    N·c(x,y) / (c(x)·c(y)) — a strictly monotone transform of PMI, so
+    the ranking is PMI's ranking without a cross-engine log() (log is
+    not bit-portable; the lift ratio is one IEEE division over exact
+    integer cross-products carried in DECIMAL(38,0), so it is).
+    Min-support 5 filters hapax noise, the standard collocation floor.
+
+    Scale: one token-keyed shuffle for unigram marginals, one
+    pair-keyed shuffle for bigram counts (both partial-aggregated
+    map-side), corpus token total as a 1-row broadcast; the marginal
+    joins are vocabulary-grain. Top-k is a TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n_total"))
+    bi = (
+        d.select(F.explode(TX.word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("y"),
+            "c_xy",
+        )
+    )
+    dec = "decimal(38,0)"
+    ua = uni.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    ub = uni.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    return (
+        bi.join(ua, "x")
+        .join(ub, "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy").cast(dec) * F.col("n_total")).cast("double")
+                / (F.col("c_x").cast(dec) * F.col("c_y").cast(dec)).cast(
+                    "double"
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
+        .limit(50)
+    )
+
+
+CORPUS_PMI_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS w FROM toks)
+  GROUP BY w
+),
+total AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n_total FROM uni),
+bi AS (
+  SELECT x, y, COUNT(*) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS x,
+           unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS y
+    FROM toks WHERE len(tk) >= 2
+  )
+  GROUP BY x, y
+  HAVING COUNT(*) >= 5
+)
+SELECT b.x, b.y,
+       CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(ua.c AS BIGINT) AS c_x,
+       CAST(ub.c AS BIGINT) AS c_y,
+       CAST(CAST(b.c_xy AS DECIMAL(38,0)) * t.n_total AS DOUBLE)
+         / CAST(CAST(ua.c AS DECIMAL(38,0)) * CAST(ub.c AS DECIMAL(38,0)) AS DOUBLE)
+         AS lift
+FROM bi b
+JOIN uni ua ON ua.w = b.x
+JOIN uni ub ON ub.w = b.y
+CROSS JOIN total t
+ORDER BY lift DESC, b.x ASC, b.y ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching layout (padding-waste accounting)
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching layout plan: bucket each document by token
+    count into the smallest power-of-two context slot that fits, and
+    account the padding waste per bucket — the numbers that decide a
+    training job's bucket boundaries (padded tokens are paid-for FLOPs
+    that teach nothing). Everything is exact integers except the final
+    waste ratio (one IEEE division), so the whole table hash-matches.
+
+    Scale: scan-side token count + CASE bucket, one bucket-grain
+    groupBy — a 5-row shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = TX.token_count("text")
+    bucket = F.lit(_LEN_BUCKETS[-1] * 2)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    g = (
+        d.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("bucket") - F.col("total_tokens")
+    return g.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        (
+            padded.cast("double")
+            / (F.col("n_docs") * F.col("bucket")).cast("double")
+        ).alias("waste_ratio"),
+    )
+
+
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in _LEN_BUCKETS
+) + f" ELSE {_LEN_BUCKETS[-1] * 2} END"
+
+DOC_LENGTH_BUCKETS_SQL = f"""
+WITH lens AS (
+  SELECT len({_TOKS}) AS n FROM documents
+),
+g AS (
+  SELECT {_BUCKET_CASE} AS bucket,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM lens GROUP BY 1
+)
+SELECT bucket,
+       n_docs,
+       total_tokens,
+       CAST(n_docs * bucket - total_tokens AS BIGINT) AS padded_tokens,
+       CAST(n_docs * bucket - total_tokens AS DOUBLE)
+         / CAST(n_docs * bucket AS DOUBLE) AS waste_ratio
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage matrix (decontamination audit over OWN splits)
+# ---------------------------------------------------------------------------
+
+def split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-overlap matrix between the train/val/test splits — the
+    audit that catches a split procedure leaking n-gram content across
+    boundaries (doc_decontaminate screens against an EXTERNAL eval set;
+    this screens the pipeline's own split). For each split pair:
+    distinct 3-token shingles shared, each side's distinct total, and
+    the containment fraction versus the smaller side.
+
+    Scale: one shingle-keyed shuffle builds the distinct (split,
+    shingle) set; the pair join is shingle-keyed with split-grain
+    output; totals are a 3-row broadcast. Shuffles carry hashes/keys,
+    never document text."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(pref < "e6", "train").when(pref < "f3", "val").otherwise(
+        "test"
+    )
+    ss = (
+        d.select(
+            split.alias("split"),
+            F.explode(TX.word_shingles("text", 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    tot = ss.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("split").alias("split_a"), "shingle")
+    b = ss.select(F.col("split").alias("split_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("split").alias("split_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("split").alias("split_b"), F.col("n").alias("n_b")))
+    return (
+        shared.join(ta, "split_a")
+        .join(tb, "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {_SHINGLES_CTE},
+tagged AS (
+  SELECT DISTINCT
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split,
+         s.shingle
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+tot AS (SELECT split, COUNT(*) AS n FROM tagged GROUP BY split),
+shared AS (
+  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_shared
+  FROM tagged a JOIN tagged b ON a.shingle = b.shingle AND a.split < b.split
+  GROUP BY 1, 2
+)
+SELECT s.split_a, s.split_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(s.n_shared AS DOUBLE) / CAST(LEAST(ta.n, tb.n) AS DOUBLE) AS containment
+FROM shared s
+JOIN tot ta ON ta.split = s.split_a
+JOIN tot tb ON tb.split = s.split_b
+"""

@@ -32,8 +32,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     then aggregate per session. Two stacked windows over the same
     (user_id, ts) ordering → one shuffle on user_id total; the session
     assignment is a running sum of gap flags, never a self-join.
-    At 100 TB: user_id is the natural partition key; a skewed power
-    user degrades one task only — AQE skew split handles it."""
+    At 100 TB: user_id is the natural partition key and a power user
+    degrades exactly one task. NOTE: AQE cannot split a WINDOW
+    partition (skew-join splitting applies to joins only), so the
+    single-task ceiling here is one user's full history; when that is
+    itself too large, `events_session_window_native` is the skew-robust
+    twin — its session_window groupBy partial-aggregates map-side, so
+    a hot user's events combine before the shuffle. The two paths'
+    boundary semantics agree exactly (gap == 30 min stays one session);
+    the power-user agreement test in test_plans.py pins that."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # integer microseconds — timestamps carry sub-second precision, and

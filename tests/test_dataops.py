@@ -71,6 +71,26 @@ def test_ngram_jaccard_candidate_path_matches_exact(spark):
     assert (1, 4) in guarded
 
 
+def test_ngram_jaccard_auto_candidates_degrades_to_lsh(spark):
+    """Above the cap with auto_candidates=True, the operator must
+    degrade to the LSH-candidate path instead of raising — and every
+    surfaced pair must carry the identical exact Jaccard value."""
+    docs = _docs(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    degraded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_join_pairs=3, auto_candidates=True
+        ).collect()
+    }
+    for pair, j in degraded.items():
+        assert exact[pair] == j
+    assert (1, 4) in degraded  # exact dups always share every band
+
+
 def test_simhash_near_dup_property(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[4]  # identical text → identical signature

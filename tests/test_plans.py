@@ -169,6 +169,64 @@ def test_user_sessions_single_shuffle(spark):
     assert "Python" not in simple
 
 
+def test_sessionization_paths_agree_under_power_user_skew(spark):
+    """Pin the user_sessions docstring's 100 TB skew claim with data:
+    on a power-user distribution (one user owns ~90% of events), the
+    window-based sessionizer and the skew-robust native session_window
+    twin (map-side partial aggregation) must produce the IDENTICAL
+    per-user session set — counts, boundaries-derived session count,
+    and exact decimal sums."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    # power user 1: 900 events — 30-second steps inside a block (block
+    # span 29.5 min), blocks 2 h apart → inter-block gap 90.5 min > 30
+    # → exactly 15 sessions of 60 events
+    for i in range(900):
+        ts = base + datetime.timedelta(
+            seconds=30 * (i % 60), hours=2 * (i // 60)
+        )
+        rows.append((1, ts, 1.0))
+    # long-tail users 2..11: 3 events each, one mid-stream 31-min gap
+    for u in range(2, 12):
+        for j, off in enumerate([0, 10, 41]):
+            rows.append((u, base + datetime.timedelta(minutes=off), 0.5))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    flag = F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    manual = (
+        df.withColumn("s", F.sum(flag).over(w))
+        .groupBy("user_id", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(us).alias("start_us"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .select("user_id", "n", "start_us", "v")
+    )
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .select(
+            "user_id", "n", F.unix_micros(F.col("sw.start")).alias("start_us"), "v"
+        )
+    )
+    m = {(r.user_id, r.start_us): (r.n, r.v) for r in manual.collect()}
+    nv = {(r.user_id, r.start_us): (r.n, r.v) for r in native.collect()}
+    assert m == nv
+    assert sum(1 for (u, _) in m if u == 1) == 15  # the power user's sessions
+
+
 def test_hash_sampling_is_scan_only(spark):
     """Deterministic md5 sampling must be a shuffle-free scan+filter."""
     simple = _plan(spark, "doc_hash_sample", mode="simple")
