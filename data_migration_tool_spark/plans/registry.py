@@ -704,6 +704,12 @@ _DEFS: list[QueryDef] = [
         TQ.SPLIT_LEAKAGE_SQL,
         ("text", "dedup", "split", "audit"),
     ),
+    QueryDef(
+        "events_stream_view_purchase_left",
+        SQ.events_stream_view_purchase_left,
+        SQ.EVENTS_STREAM_SSLEFT_SQL,
+        ("streaming", "join", "outer", "watermark"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

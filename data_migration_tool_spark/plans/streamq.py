@@ -667,3 +667,102 @@ SELECT event_type, n AS n_rows,
        (sxx_d - sx_d * sx_d / n) / NULLIF(n - 1, 0) AS variance
 FROM d
 """
+
+
+def events_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-emission half
+    of the stream-join surface: views that see no purchase within
+    (view_ts, view_ts + 1 h] emit with a NULL purchase_id once the
+    watermark proves no match can still arrive. Same bounded-state
+    contract as the inner variant (2 h watermarks + time-range
+    predicate); the null rows are precisely the outer-join rows whose
+    state the watermark expired.
+
+    Oracle note: a batch LEFT JOIN emits null rows for ALL unmatched
+    views, but the stream can only emit those whose match window closed
+    before the FINAL global watermark = min(max view_ts, max
+    purchase_ts) − 2 h — views past that horizon are still "waiting"
+    when the drain ends. The oracle replicates that cutoff exactly (it
+    is a pure function of the same data), so the gate hash-checks the
+    real streaming semantics, watermark truncation included.
+
+    At 100 TB/day: state per side bounded by watermark + interval (≤3 h
+    of events) exactly as the inner join; the only addition is the
+    per-view "unmatched" bit that rides the existing state row."""
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dmt_ssleft_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+    ns_cols = _nanos_timestamp_cols(src)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+
+    def _stream():
+        s = spark.readStream.schema(schema).parquet(landing)
+        for c in ns_cols:
+            s = s.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return normalize_timestamps(s)
+
+    views = (
+        _stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+
+    sink = f"events_ssleft_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_SSLEFT_SQL = """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS cutoff
+)
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+CROSS JOIN wm
+WHERE v.event_type = 'view'
+  AND (p.event_id IS NOT NULL OR v.ts + INTERVAL 1 HOUR < wm.cutoff)
+"""
