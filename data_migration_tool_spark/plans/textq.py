@@ -2033,12 +2033,16 @@ def split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(pref < "e6", "train").when(pref < "f3", "val").otherwise(
         "test"
     )
+    # persist: ss feeds three branches (totals + both join sides) — the
+    # distinct (split, shingle) set would otherwise recompute the
+    # corpus-scale explode per branch
     ss = (
         d.select(
             split.alias("split"),
             F.explode(TX.word_shingles("text", 3)).alias("shingle"),
         )
         .distinct()
+        .persist()
     )
     tot = ss.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
     a = ss.select(F.col("split").alias("split_a"), "shingle")
