@@ -452,6 +452,152 @@ def kmeans_fit(
     return cents
 
 
+_KMEANS_SCALE = 1_048_576.0  # 2^20
+_KMEANS_OFFSET = 2.0  # shifts [-1, 1]-ish coords non-negative (trunc == floor)
+
+
+def quantize_vec(vec_col) -> F.Column:
+    """array<long> fixed-point view of an embedding:
+    floor((x + 2) · 2^20) per coordinate.
+
+    Both steps are IEEE-deterministic (float32 → double is exact, the
+    add and the power-of-two multiply are single correctly-rounded
+    ops), so any engine produces the identical integers — the basis of
+    the exact k-means lane. The +2 offset keeps every value
+    non-negative so truncating and flooring division agree across
+    engines; distances are translation-invariant, so the offset never
+    affects an argmin."""
+    return F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(_KMEANS_OFFSET)) * F.lit(_KMEANS_SCALE)
+        ).cast("long"),
+    )
+
+
+def _int_dist_sq(a, b) -> F.Column:
+    """Σ (a_i − b_i)² over two array<long> — exact int64 (quantized
+    coords are < 2²², so 64 squared diffs stay < 2⁵⁰)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_exact(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by integer squared-L2, ties to the lowest cell
+    id. Centroids are always k rows → broadcast; the crossJoin is a
+    map-side k-way compare, no shuffle of the corpus."""
+    c = F.broadcast(
+        cents.select(F.col("cell").alias("__cell"), F.col("q").alias("__cq"))
+    )
+    d = qv.crossJoin(c).withColumn("__d", _int_dist_sq(F.col("q"), F.col("__cq")))
+    w = Window.partitionBy("vec_id").orderBy("__d", "__cell")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "q", F.col("__cell").alias("cell"), F.col("__d").alias("dist_sq"))
+    )
+
+
+def kmeans_fit_exact(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means carried ENTIRELY in fixed-point integers —
+    deterministic AND bit-identical cross-engine, which is what lets
+    the trained-IVF query live in the exact-hash oracle lane (classic
+    float k-means sums coordinates in partition order; its centroids
+    are run-stable only per engine).
+
+    Semantics: coordinates quantize to floor((x+2)·2^20); init = the k
+    corpus rows with the smallest md5(id) (same reproducible sample as
+    ``kmeans_fit``); assignment = integer squared-L2, ties to the
+    lowest cell; update = per-dimension floor-average (Σ div n — exact
+    sums, so order-independent); empty cells keep their previous
+    centroid. Returns (cell, q array<long>).
+
+    Scale shape identical to ``kmeans_fit``: iters × (one corpus scan
+    with a broadcast k-way compare + one (cell × dim)-grain shuffle);
+    centroids never leave the cluster, lineage truncated per round."""
+    qv = corpus.select(id_col, quantize_vec(vec_col).alias("q")).withColumnRenamed(
+        id_col, "vec_id"
+    )
+    cents = (
+        qv.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .withColumn("cell", F.row_number().over(Window.orderBy("__h")) - 1)
+        .select("cell", "q")
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign_exact(qv, cents)
+        dim_means = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.expr("sum(x) div count(x)").alias("m"))
+        )
+        new_cents = (
+            dim_means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("p"))
+            .select("cell", F.transform("p", lambda s: s["m"]).alias("q"))
+        )
+        kept = cents.join(
+            new_cents.select(F.col("cell").alias("__seen")),
+            cents.cell == F.col("__seen"),
+            "left_anti",
+        )
+        cents = new_cents.unionByName(kept).localCheckpoint()
+    return cents
+
+
+def ivf_exact_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search in the exact-integer lane: each query probes only its
+    own cell (nprobe=1) and ranks candidates by integer squared-L2 on
+    the quantized coordinates, ties to the lower candidate id. Same
+    cell-join shape as ``ivf_topk``; every value is an int64, so the
+    full result table hash-matches a SQL twin."""
+    qv = corpus.select(id_col, quantize_vec(vec_col).alias("q")).withColumnRenamed(
+        id_col, "vec_id"
+    )
+    assigned = _assign_exact(qv, cents).select("vec_id", "q", "cell")
+    qs = queries.select(F.col(id_col).alias("query_id")).join(
+        assigned.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("cell").alias("qcell"),
+        ),
+        "query_id",
+    )
+    cand = qs.join(
+        assigned.select(
+            F.col("cell").alias("qcell"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("q").alias("cq"),
+        ),
+        "qcell",
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    scored = cand.withColumn("dist_sq", _int_dist_sq(F.col("qq"), F.col("cq")))
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "dist_sq", "rank")
+    )
+
+
 def hyperplane_signs(n_bits: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (md5-derived) — the random
     projections of sign-LSH, reproducible bit-for-bit in any engine or

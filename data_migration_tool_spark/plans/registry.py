@@ -347,7 +347,12 @@ _DEFS: list[QueryDef] = [
         "ivf_ann_multiprobe", VQ.ivf_ann_multiprobe, VQ.IVF_MULTIPROBE_SQL, ("ann",)
     ),
     QueryDef("ann_recall_gate", VQ.ann_recall_gate, VQ.ANN_RECALL_SQL, ("ann",)),
-    QueryDef("ivf_trained_topk", VQ.ivf_trained_topk, None, ("ann", "iterative")),
+    QueryDef(
+        "ivf_trained_topk",
+        VQ.ivf_trained_topk,
+        VQ.IVF_TRAINED_SQL,  # fixed-point k-means — unrolled-CTE twin
+        ("ann", "iterative"),
+    ),
     QueryDef(
         "embedding_pca_project",
         VQ.embedding_pca_project,
@@ -777,9 +782,9 @@ _PRIORITY: tuple[str, ...] = (
     "part_pagerank",
     "bpe_merges_train",
     "doc_bpe_encoded_lengths",
+    "ivf_trained_topk",  # r4's no_oracle red, now exact fixed-point k-means
     # -- brand-new round-5 queries --
     "sketch_hll_daily_rollup",
-    "split_leakage_matrix",
 )
 
 

@@ -339,17 +339,103 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full IVF pipeline with TRAINED centroids: k-means fits 8
-    cells on the embedding corpus (deterministic hash init, 3 Lloyd
-    iterations), then queries search only their own cell. Iterative —
-    not SQL-expressible, so the gate records a rows-only check; the
-    clustering itself is unit-tested (separated-blob recovery and
-    run-to-run determinism in test_dataops)."""
+    """The full IVF pipeline with TRAINED centroids: fixed-point
+    k-means fits 8 cells on the embedding corpus (deterministic hash
+    init, 3 Lloyd iterations — operators/similarity.kmeans_fit_exact),
+    then queries search only their own cell, ranked by integer
+    squared-L2. Every quantity is an int64, so since round 5 this sits
+    in the exact-hash oracle lane: the DuckDB twin unrolls the same 3
+    Lloyd rounds over the same quantized coordinates (float k-means
+    sums in partition order and could never be cross-engine exact —
+    that lane remains ``kmeans_fit``, unit-tested on separated blobs)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_fit(e, k=8, iters=3)
-    assigned = SIM.ivf_assign(e, cents)
+    cents = SIM.kmeans_fit_exact(e, k=8, iters=3)
     queries = e.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(queries, assigned, cents, k=3)
+    return SIM.ivf_exact_topk(queries, e, cents, k=3)
+
+
+def _ivf_trained_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE unroll of the exact fixed-point k-means + IVF
+    search — the DuckDB twin of ``kmeans_fit_exact``/``ivf_exact_topk``
+    (same pattern as the PageRank and BPE oracles: fixed round count →
+    plain derived-table SQL, MATERIALIZED to stop per-round
+    re-inlining)."""
+    rng = f"range(1, {dim + 1})"
+    dist = (
+        "list_sum(list_transform(" + rng + ", j -> "
+        "(v.q[j] - c.q[j]) * (v.q[j] - c.q[j])))"
+    )
+    ctes = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform({rng},
+           i -> CAST(floor((embedding[i]::DOUBLE + 2.0) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))) - 1 AS cell, q
+  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, q, cell FROM (
+    SELECT v.vec_id, v.q, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM qv v CROSS JOIN c{p} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""dm{i} AS (
+  SELECT cell, j, CAST(CAST(SUM(q[j]) AS BIGINT) // COUNT(*) AS BIGINT) AS m
+  FROM a{i}, UNNEST({rng}) AS u(j)
+  GROUP BY cell, j
+)"""
+        )
+        ctes.append(
+            f"nc{i} AS (SELECT cell, list(m ORDER BY j) AS q FROM dm{i} GROUP BY cell)"
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cell, q FROM nc{i}
+  UNION ALL
+  SELECT cell, q FROM c{p} WHERE cell NOT IN (SELECT cell FROM nc{i})
+)"""
+        )
+    ctes.append(
+        f"""afin AS MATERIALIZED (
+  SELECT vec_id, q, cell FROM (
+    SELECT v.vec_id, v.q, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM qv v CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, dist_sq, rank FROM (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS vec_id,
+         CAST(list_sum(list_transform({rng},
+           j -> (qa.q[j] - ca.q[j]) * (qa.q[j] - ca.q[j]))) AS BIGINT) AS dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                            ORDER BY list_sum(list_transform({rng},
+                              j -> (qa.q[j] - ca.q[j]) * (qa.q[j] - ca.q[j]))),
+                            ca.vec_id) AS rank
+  FROM afin qa JOIN afin ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < 10
+) WHERE rank <= 3
+"""
+    )
+
+
+IVF_TRAINED_SQL = _ivf_trained_sql()
 
 
 def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

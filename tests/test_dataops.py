@@ -462,6 +462,50 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert a == b
 
 
+def test_kmeans_fit_exact_matches_python_integer_reference(spark):
+    """kmeans_fit_exact must replay the fixed-point Lloyd recurrence
+    (quantize → integer-L2 assign with lowest-cell ties → per-dim
+    floor-average) bit-for-bit — the contract behind ivf_trained_topk's
+    exact-hash oracle — and still recover separated blobs."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from data_migration_tool_spark.operators.similarity import kmeans_fit_exact
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for b, base in enumerate([[0.8, -0.5], [-0.7, 0.6], [0.1, 0.9]]):
+        for i in range(15):
+            v = (np.array(base) + rng.normal(0, 0.05, 2)).tolist()
+            rows.append((b * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k, iters = 3, 3
+    got = {r["cell"]: list(r["q"]) for r in kmeans_fit_exact(df, k=k, iters=iters).collect()}
+
+    # pure-Python replica of the recurrence
+    qv = {
+        vid: [math.floor((x + 2.0) * 1048576.0) for x in vec] for vid, vec in rows
+    }
+    init_ids = sorted(qv, key=lambda v: hashlib.md5(str(v).encode()).hexdigest())[:k]
+    cents = {c: qv[v] for c, v in enumerate(init_ids)}
+    for _ in range(iters):
+        members: dict[int, list[list[int]]] = {}
+        for vid, q in qv.items():
+            best = min(
+                cents.items(),
+                key=lambda cv: (sum((a - b) ** 2 for a, b in zip(q, cv[1])), cv[0]),
+            )[0]
+            members.setdefault(best, []).append(q)
+        for c, qs in members.items():
+            n = len(qs)
+            cents[c] = [sum(col) // n for col in zip(*qs)]
+    assert got == cents
+    # blob recovery: the three centroids sit near the three blob centers
+    assert len({tuple(v) for v in got.values()}) == 3
+
+
 def test_repetition_scores(spark):
     from data_migration_tool_spark.operators.textops import repetition_scores
 
