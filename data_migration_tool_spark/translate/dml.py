@@ -375,6 +375,150 @@ def rewrite_connect_by(sql: str) -> tuple[str, bool, list[str]]:
     return rewritten, True, warnings
 
 
+_TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)(\s+PERCENT)?(\s+WITH\s+TIES)?\b", re.I)
+
+
+def rewrite_top(sql: str) -> tuple[str, list[str]]:
+    """Teradata ``SELECT TOP n`` → trailing ``LIMIT n``.
+
+    Only the plain row-count form is auto-rewritten; ``TOP n PERCENT``
+    and ``WITH TIES`` have no single-clause Spark equivalent (percent
+    needs a count subquery, ties need RANK) and are left untouched with
+    a warning."""
+    m = _TOP_RE.match(sql)
+    if not m:
+        return sql, []
+    if m.group(3) or m.group(4):
+        return sql, [
+            "TOP ... PERCENT / WITH TIES has no direct Spark equivalent "
+            "— rewrite manually (percent: count subquery; ties: RANK)"
+        ]
+    n = m.group(2)
+    sql = _TOP_RE.sub(r"\1 ", sql, count=1)
+    return sql.rstrip() + f" LIMIT {n}", []
+
+
+_SYSDATE_RE = re.compile(r"\bSYSDATE\b", re.I)
+_DUAL_RE = re.compile(r"\s+FROM\s+DUAL\b", re.I)
+_ROWNUM_TRAIL_RE = re.compile(
+    r"\s+(WHERE|AND)\s+ROWNUM\s*<=?\s*(\d+)\s*$", re.I
+)
+
+
+def rewrite_oracle_misc(sql: str) -> tuple[str, list[str]]:
+    """Oracle idioms with mechanical Spark equivalents: ``SYSDATE`` →
+    ``CURRENT_TIMESTAMP`` (outside literals), ``FROM dual`` dropped
+    (Spark allows FROM-less SELECT), and a trailing ``[WHERE|AND]
+    ROWNUM <= n`` → ``LIMIT n`` (the common pagination tail; ROWNUM
+    anywhere else is order-sensitive and only warned)."""
+    warnings: list[str] = []
+    sql = _map_outside_literals(sql, lambda s: _SYSDATE_RE.sub("CURRENT_TIMESTAMP", s))
+    sql = _map_outside_literals(sql, lambda s: _DUAL_RE.sub(" ", s))
+    m = _ROWNUM_TRAIL_RE.search(sql)
+    if m:
+        sql = sql[: m.start()].rstrip() + f" LIMIT {m.group(2)}"
+    elif re.search(r"\bROWNUM\b", sql, re.I):
+        warnings.append(
+            "ROWNUM in a non-trailing position is order-sensitive — "
+            "rewrite manually (row_number() window or LIMIT)"
+        )
+    return sql, warnings
+
+
+def _split_top_level_and(expr: str) -> list[str]:
+    """Split a predicate on top-level AND (paren- and literal-aware)."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and not (
+                expr[j] == "'" and (j + 1 >= n or expr[j + 1] != "'")
+            ):
+                j += 2 if expr[j] == "'" else 1
+            buf.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and expr[i : i + 3].upper() == "AND" and (
+            i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")
+        ) and (i + 3 >= n or not (expr[i + 3].isalnum() or expr[i + 3] == "_")):
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 3
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+_PLUS_RE = re.compile(r"\(\s*\+\s*\)")
+_FROM_WHERE_RE = re.compile(
+    r"^(?P<head>\s*SELECT\b.*?\bFROM\s+)(?P<from>[^()]*?)\s+WHERE\s+(?P<where>.*)$",
+    re.I | re.S,
+)
+
+
+def rewrite_oracle_outer_join(sql: str) -> tuple[str, list[str]]:
+    """Oracle legacy ``(+)`` outer join → ANSI LEFT JOIN, for the
+    workhorse shape: comma FROM of exactly two plain tables, every
+    ``(+)`` marker attached to columns of ONE table (the optional
+    side). Predicates mentioning the marker become the ON clause
+    (markers stripped); the rest stay WHERE. Anything fancier — three
+    tables, both sides marked, subqueries in FROM — is out of the
+    mechanical-confidence zone and warned instead of guessed."""
+    if not _PLUS_RE.search(sql):
+        return sql, []
+    manual = [
+        "(+) outer join could not be auto-rewritten (only the "
+        "two-plain-table single-optional-side form is mechanical) — "
+        "rewrite manually to ANSI JOIN"
+    ]
+    m = _FROM_WHERE_RE.match(sql)
+    if not m:
+        return sql, manual
+    tables = [t.strip() for t in m.group("from").split(",")]
+    if len(tables) != 2 or any(not t or "(" in t for t in tables):
+        return sql, manual
+
+    def names_of(tbl: str) -> list[str]:
+        toks = tbl.split()
+        out = [toks[0].split(".")[-1]]
+        if len(toks) > 1:
+            out.append(toks[-1])
+        return [t.lower() for t in out]
+
+    refs = {i: names_of(t) for i, t in enumerate(tables)}
+    preds = _split_top_level_and(m.group("where"))
+    on_parts, where_parts, marked = [], [], set()
+    for p in preds:
+        if not _PLUS_RE.search(p):
+            where_parts.append(p)
+            continue
+        # which table's columns carry the marker: look at `alias.col (+)`
+        for mm in re.finditer(r"([\w$#]+)\s*\.\s*[\w$#]+\s*\(\s*\+\s*\)", p):
+            a = mm.group(1).lower()
+            for i, ns in refs.items():
+                if a in ns:
+                    marked.add(i)
+        on_parts.append(_PLUS_RE.sub("", p).strip())
+    if len(marked) != 1:
+        return sql, manual
+    opt = marked.pop()
+    keep = 1 - opt
+    new_from = f"{tables[keep]} LEFT JOIN {tables[opt]} ON " + " AND ".join(
+        on_parts
+    )
+    out = m.group("head") + new_from
+    if where_parts:
+        out += " WHERE " + " AND ".join(where_parts)
+    return out, []
+
+
 def translate_statement(
     stmt: str,
     dialect: str = "teradata",
@@ -392,10 +536,17 @@ def translate_statement(
             warnings.append(
                 "CONNECT BY could not be auto-rewritten — rewrite manually"
             )
+    if dialect.lower() == "oracle":
+        sql, oj_warnings = rewrite_oracle_outer_join(sql)
+        warnings.extend(oj_warnings)
+        sql, misc_warnings = rewrite_oracle_misc(sql)
+        warnings.extend(misc_warnings)
     if dialect.lower() == "teradata":
         for pat, full in _TD_TOKens:
             if pat.match(sql):
                 sql = pat.sub(full, sql, count=1)
+        sql, top_warnings = rewrite_top(sql)  # after SEL → SELECT expansion
+        warnings.extend(top_warnings)
         if re.match(r"^\s*(SELECT|INSERT|UPDATE|DELETE|MERGE)\b", sql, re.I):
             sql = rewrite_td_functions(sql)
         if _QUALIFY_RE.search(sql):

@@ -537,6 +537,70 @@ def test_td_function_rewrite_skips_string_literals():
     assert out2 == "SELECT 'it''s INDEX(1)' , COALESCE(x, 0) FROM t"
 
 
+def test_teradata_top_to_limit():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SEL TOP 10 a, b FROM db.t ORDER BY a", dialect="teradata"
+    )
+    assert ts.sql.endswith("ORDER BY a LIMIT 10") and "TOP" not in ts.sql
+    assert ts.warnings == []
+
+    pct = translate_statement("SELECT TOP 5 PERCENT a FROM t", dialect="teradata")
+    assert "TOP 5 PERCENT" in pct.sql  # untouched
+    assert any("PERCENT" in w for w in pct.warnings)
+
+
+def test_oracle_plus_outer_join_left():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT e.name, d.dname FROM emp e, dept d "
+        "WHERE e.deptno = d.deptno(+) AND e.sal > 100",
+        dialect="oracle",
+    )
+    assert (
+        ts.sql == "SELECT e.name, d.dname FROM emp e LEFT JOIN dept d "
+        "ON e.deptno = d.deptno WHERE e.sal > 100"
+    )
+    assert ts.warnings == []
+
+    # marker on the LEFT column → the other table drives
+    ts2 = translate_statement(
+        "SELECT e.name FROM emp e, dept d WHERE e.deptno(+) = d.deptno",
+        dialect="oracle",
+    )
+    assert "FROM dept d LEFT JOIN emp e ON e.deptno = d.deptno" in ts2.sql
+
+    # both sides marked → refuse with a warning, SQL untouched
+    ts3 = translate_statement(
+        "SELECT 1 FROM a, b WHERE a.x(+) = b.y AND b.z(+) = a.w",
+        dialect="oracle",
+    )
+    assert "(+)" in ts3.sql
+    assert any("(+)" in w for w in ts3.warnings)
+
+
+def test_oracle_sysdate_dual_rownum():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement("SELECT SYSDATE FROM dual", dialect="oracle")
+    assert ts.sql.strip() == "SELECT CURRENT_TIMESTAMP"
+
+    lit = translate_statement("SELECT 'SYSDATE stays' FROM dual", dialect="oracle")
+    assert "'SYSDATE stays'" in lit.sql
+
+    lim = translate_statement(
+        "SELECT a FROM t WHERE x = 1 AND ROWNUM <= 10", dialect="oracle"
+    )
+    assert lim.sql == "SELECT a FROM t WHERE x = 1 LIMIT 10"
+
+    mid = translate_statement(
+        "SELECT a FROM t WHERE ROWNUM < 5 AND x = 1", dialect="oracle"
+    )
+    assert any("ROWNUM" in w for w in mid.warnings)
+
+
 def test_rewrite_decode_skips_string_literals():
     from data_migration_tool_spark.translate.dml import rewrite_decode
 
