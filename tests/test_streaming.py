@@ -292,3 +292,55 @@ def test_stream_dedup_across_two_microbatches(spark, tmp_path):
         for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
+    """The idempotent append sink must converge to exactly-once output
+    under (a) a full stream drain, (b) a manual replay of an
+    already-committed batch (marker short-circuit), and (c) a forced
+    rewrite of a batch directory with the marker removed (overwrite
+    idempotence — the property correctness actually rests on)."""
+    import os
+
+    from data_migration_tool_spark.streaming.txn_sink import (
+        append_batch_idempotent,
+        exactly_once_append,
+        read_appended,
+    )
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ck = str(tmp_path / "ck")
+    os.makedirs(landing)
+    rows = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "id long, v string"
+    )
+    rows.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = spark.readStream.schema(rows.schema).parquet(landing)
+    q = exactly_once_append(stream, target, ck)
+    q.awaitTermination(300)
+
+    out = read_appended(spark, target)
+    assert out.count() == 100
+    assert "batch_id" in out.columns
+
+    # (b) replay of a committed batch is a no-op
+    replay = spark.createDataFrame([(999, "dup")], "id long, v string")
+    wrote = append_batch_idempotent(replay, 0, target)
+    assert wrote is False
+    assert read_appended(spark, target).count() == 100
+
+    # (c) marker gone → the batch REWRITES its own directory, still no dups
+    os.remove(os.path.join(target, "_manifest", "0"))
+    batch0 = rows  # checkpoint contract: same batch id = same content
+    wrote = append_batch_idempotent(batch0, 0, target)
+    assert wrote is True
+    assert read_appended(spark, target).count() == 100
+
+    # second drain from the checkpoint: nothing new, nothing duplicated
+    q = exactly_once_append(
+        spark.readStream.schema(rows.schema).parquet(landing), target, ck
+    )
+    q.awaitTermination(300)
+    assert read_appended(spark, target).count() == 100
