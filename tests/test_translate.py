@@ -339,7 +339,7 @@ def test_translate_reference_dml_corpus_dry_runs(spark, tmp_path):
         "employee1": "(emp_no int, emp_name string, job_title string, manager_id int, salary double, commission double, dept_no int)",
         "employee2": "(emp_no int, emp_name string, job_title string, manager_id int, salary double, commission double, dept_no int)",
         "test1": "(t_name string, t_number int, t_age string)",
-        "countries": "(country_id string, country_name string)",
+        "countries": "(country_id string, country_name string, region_id int)",
     }.items():
         spark.sql(f"CREATE TABLE IF NOT EXISTS dmltest.{tbl} {ddl} USING parquet")
 
@@ -356,21 +356,32 @@ def test_translate_reference_dml_corpus_dry_runs(spark, tmp_path):
         + glob.glob("/root/reference/samples/sql/teradata/*.sql")
         + glob.glob("/root/reference/samples/sql/redshift/*.sql")
         + glob.glob("/root/reference/src/tests/end_to_end/input/sql/teradata/*.sql")
+        + glob.glob("/root/reference/samples/sql/oracle/*.sql")
+        + glob.glob("/root/reference/samples/dml/oracle/dml_1.sql")
     )
-    assert len(files) >= 10
+    assert len(files) >= 14
     n_stmts = 0
+    n_oracle = 0
     for path in files:
-        dialect = "teradata" if "teradata" in path else "redshift"
+        dialect = (
+            "teradata"
+            if "teradata" in path
+            else ("oracle" if "oracle" in path else "redshift")
+        )
         for t in translate_file(open(path).read(), dialect, mapping):
-            # countries/tpch tables are oracle/tpch corpus — skip unknown-table files
-            if "EMPLOYEE" not in t.sql and "test1" not in t.sql and "supplier" not in t.sql and "part" not in t.sql:
-                continue
-            if "supplier" in t.sql or "part" in t.sql:
+            known = (
+                "EMPLOYEE" in t.sql
+                or "test1" in t.sql
+                or "countries" in t.sql.lower()
+            )
+            if not known or "supplier" in t.sql or "part" in t.sql:
                 continue  # tpch.* not materialized here
             res = dry_run_statement(spark, t.sql)
             assert res.status == "success", f"{path}: {t.sql[:80]} -> {res.error}"
             n_stmts += 1
-    assert n_stmts >= 10
+            if dialect == "oracle":
+                n_oracle += 1
+    assert n_stmts >= 14 and n_oracle >= 5
     spark.sql("DROP DATABASE dmltest CASCADE")
 
 
