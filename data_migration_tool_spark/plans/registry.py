@@ -715,6 +715,18 @@ _DEFS: list[QueryDef] = [
         SQ.EVENTS_STREAM_SSLEFT_SQL,
         ("streaming", "join", "outer", "watermark"),
     ),
+    QueryDef(
+        "doc_span_dedup_clean",
+        TQ.doc_span_dedup_clean,
+        TQ.DOC_SPAN_DEDUP_SQL,
+        ("text", "dedup", "transform"),
+    ),
+    QueryDef(
+        "knn_label_vote",
+        VQ.knn_label_vote,
+        VQ.KNN_LABEL_VOTE_SQL,
+        ("ann", "eval"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -2097,3 +2097,105 @@ FROM shared s
 JOIN tot ta ON ta.split = s.split_a
 JOIN tot tb ON tb.split = s.split_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc repeated-span removal (C4-style span dedup as a TRANSFORM)
+# ---------------------------------------------------------------------------
+
+def doc_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove spans repeated across the corpus and RE-EMIT the cleaned
+    document — the transform flavor of span dedup (the counting flavor
+    is ``doc_shingle_novelty``). Mirrors the C4 recipe: documents are
+    cut into consecutive non-overlapping 5-token blocks; any block whose
+    identical text occurs in >= 3 distinct documents is boilerplate and
+    is dropped; the survivors are stitched back in original order.
+
+    Output per doc: block count, dropped count, retained token count,
+    and the md5 of the cleaned text (full text would bloat the gate;
+    the hash pins the exact reassembly byte-for-byte).
+
+    Scale shape (100 TB): blocks are produced map-side (one Catalyst
+    ``transform`` over the token array — no UDF); block frequencies are
+    one map-combined shuffle at block grain; the verdict join is a
+    shuffle join on block (AQE skew-splits hot boilerplate blocks);
+    reassembly is one shuffle back to doc grain with an in-memory
+    ``sort_array`` per doc — text never rides more than one shuffle.
+    When the >=3-doc block set is small after thresholding, the join
+    side can be broadcast instead; the default keeps the shuffle join
+    because boilerplate at web scale is NOT small.
+    """
+    block, thresh = 5, 3
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def blocks_of(t):
+        n = F.floor((F.size(t) + (block - 1)) / block).cast("int")
+        idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(t, i * block + 1, block))
+        )
+
+    b = d.select(
+        "doc_id",
+        F.posexplode(TX.bind(TX.tokens("text"), blocks_of)).alias("pos", "block"),
+    )
+    freq = b.groupBy("block").agg(F.count_distinct("doc_id").alias("ndocs"))
+    kept_struct = F.when(
+        F.col("ndocs") < thresh, F.struct(F.col("pos"), F.col("block"))
+    )
+    agg = (
+        b.join(freq, "block")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum((F.col("ndocs") >= thresh).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("ndocs") < thresh, F.size(F.split("block", " "))
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("clean_n_tokens"),
+            F.sort_array(F.collect_list(kept_struct)).alias("kept"),
+        )
+    )
+    clean_text = F.concat_ws(
+        " ", F.transform("kept", lambda s: s.getField("block"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_blocks",
+        "n_dropped",
+        "clean_n_tokens",
+        F.when(F.size("kept") > 0, F.md5(clean_text)).alias("clean_md5"),
+    )
+
+
+DOC_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t
+  FROM documents WHERE length(text) > 0
+),
+blocks AS (
+  SELECT doc_id, gs AS pos,
+         array_to_string(t[gs * 5 + 1 : gs * 5 + 5], ' ') AS block
+  FROM toks,
+       unnest(generate_series(0, CAST((len(t) + 4) // 5 AS BIGINT) - 1)) AS g(gs)
+  WHERE len(t) > 0
+),
+freq AS (SELECT block, count(DISTINCT doc_id) AS ndocs FROM blocks GROUP BY block)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN f.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN f.ndocs < 3
+                     THEN len(string_split(b.block, ' ')) ELSE 0 END) AS BIGINT)
+         AS clean_n_tokens,
+       md5(string_agg(CASE WHEN f.ndocs < 3 THEN b.block END, ' ' ORDER BY b.pos))
+         AS clean_md5
+FROM blocks b JOIN freq f USING (block)
+GROUP BY b.doc_id
+"""

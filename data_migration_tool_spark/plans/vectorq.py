@@ -830,3 +830,82 @@ sq AS (
 SELECT vec_id, label, round(list_sum(list(s ORDER BY pos)), 6) AS dist_sq
 FROM sq GROUP BY vec_id, label
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-label vote (embedding-space classifier evaluation)
+# ---------------------------------------------------------------------------
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction for the first 50 vectors —
+    the classifier-eval companion to ``knn_brute_force``: does the
+    embedding space actually cluster by label? Votes tie-break to the
+    smaller label so the prediction is deterministic.
+
+    Scale shape (100 TB): the query block broadcasts as a dense matrix
+    (guarded, see similarity._collect_matrix); the corpus streams once
+    through the Arrow block-mat-mul scorer with per-partition top-k, so
+    the only full-width shuffle is the final k-row-per-query window.
+    The vote itself runs on k*Q rows — dust. Label lookup joins are
+    broadcast (neighbor ids join back to the corpus projection at
+    id+label width, never embedding width).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    nn = SIM.brute_force_topk(q, e, k=5)
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
+KNN_LABEL_VOTE_SQL = """
+WITH nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT nn.query_id, e.label AS n_label, CAST(count(*) AS BIGINT) AS votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, n_label, votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS rn
+  FROM votes
+)
+SELECT p.query_id AS vec_id, q.label AS true_label,
+       p.n_label AS pred_label, p.votes
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+WHERE p.rn = 1
+"""

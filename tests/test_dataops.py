@@ -1246,3 +1246,79 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     )
     plan = z._jdf.queryExecution().explainString(jmode)
     assert "Python" not in plan
+
+
+def test_span_dedup_clean_semantics(spark, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import doc_span_dedup_clean
+
+    # block "a b c d e" appears in 3 distinct docs -> boilerplate (>=3)
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e x y z w v"),
+        (3, "a b c d e p q"),
+        (4, "unique words only here now"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in doc_span_dedup_clean(spark, str(tmp_path)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    assert out[1].n_blocks == 2 and out[1].n_dropped == 1
+    assert out[1].clean_n_tokens == 5
+    assert out[1].clean_md5 == md5("f g h i j")
+    # partial last block survives and keeps its own token count
+    assert out[3].n_blocks == 2 and out[3].n_dropped == 1
+    assert out[3].clean_n_tokens == 2
+    assert out[3].clean_md5 == md5("p q")
+    # untouched doc: nothing dropped, hash of the full text
+    assert out[4].n_dropped == 0
+    assert out[4].clean_md5 == md5(docs[3][1])
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.vectorq import knn_label_vote
+
+    # two tight clusters: label 1 near e0, label 2 near e1.
+    # queries are ids < 50: q0 sits in cluster 1 (true label 1),
+    # q1 sits in cluster 1 too but carries true label 2 (misclassified).
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.1, 0.0, 0.0], 2),
+        (100, [1.0, 0.01, 0.0, 0.0], 1),
+        (101, [1.0, 0.02, 0.0, 0.0], 1),
+        (102, [1.0, 0.03, 0.0, 0.0], 1),
+        (103, [0.0, 1.0, 0.0, 0.0], 2),
+        (104, [0.0, 1.0, 0.01, 0.0], 2),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+
+    out = {r.vec_id: r for r in knn_label_vote(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    # q0's 5-NN: q1, 100, 101, 102 (label 1 x3 + label 2 x1) + 103 -> label 1 wins 3-2
+    assert out[0].true_label == 1 and out[0].pred_label == 1 and out[0].votes == 3
+    # q1's 5-NN: q0, 100, 101, 102 are label 1 -> majority label 1, truth is 2
+    assert out[1].true_label == 2 and out[1].pred_label == 1 and out[1].votes == 4

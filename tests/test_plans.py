@@ -87,6 +87,7 @@ def test_semi_join_for_exists(spark):
         "doc_split_chi2_drift",
         "customer_rolling_30d_spend",
         "customer_top2_orders_lateral",
+        "doc_span_dedup_clean",
     ],
 )
 def test_no_python_in_jvm_paths(spark, name):
@@ -109,7 +110,7 @@ def test_q1_single_shuffle_with_map_side_combine(spark):
 def test_arrow_kernels_where_intended(spark):
     """The ANN/media paths DO use Arrow-batched Python — assert the node
     type is the Arrow map, not row-at-a-time BatchEvalPython."""
-    for name in ("knn_brute_force", "media_feature_extract"):
+    for name in ("knn_brute_force", "media_feature_extract", "knn_label_vote"):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
