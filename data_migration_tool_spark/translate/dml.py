@@ -425,6 +425,112 @@ def rewrite_oracle_misc(sql: str) -> tuple[str, list[str]]:
     return sql, warnings
 
 
+_GETDATE_RE = re.compile(r"\bGETDATE\s*\(\s*\)", re.I)
+
+# Redshift datepart spellings (bare or quoted) → Spark TIMESTAMPADD /
+# TIMESTAMPDIFF units. Only parts with an exact Spark unit are mapped.
+_DATEPARTS = {
+    "y": "YEAR", "yr": "YEAR", "yrs": "YEAR", "year": "YEAR", "years": "YEAR",
+    "qtr": "QUARTER", "qtrs": "QUARTER", "quarter": "QUARTER",
+    "mon": "MONTH", "mons": "MONTH", "month": "MONTH", "months": "MONTH",
+    "w": "WEEK", "wk": "WEEK", "week": "WEEK", "weeks": "WEEK",
+    "d": "DAY", "day": "DAY", "days": "DAY",
+    "h": "HOUR", "hr": "HOUR", "hrs": "HOUR", "hour": "HOUR", "hours": "HOUR",
+    "m": "MINUTE", "min": "MINUTE", "mins": "MINUTE",
+    "minute": "MINUTE", "minutes": "MINUTE",
+    "s": "SECOND", "sec": "SECOND", "secs": "SECOND",
+    "second": "SECOND", "seconds": "SECOND",
+    "ms": "MILLISECOND", "msec": "MILLISECOND", "millisecond": "MILLISECOND",
+    "milliseconds": "MILLISECOND",
+    "us": "MICROSECOND", "usec": "MICROSECOND", "microsecond": "MICROSECOND",
+    "microseconds": "MICROSECOND",
+}
+
+# DATEDIFF boundary semantics need both operands truncated to the
+# datepart before differencing; sub-boundary units are already exact.
+_TRUNC_PARTS = {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND"}
+
+
+def _rewrite_datepart_func(
+    sql: str, name: str, diff: bool
+) -> tuple[str, list[str]]:
+    """Redshift ``DATEADD/DATEDIFF(datepart, ...)`` → Spark
+    ``TIMESTAMPADD/TIMESTAMPDIFF``. The datepart may be bare or quoted
+    in Redshift; Spark wants a bare keyword. DATEDIFF counts datepart
+    BOUNDARIES crossed (``datediff(day, 23:00, +2h) = 1``), which
+    Spark's TIMESTAMPDIFF (full intervals) does not — both operands are
+    wrapped in DATE_TRUNC so the boundary count is preserved exactly.
+    An unrecognized datepart leaves the call untouched with a warning.
+    """
+    warnings: list[str] = []
+    pat = re.compile(rf"\b{name}\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql, warnings
+        if _in_literal(sql, m.start()):
+            pos = m.end()
+            continue
+        open_idx = sql.index("(", m.start())
+        close = _match_paren(sql, open_idx)
+        if close < 0:
+            return sql, warnings
+        args = _split_args(sql[open_idx + 1 : close])
+        part = args[0].strip().strip("'\"").lower() if args else ""
+        unit = _DATEPARTS.get(part)
+        if len(args) != 3 or unit is None:
+            warnings.append(
+                f"{name}({args[0].strip() if args else ''}, ...) — "
+                "datepart has no exact Spark unit, rewrite manually"
+            )
+            pos = close
+            continue
+        a, b = args[1].strip(), args[2].strip()
+        if diff:
+            if unit in _TRUNC_PARTS:
+                a = f"DATE_TRUNC('{unit}', {a})"
+                b = f"DATE_TRUNC('{unit}', {b})"
+            repl = f"TIMESTAMPDIFF({unit}, {a}, {b})"
+        else:
+            repl = f"TIMESTAMPADD({unit}, {a}, {b})"
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+        pos = m.start() + len(repl)
+
+
+def rewrite_rs_functions(sql: str) -> tuple[str, list[str]]:
+    """Redshift scalar idioms → Spark: ``GETDATE()``/``SYSDATE`` →
+    ``CURRENT_TIMESTAMP``, variadic ``NVL``/``ISNULL`` → ``COALESCE``
+    (Spark's ``nvl`` is strictly 2-arg), ``LEN`` → ``LENGTH``,
+    ``CHARINDEX(sub, s)`` → ``POSITION(sub, s)`` (same argument
+    order), and boundary-exact DATEADD/DATEDIFF (see
+    ``_rewrite_datepart_func``). ``TO_CHAR`` is warned, not rewritten —
+    Redshift's PostgreSQL format patterns ('YYYY-MM-DD') differ token
+    by token from Spark's SimpleDateFormat ('yyyy-MM-dd')."""
+    warnings: list[str] = []
+    sql = _map_outside_literals(
+        sql, lambda s: _GETDATE_RE.sub("CURRENT_TIMESTAMP", s)
+    )
+    sql = _map_outside_literals(
+        sql, lambda s: _SYSDATE_RE.sub("CURRENT_TIMESTAMP", s)
+    )
+    sql = _rewrite_func(sql, "NVL", "COALESCE({args})")
+    sql = _rewrite_func(sql, "ISNULL", "COALESCE({args})")
+    sql = _rewrite_func(sql, "LEN", "LENGTH({args})")
+    sql = _rewrite_func(sql, "CHARINDEX", "POSITION({args})")
+    sql, w = _rewrite_datepart_func(sql, "DATEADD", diff=False)
+    warnings.extend(w)
+    sql, w = _rewrite_datepart_func(sql, "DATEDIFF", diff=True)
+    warnings.extend(w)
+    if re.search(r"\bTO_CHAR\s*\(", sql, re.I):
+        warnings.append(
+            "TO_CHAR format patterns differ between Redshift (PostgreSQL "
+            "'YYYY-MM-DD') and Spark (SimpleDateFormat 'yyyy-MM-dd') — "
+            "rewrite the format string manually (date_format)"
+        )
+    return sql, warnings
+
+
 def _split_top_level_and(expr: str) -> list[str]:
     """Split a predicate on top-level AND (paren- and literal-aware)."""
     parts, buf, depth, i, n = [], [], 0, 0, len(expr)
@@ -541,6 +647,21 @@ def translate_statement(
         warnings.extend(oj_warnings)
         sql, misc_warnings = rewrite_oracle_misc(sql)
         warnings.extend(misc_warnings)
+    if dialect.lower() == "redshift":
+        # Redshift shares SELECT TOP n and (since 2023) QUALIFY with
+        # Teradata — reuse those rewrites, then the scalar-function map
+        sql, top_warnings = rewrite_top(sql)
+        warnings.extend(top_warnings)
+        if re.match(r"^\s*(SELECT|INSERT|UPDATE|DELETE|MERGE)\b", sql, re.I):
+            sql, rs_warnings = rewrite_rs_functions(sql)
+            warnings.extend(rs_warnings)
+        if _QUALIFY_RE.search(sql):
+            sql, applied = rewrite_qualify(sql)
+            if not applied:
+                warnings.append(
+                    "QUALIFY could not be auto-rewritten (subquery or "
+                    "non-window predicate) — rewrite manually"
+                )
     if dialect.lower() == "teradata":
         for pat, full in _TD_TOKens:
             if pat.match(sql):

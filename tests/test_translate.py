@@ -620,3 +620,69 @@ def test_rewrite_decode_skips_string_literals():
     assert got == (
         "SELECT CASE x WHEN 1 THEN 'DECODE(a, b)' ELSE 'other' END FROM t"
     )
+
+
+def test_redshift_function_rewrites_execute(spark):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    spark.createDataFrame(
+        [(None, "hello world", "2024-03-05 23:30:00")],
+        "a double, s string, t string",
+    ).createOrReplaceTempView("rsq")
+    ts = translate_statement(
+        "SELECT NVL(a, -1, -2) AS nv, ISNULL(a, 0) AS isn, "
+        "LEN(s) AS n, CHARINDEX('world', s) AS pos, "
+        "DATEADD(day, 2, CAST(t AS TIMESTAMP)) AS d2, "
+        "DATEDIFF(day, CAST(t AS TIMESTAMP), "
+        "TIMESTAMP'2024-03-06 01:00:00') AS dd FROM rsq",
+        dialect="redshift",
+    )
+    for gone in ("NVL", "ISNULL", "LEN(", "CHARINDEX", "DATEADD", "DATEDIFF"):
+        assert gone not in ts.sql.upper().replace("LENGTH", ""), ts.sql
+    r = spark.sql(ts.sql).first()
+    assert r.nv == -1.0 and r.isn == 0.0
+    assert r.n == 11 and r.pos == 7
+    assert str(r.d2).startswith("2024-03-07 23:30")
+    # 90 minutes apart but ONE day boundary crossed — Redshift counts 1
+    assert r.dd == 1
+
+
+def test_redshift_getdate_top_and_quoted_datepart():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT TOP 3 GETDATE() AS now, DATEADD('hour', 1, ts) AS h "
+        "FROM t WHERE note = 'call GETDATE() later'",
+        dialect="redshift",
+    )
+    assert ts.sql.rstrip().endswith("LIMIT 3")
+    assert "CURRENT_TIMESTAMP" in ts.sql
+    assert "'call GETDATE() later'" in ts.sql  # literal untouched
+    assert "TIMESTAMPADD(HOUR, 1, ts)" in ts.sql
+
+
+def test_redshift_unknown_datepart_and_to_char_warn():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT DATEDIFF(epoch, a, b), TO_CHAR(a, 'YYYY-MM-DD') FROM t",
+        dialect="redshift",
+    )
+    assert "DATEDIFF(epoch" in ts.sql  # left untouched
+    assert any("datepart" in w for w in ts.warnings)
+    assert any("TO_CHAR" in w for w in ts.warnings)
+
+
+def test_redshift_datediff_boundary_truncation(spark):
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT DATEDIFF(month, TIMESTAMP'2024-01-31 10:00:00', "
+        "TIMESTAMP'2024-02-01 09:00:00') AS m, "
+        "DATEDIFF(us, TIMESTAMP'2024-01-01 00:00:00', "
+        "TIMESTAMP'2024-01-01 00:00:01') AS us",
+        dialect="redshift",
+    )
+    r = spark.sql(ts.sql).first()
+    assert r.m == 1  # one month boundary, though < 1 full month apart
+    assert r.us == 1_000_000
