@@ -520,3 +520,63 @@ def cross_corpus_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, band-blocked.
+
+    With ``bands`` bit-bands and ``max_hamming < bands``, blocking is
+    EXACT by pigeonhole: at most ``max_hamming`` differing bits can
+    touch at most ``max_hamming`` bands, so every qualifying pair
+    shares at least one intact band and is generated as a candidate —
+    no recall loss, unlike probabilistic MinHash banding. Output
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: signatures are one map-combined shuffle (the simhash
+    agg); candidates come from a self-join on (band_idx, band_value) —
+    bucket sizes are bounded by 2^(bits/bands) spreading, and the
+    verify step is a constant-time bit_count on the joined signatures,
+    never a text compare. Hot buckets (boilerplate-heavy corpora) are
+    AQE-skew-split; raise ``bits`` to sparsify buckets at corpus scale.
+    """
+    assert bits % bands == 0 and max_hamming < bands
+    width = bits // bands
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(bands)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band_idx * {width})) & {(1 << width) - 1}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

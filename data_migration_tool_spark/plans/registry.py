@@ -727,6 +727,12 @@ _DEFS: list[QueryDef] = [
         VQ.KNN_LABEL_VOTE_SQL,
         ("ann", "eval"),
     ),
+    QueryDef(
+        "doc_simhash_near_dups",
+        TQ.doc_simhash_near_dups,
+        TQ.DOC_SIMHASH_NEAR_DUPS_SQL,
+        ("text", "dedup", "simhash"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -2199,3 +2199,59 @@ SELECT b.doc_id,
 FROM blocks b JOIN freq f USING (block)
 GROUP BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (band-blocked, exact for hamming <= bands-1)
+# ---------------------------------------------------------------------------
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via 32-bit SimHash, 4 bit-bands, Hamming <= 3.
+    Band blocking is EXACT here (pigeonhole: 3 flipped bits leave one
+    of 4 bands intact), so this is a no-recall-loss sub-quadratic
+    companion to ``doc_minhash_lsh_dedup``; see
+    operators.dedup.simhash_near_dups for the scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_dups(d, bits=32, bands=4, max_hamming=3)
+
+
+_SIMHASH32_VOTES = ",\n".join(
+    f"  SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_SIMHASH32_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+DOC_SIMHASH_NEAR_DUPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+{_SIMHASH32_VOTES}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({_SIMHASH32_ASSEMBLE} AS BIGINT) AS simhash FROM votes
+),
+banded AS (
+  SELECT doc_id, simhash, bi,
+         (simhash >> (bi * 8)) & 255 AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+"""

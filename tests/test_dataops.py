@@ -1322,3 +1322,32 @@ def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
     assert out[0].true_label == 1 and out[0].pred_label == 1 and out[0].votes == 3
     # q1's 5-NN: q0, 100, 101, 102 are label 1 -> majority label 1, truth is 2
     assert out[1].true_label == 2 and out[1].pred_label == 1 and out[1].votes == 4
+
+
+def test_simhash_near_dups_exact_vs_bruteforce(spark):
+    # pigeonhole claim: 4 bands over 32 bits lose NO pair at hamming<=3.
+    # brute-force all-pairs over the collected signatures is the oracle.
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for i in range(24):
+        toks = [words[(i + j) % len(words)] for j in range(6)]
+        if i % 3 == 0:
+            toks[0] = "mutant"  # inject small signature perturbations
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_near_dups(df, bits=32, bands=4, max_hamming=3).collect()
+    }
+
+    sigs = {
+        r.doc_id: r.simhash for r in DD.simhash(df, bits=32).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for x in ids:
+        for y in ids:
+            if x < y and bin(sigs[x] ^ sigs[y]).count("1") <= 3:
+                want[(x, y)] = bin(sigs[x] ^ sigs[y]).count("1")
+    assert got == want and len(want) > 0

@@ -88,6 +88,7 @@ def test_semi_join_for_exists(spark):
         "customer_rolling_30d_spend",
         "customer_top2_orders_lateral",
         "doc_span_dedup_clean",
+        "doc_simhash_near_dups",
     ],
 )
 def test_no_python_in_jvm_paths(spark, name):
