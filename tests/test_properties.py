@@ -283,3 +283,50 @@ def test_cap_per_group_invariants(spark, groups, cap):
         ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         want.update((g, i) for i in ranked[:cap])
     assert set(kept) == want and len(kept) == len(want)
+
+
+@given(
+    st.sampled_from(["day", "hour", "minute", "month", "year", "'day'", "'hour'"]),
+    st.integers(-500, 500),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(2000, 1, 1),
+        max_value=__import__("datetime").datetime(2030, 1, 1),
+    ).map(lambda d: d.replace(microsecond=0)),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(2000, 1, 1),
+        max_value=__import__("datetime").datetime(2030, 1, 1),
+    ).map(lambda d: d.replace(microsecond=0)),
+)
+@settings(max_examples=25, deadline=None)
+def test_redshift_datediff_matches_duckdb_boundary_semantics(
+    part, n, t1, t2
+):
+    """The DATEDIFF rewrite must reproduce Redshift/DuckDB
+    boundary-crossing counts (date_diff in DuckDB counts boundaries,
+    like Redshift) — checked by running the REWRITTEN SQL through
+    DuckDB against DuckDB's own native date_diff."""
+    import duckdb
+
+    from data_migration_tool_spark.translate.dml import rewrite_rs_functions
+
+    bare = part.strip("'")
+    src = (
+        f"SELECT DATEDIFF({part}, TIMESTAMP '{t1}', TIMESTAMP '{t2}') AS d"
+    )
+    out, warnings = rewrite_rs_functions(src)
+    assert "DATEDIFF" not in out.upper() and not warnings
+    # DuckDB has no TIMESTAMPDIFF; its date_diff counts boundaries
+    # (like Redshift), so map the Spark spelling textually and run the
+    # whole rewritten expression through DuckDB
+    import re as _re
+
+    ducked = _re.sub(
+        r"TIMESTAMPDIFF\((\w+),",
+        lambda m: f"date_diff('{m.group(1)}',",
+        out,
+    )
+    got = duckdb.sql(ducked).fetchone()[0]
+    want = duckdb.sql(
+        f"SELECT date_diff('{bare}', TIMESTAMP '{t1}', TIMESTAMP '{t2}') AS d"
+    ).fetchone()[0]
+    assert got == want
