@@ -647,6 +647,22 @@ def translate_statement(
         warnings.extend(oj_warnings)
         sql, misc_warnings = rewrite_oracle_misc(sql)
         warnings.extend(misc_warnings)
+        if re.search(r"\bTO_CHAR\s*\(|\bTO_DATE\s*\(", sql, re.I):
+            warnings.append(
+                "TO_CHAR/TO_DATE format patterns differ between Oracle "
+                "('YYYY-MM-DD') and Spark (SimpleDateFormat 'yyyy-MM-dd') "
+                "— verify the format string (date_format / to_date)"
+            )
+    if dialect.lower() == "hive":
+        # Hive QL is largely Spark-native (LATERAL VIEW, DISTRIBUTE BY,
+        # CLUSTER BY all parse); the one construct that cannot run
+        # without Hive script-transform support is TRANSFORM ... USING
+        if re.search(r"\bTRANSFORM\s*\(.*\)\s*USING\b", sql, re.I | re.S):
+            warnings.append(
+                "Hive TRANSFORM ... USING script transform requires "
+                "hive script-transform support — rewrite as a Pandas UDF "
+                "(mapInPandas) or enable Hive support"
+            )
     if dialect.lower() == "redshift":
         # Redshift shares SELECT TOP n and (since 2023) QUALIFY with
         # Teradata — reuse those rewrites, then the scalar-function map

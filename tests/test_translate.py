@@ -686,3 +686,24 @@ def test_redshift_datediff_boundary_truncation(spark):
     r = spark.sql(ts.sql).first()
     assert r.m == 1  # one month boundary, though < 1 full month apart
     assert r.us == 1_000_000
+
+
+def test_oracle_to_char_warns_and_hive_transform_warns():
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT TO_CHAR(hiredate, 'YYYY-MM-DD') FROM emp", dialect="oracle"
+    )
+    assert any("TO_CHAR" in w for w in ts.warnings)
+
+    th = translate_statement(
+        "SELECT TRANSFORM(a, b) USING 'python script.py' AS (x, y) FROM t",
+        dialect="hive",
+    )
+    assert any("TRANSFORM" in w for w in th.warnings)
+    # plain Hive QL passes through warning-free
+    ok = translate_statement(
+        "SELECT key, v FROM t LATERAL VIEW explode(vals) e AS v",
+        dialect="hive",
+    )
+    assert ok.warnings == []
