@@ -733,6 +733,12 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_SIMHASH_NEAR_DUPS_SQL,
         ("text", "dedup", "simhash"),
     ),
+    QueryDef(
+        "corpus_budget_allocation",
+        TQ.corpus_budget_allocation,
+        TQ.CORPUS_BUDGET_SQL,
+        ("text", "sampling", "mixture"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

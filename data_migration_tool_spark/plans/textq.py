@@ -2255,3 +2255,85 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sa, sb)) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation across sources (Hamilton largest-remainder)
+# ---------------------------------------------------------------------------
+
+_BUDGET = 100_000
+
+
+def corpus_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split a global token budget across sources proportionally to
+    their corpus mass, with the Hamilton (largest-remainder) method —
+    the integer-exact answer to "how many tokens do I take from each
+    source for this training mix". floor(B*n_s/N) seats first; the
+    leftover seats go to the largest remainders (B*n_s mod N), ties to
+    the lexically-smaller source so the allocation is deterministic.
+    Allocations sum to exactly B by construction.
+
+    All arithmetic is int64 truncating div/mod — bit-identical on both
+    engines, no decimal-division rounding to reason about. Headroom:
+    B*N must stay under 2^63 (1e5 budget x ~9e13 corpus chars); past
+    that, route the two products through decimal(38,0) exactly as the
+    KS-drift numerators do (plans/textq.py, r4 ADVICE fix).
+
+    Scale: one source-grain groupBy (map-combined) — the allocation
+    itself runs on a table with one row per source, driver-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("mass")
+    )
+    # truncating integer division/modulo, spelled with div/% so Catalyst
+    # keeps it in int64 end-to-end
+    calc = per_src.select(
+        "source",
+        F.col("mass").alias("n_chars_total"),
+        F.expr(f"({_BUDGET}L * mass) div (sum(mass) over ())").alias("base_alloc"),
+        F.expr(f"({_BUDGET}L * mass) % (sum(mass) over ())").alias("rem"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    )
+    leftover = F.lit(_BUDGET) - F.sum("base_alloc").over(W.partitionBy())
+    return (
+        calc.withColumn("rk", rk)
+        .withColumn("leftover", leftover)
+        .select(
+            "source",
+            "n_chars_total",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
+CORPUS_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+calc AS (
+  SELECT source,
+         mass AS n_chars_total,
+         ({_BUDGET} * mass) // CAST(SUM(mass) OVER () AS BIGINT) AS base_alloc,
+         ({_BUDGET} * mass) % CAST(SUM(mass) OVER () AS BIGINT) AS rem
+  FROM per_src
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         {_BUDGET} - CAST(SUM(base_alloc) OVER () AS BIGINT) AS leftover
+  FROM calc
+)
+SELECT source, n_chars_total,
+       CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM ranked
+"""

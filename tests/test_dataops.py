@@ -1351,3 +1351,45 @@ def test_simhash_near_dups_exact_vs_bruteforce(spark):
             if x < y and bin(sigs[x] ^ sigs[y]).count("1") <= 3:
                 want[(x, y)] = bin(sigs[x] ^ sigs[y]).count("1")
     assert got == want and len(want) > 0
+
+
+def test_budget_allocation_sums_exactly_and_is_hamilton(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import (
+        _BUDGET,
+        corpus_budget_allocation,
+    )
+
+    # masses chosen so floor allocations UNDER-fill and remainders
+    # decide the last seats: 3/7/11 of 21 total
+    docs, did = [], 0
+    for src, chars in (("a", 3), ("b", 7), ("c", 11)):
+        docs.append((did, "x", "en", src, chars))
+        did += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array([d[2] for d in docs]),
+            "source": pa.array([d[3] for d in docs]),
+            "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.source: r.alloc_tokens
+        for r in corpus_budget_allocation(spark, str(tmp_path)).collect()
+    }
+    assert sum(out.values()) == _BUDGET  # Hamilton invariant: exact fill
+    # python reference: floor seats + largest remainders
+    masses = {"a": 3, "b": 7, "c": 11}
+    total = sum(masses.values())
+    base = {s: (_BUDGET * m) // total for s, m in masses.items()}
+    rem = {s: (_BUDGET * m) % total for s, m in masses.items()}
+    left = _BUDGET - sum(base.values())
+    for s in sorted(masses, key=lambda s: (-rem[s], s))[:left]:
+        base[s] += 1
+    assert out == base
