@@ -580,3 +580,80 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def lsh_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """The storable LSH index of a corpus: (id, band, band_key).
+
+    This is the state a 100 TB pipeline persists between ingest
+    batches — ~n_bands small rows per document, no shingles, no text.
+    A daily batch is deduped against the standing corpus by
+    ``minhash_lsh_incremental`` without re-hashing a single standing
+    document."""
+    return minhash_signatures(
+        shingle_set(df, id_col, text_col, shingle_n),
+        id_col,
+        num_hashes,
+        band_rows,
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs TOUCHING the new batch,
+    computed against a stored index instead of the whole corpus.
+
+    Exactness contract (tested): because band keys are a pure function
+    of each document alone, (new x index) ∪ (new x new) candidates are
+    EXACTLY the full-corpus candidate set restricted to pairs with a
+    new member — incremental loses nothing vs a full re-run.
+
+    Scale shape: signature hashing runs on the batch only (the whole
+    point — batch-size, not corpus-size map work); the index join is
+    keyed on (band, band_key) with cost Σ bucket_b·bucket_new, which
+    inherits the LSH contract; the Jaccard verify re-shingles ONLY
+    candidate-touched documents (broadcast semi-join prune inside
+    ``jaccard_verify``) — the corpus is scanned once map-side, never
+    shuffled. Union the batch's bands into the stored index afterwards
+    and the state is ready for the next batch.
+    """
+    new_sh = shingle_set(new_docs, id_col, text_col, shingle_n).persist()
+    new_bands = minhash_signatures(new_sh, id_col, num_hashes, band_rows).persist()
+
+    nb = new_bands.select(F.col(id_col).alias("nid"), "band", "band_key")
+    ib = index_bands.select(F.col(id_col).alias("iid"), "band", "band_key")
+    new_vs_old = nb.join(ib, ["band", "band_key"]).select(
+        F.least("nid", "iid").alias("id_a"),
+        F.greatest("nid", "iid").alias("id_b"),
+    )
+    new_vs_new = lsh_candidate_pairs(new_bands, id_col)
+    cand = (
+        new_vs_old.unionByName(new_vs_new)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .persist()
+    )
+    # verify shingles come from the union corpus; jaccard_verify prunes
+    # to candidate-touched ids via broadcast semi-join before any join
+    all_sh = shingle_set(
+        corpus_docs, id_col, text_col, shingle_n
+    ).unionByName(new_sh)
+    return jaccard_verify(cand, all_sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )

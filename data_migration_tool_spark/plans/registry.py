@@ -739,6 +739,12 @@ _DEFS: list[QueryDef] = [
         TQ.CORPUS_BUDGET_SQL,
         ("text", "sampling", "mixture"),
     ),
+    QueryDef(
+        "doc_lsh_incremental",
+        TQ.doc_lsh_incremental,
+        TQ.DOC_LSH_INCREMENTAL_SQL,
+        ("text", "dedup", "incremental"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -2337,3 +2337,28 @@ SELECT source, n_chars_total,
          AS alloc_tokens
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH maintenance (daily-batch dedup against a stored index)
+# ---------------------------------------------------------------------------
+
+def doc_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs for "today's batch" (doc_id % 5 == 0) against the
+    standing corpus, via the stored band index — signature hashing runs
+    on the batch only. Provably equal to the full-corpus LSH run
+    restricted to pairs touching the batch (band keys are per-document
+    pure functions), which is exactly what the oracle computes. See
+    operators.dedup.minhash_lsh_incremental for the scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    standing = d.filter(F.col("doc_id") % 5 != 0)
+    idx = DD.lsh_index(standing)
+    return DD.minhash_lsh_incremental(batch, idx, standing, threshold=0.5)
+
+
+DOC_LSH_INCREMENTAL_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""

@@ -1393,3 +1393,31 @@ def test_budget_allocation_sums_exactly_and_is_hamilton(spark, tmp_path):
     for s in sorted(masses, key=lambda s: (-rem[s], s))[:left]:
         base[s] += 1
     assert out == base
+
+
+def test_lsh_incremental_equals_full_run_restricted(spark):
+    # contract: incremental(batch, index(standing)) == full-corpus LSH
+    # pairs restricted to pairs touching the batch
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    for i in range(12):
+        words = base.split()
+        if i % 4 == 0:
+            words[-1] = f"variant{i // 4}"  # three near-dup families
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.filter(F.col("doc_id") % 3 == 0)
+    standing = df.filter(F.col("doc_id") % 3 != 0)
+
+    inc = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in DD.minhash_lsh_incremental(
+            batch, DD.lsh_index(standing), standing, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in DD.minhash_lsh_dedup(df, threshold=0.3).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    }
+    assert inc == full and len(full) > 0
