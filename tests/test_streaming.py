@@ -344,3 +344,80 @@ def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert read_appended(spark, target).count() == 100
+
+
+def test_lsh_ingest_stream_across_batches(spark, tmp_path):
+    """Three landed doc files drained as three micro-batches: each
+    batch's near-dup pairs are checked against everything ingested
+    BEFORE it; the band index grows as streaming state; a crashed-batch
+    replay converges (idempotent per-batch writes)."""
+    from data_migration_tool_spark.operators import dedup as DD
+    from data_migration_tool_spark.streaming.lsh_ingest import (
+        ingest_batch,
+        lsh_ingest_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    batches = [
+        [(0, base), (1, base.replace("river", "creek"))],
+        [(2, base), (3, "completely different text about spark engines")],
+        [(4, base.replace("river", "creek")), (5, base)],
+    ]
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(landing)
+        q = lsh_ingest_stream(stream, state, ckpt, threshold=0.5)
+        q.awaitTermination(180)
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{state}/pairs").select(
+            "id_a", "id_b"
+        ).collect()
+    }
+
+    # sequential reference with the batch operator: batch k vs docs
+    # ingested before it (plus within-batch pairs)
+    all_rows, want = [], set()
+    for rows in batches:
+        nd = spark.createDataFrame(rows, schema)
+        standing = spark.createDataFrame(
+            all_rows or [], schema
+        )
+        ref = DD.minhash_lsh_incremental(
+            nd, DD.lsh_index(standing), standing, threshold=0.5
+        )
+        want |= {(r.id_a, r.id_b) for r in ref.collect()}
+        all_rows += rows
+    assert got == want
+    # the near-dup family {0,1,2,4,5} must interconnect; 3 is isolated
+    assert all(3 not in p for p in got)
+    assert {p for p in got if 0 in p}  # doc 0 pairs exist
+
+    # replay safety: re-running a completed batch changes nothing
+    before = sorted(got)
+    nd = spark.createDataFrame(batches[2], schema)
+    ingest_batch(
+        nd, 2, f"{state}/index", f"{state}/corpus", f"{state}/pairs"
+    )
+    after = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{state}/pairs").select(
+            "id_a", "id_b"
+        ).collect()
+    )
+    assert after == before
