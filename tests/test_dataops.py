@@ -1262,6 +1262,7 @@ def test_span_dedup_clean_semantics(spark, tmp_path):
         (2, "a b c d e x y z w v"),
         (3, "a b c d e p q"),
         (4, "unique words only here now"),
+        (5, "a b c d e"),  # pure boilerplate -> everything dropped
     ]
     tbl = pa.table(
         {
@@ -1287,6 +1288,9 @@ def test_span_dedup_clean_semantics(spark, tmp_path):
     # untouched doc: nothing dropped, hash of the full text
     assert out[4].n_dropped == 0
     assert out[4].clean_md5 == md5(docs[3][1])
+    # fully-boilerplate doc: everything dropped, NULL hash (not md5(''))
+    assert out[5].n_blocks == 1 and out[5].n_dropped == 1
+    assert out[5].clean_n_tokens == 0 and out[5].clean_md5 is None
 
 
 def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
