@@ -745,6 +745,12 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_LSH_INCREMENTAL_SQL,
         ("text", "dedup", "incremental"),
     ),
+    QueryDef(
+        "embedding_pca_power_exact",
+        VQ.embedding_pca_power_exact,
+        VQ.EMB_PCA_POWER_SQL,
+        ("vector", "pca", "fixed-point"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

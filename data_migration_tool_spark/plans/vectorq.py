@@ -909,3 +909,153 @@ SELECT p.query_id AS vec_id, q.label AS true_label,
 FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
 WHERE p.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-point power-iteration PCA (top component, hash-gated)
+# ---------------------------------------------------------------------------
+
+_PCA_Q = 4096  # input quantization: q = floor(val * 4096)
+_PCA_D = 1 << 20  # scatter-matrix rescale divisor
+_PCA_S = 4096  # iteration vector scale (normalized to max|x| = S)
+_PCA_ROUNDS = 200
+_PCA_DIM = 64
+
+
+def _pca_x0(i: int) -> int:
+    """Deterministic LCG-scrambled start coordinate in [-S, S]. The
+    all-ones start looked natural but was data-hostile: at sf0.1 its
+    overlap with the top eigenvector is ~0 and the truncating iteration
+    locked onto the SECOND eigenvector. A scrambled start has generic
+    ~1/sqrt(d) overlap with every direction. Same closed form in the
+    SQL twin."""
+    return ((1103515245 * (i + 12345)) % (2 * _PCA_S + 1)) - _PCA_S
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` use (verified: -7 div 2 = -3
+    on each). Python's ``//`` floors, so negatives need the flip."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by FIXED-POINT power iteration — PCA's
+    entry into the exact-hash lane (same move that made k-means and
+    PageRank gate-checkable): quantize coordinates to integers
+    (floor(val*4096) — exact in both engines, x4096 is a pure exponent
+    shift even in float32), build the integer scatter matrix
+    n*G - s*s^T (mean-centering without non-integer means), rescale by
+    2^20, and run 200 rounds of x <- trunc-div(M*x*S, max|M*x|) from the
+    all-ones start. Every step is int64 truncating arithmetic, so the
+    result is order-independent and bit-identical cross-engine; the
+    DuckDB twin unrolls the identical recurrence as chained CTEs.
+    Output: the UNNORMALIZED integer projection of every vector onto
+    the final direction. The float 8-component ``embedding_pca_project``
+    (true eigh) stays rows-only — this query pins the top component
+    exactly.
+
+    Scale shape: the Gramian self-join is d^2 rows per vector keyed on
+    vec_id (map-side explode, one groupBy at (i,j) grain — d^2 = 4096
+    groups regardless of corpus size); the 12-round iteration runs on
+    the collected d x d integer matrix — O(d^2) driver state, the same
+    budget pca_fit already spends, zero per-round cluster work; the
+    projection is one broadcast join + one vec_id groupBy.
+    int64 headroom: |M| <= n^2 * q_max^2 needs n <= ~2e5 at these
+    scales — past that, lift the scatter matrix into decimal(38,0)
+    (both engines) exactly as the drift numerators do."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("val").cast("double") * _PCA_Q)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    n = emb.count()
+    s = {
+        r["pos"]: r["s"]
+        for r in ex.groupBy("pos")
+        .agg(F.sum("q").cast("long").alias("s"))
+        .collect()
+    }
+    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
+    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
+    g = {
+        (r["i"], r["j"]): r["g"]
+        for r in a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g"))
+        .collect()
+    }
+    d = len(s)
+    m = {
+        (i, j): _tdiv(n * g[(i, j)] - s[i] * s[j], _PCA_D)
+        for i in range(d)
+        for j in range(d)
+    }
+    x = [_pca_x0(i) for i in range(d)]
+    for _ in range(_PCA_ROUNDS):
+        y = [sum(m[(i, j)] * x[j] for j in range(d)) for i in range(d)]
+        mx = max(max(abs(v) for v in y), 1)
+        x = [_tdiv(v * _PCA_S, mx) for v in y]
+    xdf = spark.createDataFrame(
+        [(i, x[i]) for i in range(d)], "pos int, xv long"
+    )
+    out = (
+        ex.join(F.broadcast(xdf), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("xv")).cast("long").alias("pc1_raw"))
+    )
+    ex.unpersist()
+    return out
+
+
+def _pca_round_ctes(k: int) -> str:
+    prev = f"x{k - 1}" if k > 1 else "x0"
+    return f"""y{k} AS MATERIALIZED (
+  SELECT m.i AS pos, CAST(SUM(m.mv * p.xv) AS BIGINT) AS yv
+  FROM m JOIN {prev} p ON p.pos = m.j GROUP BY 1
+),
+x{k} AS MATERIALIZED (
+  SELECT pos,
+         (yv * {_PCA_S}) // GREATEST((SELECT MAX(ABS(yv)) FROM y{k}), 1)
+           AS xv
+  FROM y{k}
+)"""
+
+
+_PCA_ROUND_SQL = ",\n".join(
+    _pca_round_ctes(k) for k in range(1, _PCA_ROUNDS + 1)
+)
+
+EMB_PCA_POWER_SQL = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_PCA_Q}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, {_PCA_DIM + 1})) AS u(i)
+),
+sv AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS s FROM ex GROUP BY pos),
+gm AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+m AS MATERIALIZED (
+  SELECT g.i, g.j,
+         (CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) * g.g
+          - si.s * sj.s) // {_PCA_D} AS mv
+  FROM gm g JOIN sv si ON si.pos = g.i JOIN sv sj ON sj.pos = g.j
+),
+x0 AS (SELECT pos,
+         CAST((1103515245 * (pos + 12345)) % (2 * {_PCA_S} + 1)
+              - {_PCA_S} AS BIGINT) AS xv
+       FROM sv),
+{_PCA_ROUND_SQL}
+SELECT e.vec_id, CAST(SUM(e.q * x.xv) AS BIGINT) AS pc1_raw
+FROM ex e JOIN x{_PCA_ROUNDS} x ON x.pos = e.pos
+GROUP BY e.vec_id
+"""

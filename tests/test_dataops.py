@@ -1425,3 +1425,41 @@ def test_lsh_incremental_equals_full_run_restricted(spark):
         if r.id_a % 3 == 0 or r.id_b % 3 == 0
     }
     assert inc == full and len(full) > 0
+
+
+def test_pca_power_exact_converges_to_top_component(spark, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.vectorq import (
+        embedding_pca_power_exact,
+    )
+
+    # synthetic corpus with a PLANTED dominant direction: strong
+    # variance along u, isotropic noise elsewhere
+    rng = np.random.RandomState(7)
+    d, n = 16, 300
+    u = rng.randn(d)
+    u /= np.linalg.norm(u)
+    X = rng.randn(n, 1) * 0.5 @ u[None, :] + rng.randn(n, d) * 0.05
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in X], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.vec_id: r.pc1_raw
+        for r in embedding_pca_power_exact(spark, str(tmp_path)).collect()
+    }
+    proj = np.array([got[i] for i in range(n)], dtype="float64")
+    Xc = X - X.mean(0)
+    true_p = Xc @ np.linalg.eigh(np.cov(Xc.T))[1][:, -1]
+    corr = abs(np.corrcoef(proj, true_p)[0, 1])
+    assert corr > 0.999, corr
