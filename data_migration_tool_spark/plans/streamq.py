@@ -26,6 +26,30 @@ from data_migration_tool_spark.tables import (
     table_path,
 )
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Size the state-store partition count for a test-scale drain.
+
+    Structured Streaming fixes its state partitioning to
+    ``spark.sql.shuffle.partitions`` at the first micro-batch. These
+    registry queries drain ONE landed file, where 32 state partitions
+    mean 32 state-store instances of per-partition overhead for a few
+    thousand rows — pure fixed cost. At production volume the same
+    queries want the cluster-sized default (state partitioning scales
+    with stream volume; semantics are partition-count-independent,
+    which is also why this knob cannot change results). Restores the
+    session value afterwards."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 
 def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts per event_type, computed by
@@ -51,16 +75,17 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_daily_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_counts(stream, window="1 day", watermark="1 day")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            windowed_event_counts(stream, window="1 day", watermark="1 day")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -97,16 +122,17 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -221,16 +247,17 @@ def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_quota_{uuid.uuid4().hex[:8]}"
-    q = (
-        quota_stream(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            quota_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -315,15 +342,16 @@ def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
 
     sink = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -421,20 +449,21 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
 
     sink = f"events_seg_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.groupBy("c_mktsegment", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+    with _stream_shuffle(spark):
+        q = (
+            joined.groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("sum_value"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -489,15 +518,16 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink).select("event_type", "n_events", "sum_value")
 
 
@@ -630,13 +660,14 @@ def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             "append"
         ).parquet(state)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     merged = IA.merge_partials([spark.read.parquet(state)], ["event_type"])
     return IA.finalize(merged, ["event_type"]).select(
@@ -735,15 +766,16 @@ def events_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFr
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
 
     sink = f"events_ssleft_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
