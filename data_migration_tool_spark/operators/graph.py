@@ -108,6 +108,7 @@ def pagerank_exact(
     iters: int = 6,
     scale: int = 10**12,
     broadcast_ranks: bool = False,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: the same power iteration as ``pagerank``
     carried entirely in scaled int64 (rank ≙ rank_scaled / 10^12) with
@@ -124,7 +125,16 @@ def pagerank_exact(
     term (≤1e-12 of mass) — irrelevant for ranking, and exactly the
     same loss on every engine. Same join/groupBy/localCheckpoint loop
     shape and 100 TB posture as ``pagerank``; max intermediate is
-    rank·85 ≤ 8.5e13, far inside int64."""
+    rank·85 ≤ 8.5e13, far inside int64.
+
+    ``loop_shuffle_partitions``: when the caller knows the node set is
+    dimension-scale (this operator's ``broadcast_ranks`` use case), the
+    loop's per-round shuffles carry node-grain state and should be
+    sized to it, not to the fact-scale session default — edges and
+    degrees are materialized at session parallelism BEFORE the scope
+    narrows, so only the small loop tables are affected. The fixed-point
+    arithmetic is partition-count-independent, so results are
+    bit-identical either way (the oracle proves it)."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -138,41 +148,55 @@ def pagerank_exact(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    out_deg.count()  # materialize the fact-scale aggregation at session parallelism
     base = (scale * 15) // (100 * n)
+
+    from contextlib import nullcontext
+
+    from data_migration_tool_spark.partitioning import (
+        scoped_shuffle_partitions,
+    )
+
+    scope = (
+        scoped_shuffle_partitions(edges.sparkSession, loop_shuffle_partitions)
+        if loop_shuffle_partitions
+        else nullcontext()
+    )
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("rank")
     ).localCheckpoint()
 
-    for _ in range(iters):
-        dangling = ranks.join(
-            out_deg, ranks.node == out_deg.src, "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("m"))
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        contribs = (
-            e.join(rank_side, e.src == rank_side.node)
-            .join(out_deg, "src")
-            .select(
-                "dst",
-                F.expr("(rank * 85) div (100 * out_deg)").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"(m * 85) div (100 * {n})")
-                    + F.coalesce(F.col("contrib"), F.lit(0))
+    with scope:
+        for _ in range(iters):
+            dangling = ranks.join(
+                out_deg, ranks.node == out_deg.src, "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("m"))
+            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+            contribs = (
+                e.join(rank_side, e.src == rank_side.node)
+                .join(out_deg, "src")
+                .select(
+                    "dst",
+                    F.expr("(rank * 85) div (100 * out_deg)").alias("c"),
                 )
-                .cast("long")
-                .alias("rank"),
+                .groupBy("dst")
+                .agg(F.sum("c").cast("long").alias("contrib"))
             )
-            .localCheckpoint()
-        )
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"(m * 85) div (100 * {n})")
+                        + F.coalesce(F.col("contrib"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("rank"),
+                )
+                .localCheckpoint()
+            )
     e.unpersist()
     out_deg.unpersist()
     nodes.unpersist()

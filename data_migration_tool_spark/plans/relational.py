@@ -1172,11 +1172,14 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     # parts are dimension-scale under any lineitem volume -> broadcast
+    # ranks, and size the loop's node-grain shuffles to the catalog
+    # (edge derivation above still runs at session parallelism)
     ranks = pagerank_exact(
         edges,
         iters=_PAGERANK_ITERS,
         scale=_PAGERANK_SCALE,
         broadcast_ranks=True,
+        loop_shuffle_partitions=8,
     )
     return (
         ranks.select(
