@@ -377,6 +377,14 @@ def test_translate_reference_dml_corpus_dry_runs(spark, tmp_path):
             if not known or "supplier" in t.sql or "part" in t.sql:
                 continue  # tpch.* not materialized here
             res = dry_run_statement(spark, t.sql)
+            if "invalid_col" in t.sql:
+                # DML_Use_Case_2.sql is the reference's own deliberate
+                # error sample ("-- Error due to invalid_col not
+                # exist") — the dry run must now CATCH it (it silently
+                # passed before the column-probe fix)
+                assert res.status == "fail" and "invalid_col" in res.error
+                n_stmts += 1
+                continue
             assert res.status == "success", f"{path}: {t.sql[:80]} -> {res.error}"
             n_stmts += 1
             if dialect == "oracle":
@@ -707,3 +715,38 @@ def test_oracle_to_char_warns_and_hive_transform_warns():
         dialect="hive",
     )
     assert ok.warnings == []
+
+
+def test_reference_error_sample_fails_dry_run_with_detail(spark):
+    """The reference ships a deliberately-broken DML sample
+    (samples/dml/redshift/dml_error_3.sql: misspelled columns, arity
+    mismatch) to exercise its error reporting. Our dry run must
+    classify every statement as FAILED with a usable error message —
+    the negative path of the conformance corpus."""
+    from data_migration_tool_spark.translate.dml import translate_file
+    from data_migration_tool_spark.translate.dryrun import dry_run_statement
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dmlerr")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS dmlerr.test1 "
+        "(t_name string, t_number int, t_age string) USING parquet"
+    )
+    try:
+        content = open(
+            "/root/reference/samples/dml/redshift/dml_error_3.sql"
+        ).read()
+        results = [
+            dry_run_statement(spark, t.sql)
+            for t in translate_file(
+                content, "redshift", {"mig_test": "dmlerr"}
+            )
+        ]
+        assert len(results) == 3
+        for r in results:
+            assert r.status == "fail", r
+            assert r.error  # a message the report can surface
+        # the errors must name the actual problems
+        blob = " ".join(r.error for r in results)
+        assert "t_numbers" in blob or "t_names" in blob  # unresolved col
+    finally:
+        spark.sql("DROP DATABASE dmlerr CASCADE")
