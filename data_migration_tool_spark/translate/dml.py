@@ -414,6 +414,9 @@ def rewrite_oracle_misc(sql: str) -> tuple[str, list[str]]:
     warnings: list[str] = []
     sql = _map_outside_literals(sql, lambda s: _SYSDATE_RE.sub("CURRENT_TIMESTAMP", s))
     sql = _map_outside_literals(sql, lambda s: _DUAL_RE.sub(" ", s))
+    # CREATE VIEW ... WITH READ ONLY — Spark views are read-only by
+    # construction; drop the Oracle-only tail (Oracle_ddl_8.sql)
+    sql = re.sub(r"\s+WITH\s+READ\s+ONLY\s*$", "", sql, flags=re.I)
     m = _ROWNUM_TRAIL_RE.search(sql)
     if m:
         sql = sql[: m.start()].rstrip() + f" LIMIT {m.group(2)}"

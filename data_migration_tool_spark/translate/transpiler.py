@@ -268,6 +268,11 @@ def transpile_ddl(
         name = cm.group(1) or cm.group(2)
         rest = cm.group(3)
         nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+        # inline named constraints: Oracle's "col NUMBER CONSTRAINT
+        # col_nn NOT NULL" (input/ddl/oracle/*.sql) — drop the
+        # CONSTRAINT <name> token so the type parser sees the type; the
+        # NOT NULL that follows was already captured above
+        rest = re.sub(r"\bCONSTRAINT\s+[\w$#]+\s*", " ", rest, flags=re.I)
         # attr strip first: "DEFAULT NULL" must be consumed as one token
         # before the bare NULL/NOT NULL removal (ppl_data_types.sql:13)
         rest = _COL_ATTR_RE.sub(" ", rest)
