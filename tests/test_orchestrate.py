@@ -225,3 +225,52 @@ def test_save_failed_report_raises(spark, tmp_path):
     with pytest.raises(RuntimeError, match="failed"):
         save_run_report(audit, report)
     assert audit.table("dmt_report_table").count() == 1  # persisted before raise
+
+
+def test_reference_sample_configs_parse_and_rules_compile():
+    """Every sample config shipped by the reference
+    (samples/configs/{teradata,oracle,redshift,hive}) must flow through
+    config normalization without crashing: either it validates, or it
+    fails with a ConfigError naming a missing PATH (the expected
+    local-env outcome for gs:// placeholders) — never a KeyError or
+    TypeError. Its translationErrorFilterRules must compile into a
+    report predicate."""
+    import glob
+    import json
+
+    from data_migration_tool_spark.orchestrate.config import (
+        ConfigError,
+        normalize_and_validate_config,
+    )
+    from data_migration_tool_spark.translate.report import rules_predicate
+
+    files = sorted(
+        glob.glob("/root/reference/samples/configs/*/*.json")
+    )
+    assert len(files) >= 10
+    n_rules = 0
+    for path in files:
+        cfg = json.load(open(path))
+        try:
+            out = normalize_and_validate_config(cfg)
+            assert out["type"] in ("ddl", "sql", "dml", "data")
+        except ConfigError as e:
+            # template placeholders ("<ddl/sql>", gs:// paths) must be
+            # rejected by a NAMED validation rule, not crash
+            msg = str(e)
+            assert any(
+                s in msg
+                for s in (
+                    "path",
+                    "Path",
+                    "not found",
+                    "input files",
+                    "unsupported operation type",
+                )
+            ), f"{path}: unexpected validation error: {msg}"
+        rules = cfg.get("translationErrorFilterRules")
+        if rules:
+            pred = rules_predicate(rules)
+            assert pred is not None
+            n_rules += 1
+    assert n_rules >= 2
