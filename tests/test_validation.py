@@ -356,3 +356,40 @@ def test_expectations_all_pass_on_clean_table(spark):
     df = spark.createDataFrame([(i, "ok") for i in range(10)], "k long, v string")
     res = X.Suite([X.not_null("k"), X.unique("k"), X.matches("v", "^ok$")]).run(df)
     assert [r["status"] for r in res.collect()] == ["PASS"] * 3
+
+
+def test_reference_validation_params_corpus_parses():
+    """Every real validation-params CSV the reference ships (the
+    samples file, the common_utils mock, and all five end-to-end
+    integration files) parses through the 24-column contract: specs
+    keyed by source table / query file, validation types recognized,
+    and the teradata data file's lineitem spec carries its flags."""
+    import glob
+
+    from data_migration_tool_spark.operators.spec import parse_spec_file
+
+    files = sorted(
+        glob.glob("/root/reference/samples/validation_params_files/*.csv")
+        + glob.glob("/root/reference/src/common_utils/tests/mock/validation_params.csv")
+        + glob.glob("/root/reference/src/tests/end_to_end/validation/*/*.csv")
+    )
+    assert len(files) >= 7
+    total = 0
+    for path in files:
+        specs = parse_spec_file(path)
+        assert specs, path
+        for key, s in specs.items():
+            assert key  # keyed by source table or query file
+            assert s.validation_type.split()[0] in (
+                "column", "row", "schema", "custom",
+            ), (path, key, s.validation_type)
+        total += len(specs)
+    assert total >= 25
+
+    # spot-check the teradata data-integration file
+    td = parse_spec_file(
+        "/root/reference/src/tests/end_to_end/validation/teradata/"
+        "validation_params_teradata_data_integration_testing.csv",
+        translation_type="data",
+    )
+    assert any("lineitem" in k for k in td)
