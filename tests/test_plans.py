@@ -398,3 +398,26 @@ def test_expectations_suite_single_aggregate_pass(spark):
     second scan of the table."""
     simple = _plan(spark, "orders_quality_expectations", mode="simple")
     assert simple.count("Scan parquet") == 1
+
+
+def test_no_query_uses_row_python_registry_wide(spark):
+    """Structural invariant over the WHOLE registry: no query's plan
+    may contain a row-at-a-time Python eval node (BatchEvalPython).
+    Arrow-batched nodes (MapInPandas / ArrowEvalPython) are the only
+    sanctioned Python. Streaming queries are exercised by their own
+    e2e paths (plan here would start a stream)."""
+    streaming = {
+        n for n, qd in QUERIES.items() if "streaming" in qd.tags
+    }
+    offenders = []
+    for name in QUERIES:
+        if name in streaming:
+            continue
+        try:
+            plan = _plan(spark, name, mode="simple")
+        except Exception as e:  # noqa: BLE001
+            offenders.append(f"{name}: explain failed: {e}")
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
