@@ -79,6 +79,10 @@ def main() -> int:
     import __spark_entry__ as ent
 
     qs = ent.queries()
+    if only == {"--priority"}:
+        # preflight exactly the driver's official window: the first 50
+        # registry entries in iteration order
+        only = set(list(qs)[:50])
     oracles = ent.oracle_sql()
 
     spark = get_spark(app_name="dmt-check")
