@@ -751,6 +751,12 @@ _DEFS: list[QueryDef] = [
         VQ.EMB_PCA_POWER_SQL,
         ("vector", "pca", "fixed-point"),
     ),
+    QueryDef(
+        "doc_semantic_packing",
+        WQ.doc_semantic_packing,
+        WQ.DOC_SEMANTIC_PACKING_SQL,
+        ("text", "packing", "layout"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

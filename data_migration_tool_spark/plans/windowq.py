@@ -884,3 +884,75 @@ def customer_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 CUSTOMER_ORDER_CHAINS_SQL = _ORDER_CHAIN_RECURSIVE_SQL.format(orders="orders")
+
+
+def doc_semantic_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-coherent sequence packing (the in-context-pretraining
+    layout): instead of hash-sharding docs into packs at random,
+    documents are grouped by their embedding-space topic (the
+    embeddings table's label, joined on doc_id = vec_id) and packed
+    contiguously WITHIN topic — so each 2048-token training window
+    carries related documents, which is the whole point of semantic
+    packing. Order inside a topic is the deterministic md5 key, so the
+    layout is rerun-stable; all outputs are integers.
+
+    Scale: one broadcast-sized join to fetch labels (id + label width,
+    embeddings never move), one exchange on topic + an in-partition
+    cumsum — identical shape to ``doc_sequence_packing`` with topic as
+    the shard key. Topic skew is bounded by the clustering (a topic is
+    at most the corpus), and the packer stays parallel per topic."""
+    seq_len = 2048
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("topic")
+    )
+    from data_migration_tool_spark.functions.text import token_count
+
+    keyed = (
+        d.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("k"),
+            token_count("text").alias("n_tokens"),
+        )
+        .join(e, "doc_id")
+    )
+    w = (
+        Window.partitionBy("topic")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    pack = F.expr(f"start div {seq_len}")
+    return (
+        keyed.select("doc_id", "topic", "n_tokens", start)
+        .select(
+            "doc_id",
+            "topic",
+            "n_tokens",
+            pack.cast("bigint").alias("pack_id"),
+            (F.col("start") % F.lit(seq_len)).cast("bigint").alias("offset"),
+        )
+    )
+
+
+DOC_SEMANTIC_PACKING_SQL = """
+WITH keyed AS (
+  SELECT d.doc_id,
+         md5(concat('pack:', CAST(d.doc_id AS VARCHAR))) AS k,
+         len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS n_tokens,
+         e.label AS topic
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+packed AS (
+  SELECT doc_id, topic, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY topic ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start
+  FROM keyed
+)
+SELECT doc_id, topic, n_tokens,
+       start // 2048 AS pack_id,
+       CAST(start % 2048 AS BIGINT) AS offset
+FROM packed
+"""

@@ -1463,3 +1463,48 @@ def test_pca_power_exact_converges_to_top_component(spark, tmp_path):
     true_p = Xc @ np.linalg.eigh(np.cov(Xc.T))[1][:, -1]
     corr = abs(np.corrcoef(proj, true_p)[0, 1])
     assert corr > 0.999, corr
+
+
+def test_semantic_packing_topic_coherent_and_dense(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.windowq import doc_semantic_packing
+
+    # 6 docs, 2 topics; each doc 1000 tokens -> within a topic, docs
+    # pack contiguously at 2048/window (offsets 0, 1000, 2000->pack 0
+    # spill layout: third doc starts at 2000 in pack 0)
+    docs = [(i, " ".join(["w"] * 1000)) for i in range(6)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["s"] * 6),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([[0.0] * 4] * 6, pa.list_(pa.float32())),
+            "label": pa.array([i % 2 for i in range(6)], pa.int32()),
+        }
+    )
+    pq_.write_table(emb, f"{tmp_path}/embeddings.parquet")
+
+    rows = doc_semantic_packing(spark, str(tmp_path)).collect()
+    assert len(rows) == 6
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, []).append(r)
+    assert set(by_topic) == {0, 1}
+    for topic, rs in by_topic.items():
+        # dense within topic: starts are 0, 1000, 2000 in md5 order
+        starts = sorted(r.pack_id * 2048 + r.offset for r in rs)
+        assert starts == [0, 1000, 2000]
+        # third doc crosses into pack 0's tail (contiguous packing)
+        assert {(r.pack_id, r.offset) for r in rs} == {
+            (0, 0), (0, 1000), (0, 2000)
+        }
