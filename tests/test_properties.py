@@ -330,3 +330,39 @@ def test_redshift_datediff_matches_duckdb_boundary_semantics(
         f"SELECT date_diff('{bare}', TIMESTAMP '{t1}', TIMESTAMP '{t2}') AS d"
     ).fetchone()[0]
     assert got == want
+
+
+@given(
+    st.sampled_from(["teradata", "oracle", "redshift", "hive"]),
+    st.sampled_from(
+        [
+            "NVL(a, 0)",
+            "DATEADD(day, 1, ts)",
+            "INDEX(s, 'x')",
+            "DECODE(x, 1, 'a')",
+            "GETDATE()",
+            "SYSDATE",
+            "NULLIFZERO(v)",
+            "LEN(s)",
+            "it''s TOP 5",
+        ]
+    ),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127
+        ),
+        max_size=8,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_dialect_rewrites_never_touch_string_literals(dialect, phrase, pad):
+    """Whatever a literal contains — function spellings, keywords,
+    escaped quotes — every dialect's rewrite chain must emit it
+    verbatim. A corrupted literal silently corrupts DATA in translated
+    DML (the r4 ADVICE finding, generalized)."""
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    lit = f"{pad} {phrase} {pad}".strip()
+    sql = f"SELECT col1 FROM t WHERE note = '{lit}'"
+    out = translate_statement(sql, dialect=dialect).sql
+    assert f"'{lit}'" in out, (dialect, lit, out)
