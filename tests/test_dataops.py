@@ -1508,3 +1508,40 @@ def test_semantic_packing_topic_coherent_and_dense(spark, tmp_path):
         assert {(r.pack_id, r.offset) for r in rs} == {
             (0, 0), (0, 1000), (0, 2000)
         }
+
+
+def test_span_dedup_survives_universal_boilerplate_block(spark, tmp_path):
+    """Degenerate hot-key case: ONE block appears in EVERY document
+    (the docstring's AQE-skew scenario). The verdict join must still
+    produce exact per-doc accounting — the universal block dropped
+    everywhere, each doc's unique tail kept."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import doc_span_dedup_clean
+
+    boiler = "subscribe to our newsletter now1"  # one 5-token block
+    docs = [
+        (i, f"{boiler} unique{i} tail{i}") for i in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * 200),
+            "source": pa.array(["s"] * 200),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    out = {r.doc_id: r for r in doc_span_dedup_clean(spark, str(tmp_path)).collect()}
+    assert len(out) == 200
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for i in (0, 57, 199):
+        r = out[i]
+        assert r.n_blocks == 2 and r.n_dropped == 1
+        assert r.clean_n_tokens == 2
+        assert r.clean_md5 == md5(f"unique{i} tail{i}")
