@@ -82,10 +82,14 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     # variance is undefined for a single observation. Oracles mirror
     # this with NULLIF(n - 1, 0).
     var = F.when(n > F.lit(1), (sxx_d - sx_d * sx_d / n) / (n - 1))
+    # total rounds ONCE decimal->double at the final projection (Spark's
+    # cast is BigDecimal.doubleValue; oracles route the same decimal
+    # through VARCHAR so DuckDB also rounds once — raw DECIMAL outputs
+    # diverge in the official gate's pandas canonicalization).
     return state.select(
         *keys,
         n.alias("n_rows"),
-        F.col("sx").cast("decimal(38,2)").alias("total"),
+        F.col("sx").cast("double").alias("total"),
         (sx_d / n).alias("mean"),
         var.alias("variance"),
         F.col("mn").alias("min_value"),

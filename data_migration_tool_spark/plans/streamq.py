@@ -673,7 +673,7 @@ def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     return IA.finalize(merged, ["event_type"]).select(
         "event_type",
         "n_rows",
-        F.col("total").cast("decimal(38,2)").alias("total_value"),
+        F.col("total").alias("total_value"),
         "mean",
         "variance",
     )
@@ -693,7 +693,7 @@ d AS (
   FROM s
 )
 SELECT event_type, n AS n_rows,
-       CAST(sx AS DECIMAL(38,2)) AS total_value,
+       sx_d AS total_value,
        sx_d / n AS mean,
        (sxx_d - sx_d * sx_d / n) / NULLIF(n - 1, 0) AS variance
 FROM d

@@ -1591,7 +1591,10 @@ def doc_split_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         F.max("tot_t").alias("n_train"),
         F.max("tot_v").alias("n_val"),
-        F.max(numer).cast(dec).alias("ks_numer"),
+        # exact-decimal sup-distance, rounded ONCE to double at the
+        # final projection (house rule — raw DECIMAL outputs diverge in
+        # the driver's pandas canonicalization of the DuckDB side)
+        F.max(numer).cast("double").alias("ks_numer"),
         (
             F.max(numer).cast("double")
             / (F.max("tot_t").cast(dec) * F.max("tot_v").cast(dec)).cast("double")
@@ -1621,7 +1624,8 @@ cum AS (
 )
 SELECT CAST(MAX(tot_t) AS BIGINT) AS n_train,
        CAST(MAX(tot_v) AS BIGINT) AS n_val,
-       CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS DECIMAL(38,0)) AS ks_numer,
+       CAST(CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS VARCHAR) AS DOUBLE)
+         AS ks_numer,
        CAST(MAX(ABS(cum_t * tot_v - cum_v * tot_t)) AS DOUBLE)
          / CAST(MAX(tot_t) * MAX(tot_v) AS DOUBLE) AS ks_stat
 FROM cum
@@ -1817,7 +1821,11 @@ def doc_split_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(
         F.max("nt").alias("n_train"),
         F.max("nv").alias("n_val"),
-        F.sum(numer).cast(dec).alias("tv_numer"),
+        # arithmetic stays exact decimal; the FINAL projection rounds
+        # once to double (house rule: raw DECIMAL outputs diverge in
+        # the driver's pandas canonicalization; Spark decimal->double
+        # is BigDecimal.doubleValue, the oracle routes via VARCHAR)
+        F.sum(numer).cast("double").alias("tv_numer"),
         (
             F.sum(numer).cast("double")
             / (
@@ -1845,7 +1853,7 @@ tot AS (
 )
 SELECT CAST(MAX(nt) AS BIGINT) AS n_train,
        CAST(MAX(nv) AS BIGINT) AS n_val,
-       CAST(SUM(ABS(ct * nv - cv * nt)) AS DECIMAL(38,0)) AS tv_numer,
+       CAST(CAST(SUM(ABS(ct * nv - cv * nt)) AS VARCHAR) AS DOUBLE) AS tv_numer,
        CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
          / CAST(2 * MAX(nt) * MAX(nv) AS DOUBLE) AS tv_dist
 FROM tot

@@ -629,7 +629,7 @@ d AS (
   FROM s
 )
 SELECT o_orderpriority, n AS n_rows,
-       CAST(sx AS DECIMAL(38,2)) AS total,
+       sx_d AS total,
        sx_d / n AS mean,
        (sxx_d - sx_d * sx_d / n) / NULLIF(n - 1, 0) AS variance,
        mn AS min_value,

@@ -807,9 +807,12 @@ def customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined by the ORDER BY value (epoch seconds), not row offsets, so
     same-timestamp peers aggregate identically at any parallelism.
     One shuffle on o_custkey; the running sums accumulate in exact
-    decimal so the rolling values are engine-identical. This is the
-    time-windowed-consumption shape of the reference's incremental
-    loads (hive_bq_load_utils_inc.py:60-79) expressed as a window."""
+    decimal and the FINAL projection rounds once to double (Spark
+    decimal->double == BigDecimal.doubleValue; the oracle routes its
+    decimal through VARCHAR so DuckDB also rounds once — the house
+    pattern, see validationq.py). This is the time-windowed-consumption
+    shape of the reference's incremental loads
+    (hive_bq_load_utils_inc.py:60-79) expressed as a window."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
     epoch = F.unix_timestamp("o_orderdate")
     w = (
@@ -823,6 +826,7 @@ def customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
+        .cast("double")
         .alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("orders_30d"),
     )
@@ -831,10 +835,10 @@ def customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_ROLLING_30D_SQL = """
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
-       ) AS DECIMAL(28,2)) AS spend_30d,
+       ) AS VARCHAR) AS DOUBLE) AS spend_30d,
        COUNT(*) OVER (
          PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
@@ -864,7 +868,13 @@ chain AS (
               AS DECIMAL(38,2))
   FROM chain c JOIN nexts n ON n.o_orderkey = c.next_key
 )
-SELECT o_custkey, o_orderkey, step, cum_spend FROM chain
+SELECT o_custkey, o_orderkey, step,
+       -- recursion accumulates exact decimal; the final projection
+       -- rounds ONCE to double, routed through a string so both
+       -- engines use correctly-rounded text->double (DuckDB's direct
+       -- DECIMAL->DOUBLE cast double-rounds through int128/10^scale)
+       CAST(CAST(cum_spend AS STRING) AS DOUBLE) AS cum_spend
+FROM chain
 """
 
 

@@ -53,13 +53,17 @@ def test_every_oracle_parses_in_duckdb():
 
 
 def test_no_oracle_projects_driver_unsafe_types():
-    """Meta-gate: no oracle's OUTPUT columns may bind to HUGEINT or a
-    nested type. The official driver canonicalizes DuckDB results
-    through pandas, where HUGEINT (DuckDB's SUM(integer) result type,
-    grouped or windowed) silently becomes float64 (``10`` -> ``10.0``
-    -> value-hash mismatch vs Spark's bigint) and list/struct columns
-    crash pandas ``sort_values``. This exact class produced 6 official
-    reds in round 4; binding is cheap, so assert it on every oracle."""
+    """Meta-gate: no oracle's OUTPUT columns may bind to HUGEINT,
+    DECIMAL, or a nested type. The official driver canonicalizes DuckDB
+    results through pandas, where HUGEINT (DuckDB's SUM(integer) result
+    type, grouped or windowed) silently becomes float64 (``10`` ->
+    ``10.0`` -> value-hash mismatch vs Spark's bigint), list/struct
+    columns crash pandas ``sort_values``, and DECIMAL survives as
+    Decimal objects the driver stringifies differently from Spark's
+    decimal rendering. HUGEINT/nested cost 6 official reds in round 4;
+    DECIMAL cost 4 in round 5 — binding is cheap, so assert it on
+    every oracle. House fix: cast final decimals to DOUBLE, VARCHAR-
+    routed on the DuckDB side so both engines round once."""
     import duckdb
 
     from data_migration_tool_spark.plans.registry import QUERIES
@@ -81,6 +85,7 @@ def test_no_oracle_projects_driver_unsafe_types():
                 ts = str(t).upper()
                 if (
                     "HUGEINT" in ts
+                    or "DECIMAL" in ts
                     or ts.endswith("]")
                     or ts.startswith(("STRUCT", "MAP", "UNION"))
                 ):

@@ -32,21 +32,45 @@ def oracle_type_problems(rel) -> list[str]:
 
     The official gate fetches DuckDB results via pandas, where HUGEINT
     (DuckDB's result type for SUM(integer), grouped or windowed)
-    silently becomes float64 (``10`` -> ``10.0`` -> hash mismatch) and
-    list/struct columns crash ``sort_values`` (unhashable). Those
-    classes must fail HERE, locally, not at the driver — cost r4 six
-    official reds. DECIMAL/JSON are fine (pandas keeps them as objects
-    and both engines stringify identically)."""
+    silently becomes float64 (``10`` -> ``10.0`` -> hash mismatch),
+    list/struct columns crash ``sort_values`` (unhashable), and DECIMAL
+    survives as decimal.Decimal objects that the driver stringifies
+    differently from Spark's decimal rendering (cost r5 four official
+    reds — all four window reds emitted a raw DECIMAL output).  House
+    rule: every final DECIMAL projection is cast to DOUBLE, routed
+    through VARCHAR on the DuckDB side so both engines round once."""
     out = []
     for c, t in zip(rel.columns, rel.types):
         ts = str(t).upper()
         if (
             "HUGEINT" in ts
+            or "DECIMAL" in ts
             or ts.endswith("]")
             or ts.startswith(("STRUCT", "MAP", "UNION"))
         ):
             out.append(f"{c}:{ts}")
     return out
+
+
+def oracle_rows_via_pandas(rel, otypes: list[str]) -> list[tuple]:
+    """Fetch oracle rows the way the official driver does: through
+    ``rel.df()`` (pandas), NOT ``fetchall()``.
+
+    r4 and r5 both shipped queries that passed a fetchall()-based local
+    twin and failed the driver, because pandas re-types DuckDB results
+    (HUGEINT -> float64, DATE -> datetime64[ns], NULL -> NaN/NaT).
+    Replicating the pandas hop here makes those divergences visible
+    locally.  DATE columns are mapped back from midnight Timestamps to
+    dates (the driver's compare is date-aware); NaN/NaT become NULL."""
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = rel.df()
+    for c, ts in zip(pdf.columns, otypes):
+        if ts == "DATE" and pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].dt.date
+    obj = pdf.astype(object)
+    obj = obj.where(pd.notna(obj), None)
+    return list(obj.itertuples(index=False, name=None))
 
 
 def canon(v) -> str:
@@ -128,7 +152,8 @@ def main() -> int:
                 print(f"FAIL {name}: driver-unsafe oracle types {problems}")
                 continue
             ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            otypes = [str(t).upper() for t in rel.types]
+            orows = oracle_rows_via_pandas(rel, otypes)
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
             n_fail += 1
