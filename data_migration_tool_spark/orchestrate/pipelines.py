@@ -211,3 +211,48 @@ def sql_translation_pipeline(spark: SparkSession, audit: AuditLog):
         return results
 
     return pipeline
+
+
+def transfer_log_pipeline(spark: SparkSession, audit: AuditLog):
+    """Build the ``transfer_run_log_*`` pipeline callable (reference
+    teradata/redshift ``*_transfer_run_log_dag.py``): drain the run's
+    log messages, mine jobwise + summary audit rows, append to the
+    audit log.
+
+    Log sources, in precedence order: ``config["logs"]`` (inline
+    message dicts, e.g. already fetched), ``config["logFilePath"]`` (a
+    JSON-lines file — the shape the reference itself writes to its
+    logging bucket), or ``config["fetch_page"]`` (a callable drained
+    via ``transfer_logs.fetch_paginated`` — the DTS-API path)."""
+    import json as _json
+
+    from data_migration_tool_spark.orchestrate import transfer_logs as TL
+
+    def pipeline(config: dict) -> list[TaskResult]:
+        logs = config.get("logs")
+        if logs is None and config.get("logFilePath"):
+            with open(config["logFilePath"]) as fh:
+                logs = [_json.loads(ln) for ln in fh if ln.strip()]
+        if logs is None and config.get("fetch_page"):
+            logs = TL.fetch_paginated(
+                config["fetch_page"], page_size=int(config.get("pageSize", 1000))
+            )
+        if logs is None:
+            return [TaskResult("transfer_run_log", False, "no log source in config")]
+        counts = TL.process_transfer_run(
+            spark,
+            audit,
+            logs,
+            unique_id=str(config.get("unique_id", "")),
+            transfer_config_id=str(config.get("transfer_config_id", "")),
+            transfer_run_id=str(config.get("run_id", "")),
+        )
+        return [
+            TaskResult(
+                f"transfer_run_log:jobwise={counts['jobwise_rows']}"
+                f":summary={counts['summary_rows']}",
+                True,
+            )
+        ]
+
+    return pipeline

@@ -757,76 +757,80 @@ _DEFS: list[QueryDef] = [
         WQ.DOC_SEMANTIC_PACKING_SQL,
         ("text", "packing", "layout"),
     ),
+    QueryDef(
+        "transfer_log_jobwise_stats",
+        V.transfer_log_jobwise_stats,
+        V.TRANSFER_LOG_JOBWISE_SQL,
+        ("orchestrate", "regex", "audit"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-5 rotation policy (see COVERAGE.md rotation
-# log): (a) the five queries whose oracles were representation-fixed
-# this round lead, so the fix lands an official green; (b) every other
-# slot goes to an oracle-backed query that has never had an official
-# driver row (58 such after r4), so full official coverage completes in
-# ~two rounds; (c) no rows-only query occupies a scored slot (the r4
-# `ivf_trained_topk` mistake — a guaranteed `no_oracle` red).
-# Everything previously driver-green stays locally gated this round and
-# rotates back later.
+# iteration order. Round-6 rotation policy (see COVERAGE.md rotation
+# log): (a) the six queries whose raw-DECIMAL outputs were routed to
+# double this round lead, so the fix lands official greens (4 were the
+# r5 window reds, 2 carried the same latent signature); (b) rotation
+# batch 2 — every remaining oracle-backed query that has never had an
+# official driver row — completing full official coverage; (c) the
+# TPC-H / DVT / streaming flagships re-seat in the remaining slots so
+# headline queries regain periodic official coverage; (d) no rows-only
+# query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
-    # -- representation-fixed this round: prove the fix officially --
-    "user_sessions",
-    "events_stream_sessions",
-    "doc_train_val_test_split",
-    "corpus_prep_pipeline",
-    "embedding_pq_codes",
-    # -- verdict-suggested rotations (never officially checked) --
-    "pq_adc_topk",
-    "pq_adc_rerank",
-    "doc_containment_pairs",
-    "dup_cluster_canonical",
-    "doc_shingle_novelty",
-    # -- r4 demotions owed a window slot (ADVICE item) --
-    "doc_chunk_overlap",
-    "embedding_cosine_stats",
-    "events_hypertable_rollup",
-    "doc_bpe_token_counts",
-    "doc_winnow_fingerprints",
-    # -- r4-new queries that shipped with only local gating --
+    # -- decimal-output representation fix: prove it officially --
     "doc_split_tv_drift",
-    "doc_ingest_expectations",
     "customer_rolling_30d_spend",
-    "customer_top2_orders_lateral",
     "customer_order_chains_recursive",
     "events_stream_incremental_rollup",
-    # -- never-officially-checked rotation, batch 1 of 2 --
-    "order_line_union_counts",
-    "order_priority_buckets",
-    "event_props_json",
-    "event_props_variant",
-    "events_last_day_window",
-    "doc_token_frequencies",
-    "doc_simhash",
-    "emb_lsh_near_dups",
-    "customer_running_revenue",
-    "doc_hash_sample",
-    "overlapping_error_windows",
-    "events_session_window_native",
-    "media_frame_plan",
-    "media_frame_luma",
-    "doc_dup_clusters_star",
-    "doc_repetition_scores",
-    "doc_stratified_sample",
-    "corpus_bigram_topk",
-    "doc_tfidf_topk",
-    "doc_lm_fluency",
-    "corpus_vocab_growth",
-    "token_countmin_sketch",
-    "doc_training_shards",
-    "doc_sequence_packing",
-    # -- newly oracle-backed this round (were rows-only before r5) --
-    "part_pagerank",
-    "bpe_merges_train",
-    "doc_bpe_encoded_lengths",
-    "ivf_trained_topk",  # r4's no_oracle red, now exact fixed-point k-means
-    # -- brand-new round-5 queries --
-    "sketch_hll_daily_rollup",
+    "doc_split_ks_drift",
+    "orders_incremental_agg",
+    # -- never-officially-checked rotation, batch 2 of 2 --
+    "events_stream_user_quota",
+    "events_stream_view_purchase_join",
+    "emb_dup_clusters",
+    "doc_filter_funnel",
+    "user_retention_cohorts",
+    "minhash_recall_gate",
+    "corpus_stopword_filter",
+    "events_hourly_anomaly_flags",
+    "part_cooccurrence_topk",
+    "orders_monthly_trend",
+    "embedding_centroid_dist",
+    "corpus_temperature_mix",
+    "media_image_resize",
+    "media_audio_frames",
+    "part_triangle_count",
+    "nation_revenue_trend_slope",
+    "corpus_pmi_bigrams",
+    "doc_length_buckets",
+    "split_leakage_matrix",
+    "events_stream_view_purchase_left",
+    "doc_span_dedup_clean",
+    "knn_label_vote",
+    "doc_simhash_near_dups",
+    "corpus_budget_allocation",
+    "doc_lsh_incremental",
+    "embedding_pca_power_exact",
+    "doc_semantic_packing",
+    # -- brand-new round-6 query (reference parity: transfer-log mining) --
+    "transfer_log_jobwise_stats",
+    # -- flagship re-seats: TPC-H --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q21_suppliers_kept_waiting",
+    # -- flagship re-seats: DVT + orchestration + streaming --
+    "dvt_column_validation",
+    "dvt_row_validation",
+    "dvt_schema_validation",
+    "dvt_custom_query_validation",
+    "dvt_labels_rollup",
+    "orders_upsert_merge",
 )
 
 

@@ -699,3 +699,124 @@ SELECT zv >> 26 AS z_bucket, COUNT(*) AS n_orders,
        MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
 FROM z GROUP BY 1
 """
+
+
+def transfer_log_jobwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-run log mining end-to-end (reference
+    teradata_transfer_run_log_dag.py:281-470): synthesize the agent's
+    log lines deterministically from ``nation`` (one migrated table per
+    nation; mode/stats/upload/duration/records lines each in the
+    agent's real wording, ERROR lines for keys ≡0,1 mod 5, plus the
+    run-scoped Transfer-load and Summary lines), then mine them back
+    with ``orchestrate.transfer_logs.mine_job_stats`` — the scan-side
+    regexp_extract bank + one table-grain groupBy.  The oracle derives
+    the expected jobwise rows DIRECTLY from nation arithmetic, so the
+    gate proves the regex mining recovers exactly the values planted in
+    the prose.
+
+    Scale: line synthesis and field extraction are pure scan-side
+    expressions; the only shuffle is the table-grain groupBy (row count
+    = number of migrated tables, not log lines)."""
+    from data_migration_tool_spark.orchestrate import transfer_logs as TL
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.lower(F.col("n_name")).alias("t"),
+    )
+    k, t = F.col("k"), F.col("t")
+    s = lambda c: c.cast("string")  # noqa: E731
+    agent = F.concat(F.lit("agent-"), s(k % 3))
+    pre = F.concat(F.lit("Agent "), agent, F.lit(". EXTRACT (src_db."), t, F.lit("): "))
+    job = F.concat(F.lit("bq_job_"), s(k))
+
+    def line(off: int, sev: str, text):
+        return F.struct(
+            F.lit(off).alias("off"), F.lit(sev).alias("severity"),
+            text.alias("message_text"),
+        )
+
+    mode = F.when(k % 2 == 0, "FastExport").otherwise("TPT")
+    err = (
+        F.when(
+            k % 5 == 0,
+            line(5, "ERROR", F.concat(
+                F.lit("Job "), job, F.lit(" (table "), t,
+                F.lit(") failed with quota exceeded."))),
+        ).when(
+            k % 5 == 1,
+            line(5, "ERROR", F.concat(
+                F.lit("Agent "), agent, F.lit(". Skipping corrupt source table ("),
+                t, F.lit(") schema drift detected."))),
+        )
+    )
+    arr = F.array(
+        line(0, "INFO", F.concat(pre, F.lit("Running in "), mode,
+                                 F.lit(" data transfer mode."))),
+        line(1, "INFO", F.concat(
+            pre, t, F.lit(": Extracting data for table (approximate "),
+            s(k * 37 + 5), F.lit(" MB) with partitions: ["), s(k), F.lit(","),
+            s(k + 1), F.lit("] into "), s(k % 4 + 1), F.lit(" files with "),
+            s(k % 3 + 1), F.lit(" sessions."))),
+        line(2, "INFO", F.concat(pre, F.lit("Uploading extracted files to gs://dmt-staging/"),
+                                 t, F.lit("/part-"), s(k), F.lit(".csv."))),
+        line(3, "INFO", F.concat(pre, F.lit("Finished extracting data. Duration: "),
+                                 s(k * 11 + 2), F.lit(" seconds"))),
+        line(4, "INFO", F.concat(
+            F.lit("Job "), job, F.lit(" (table "), t,
+            F.lit(") completed. Number of records: "), s(k * 1000 + k),
+            F.lit(", errors: "), s(k % 7), F.lit("."))),
+        err,
+    )
+    per_table = n.select(k, F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("l")).select(
+        (k * 10 + F.col("l.off").cast("long")).alias("line_no"),
+        F.col("l.severity").alias("severity"),
+        F.col("l.message_text").alias("message_text"),
+    )
+    run_lines = spark.range(1).select(
+        F.explode(F.array(
+            line(-2, "INFO", F.lit("Transfer load date: 20260814")),
+            line(-1, "INFO", F.lit("Summary: succeeded 20 jobs, failed 5 jobs.")),
+        )).alias("l")
+    ).select(
+        F.col("l.off").cast("long").alias("line_no"),
+        F.col("l.severity").alias("severity"),
+        F.col("l.message_text").alias("message_text"),
+    )
+    logs = per_table.unionByName(run_lines)
+    return TL.mine_job_stats(logs, "u-tl", "cfg-tl", "run-tl")
+
+
+TRANSFER_LOG_JOBWISE_SQL = """
+SELECT 'u-tl' AS unique_id,
+       'cfg-tl' AS transfer_config_id,
+       'run-tl' AS transfer_run_id,
+       lower(n_name) AS src_table_name,
+       'agent-' || CAST(n_nationkey % 3 AS VARCHAR) AS agent_id,
+       'bq_job_' || CAST(n_nationkey AS VARCHAR) AS bq_job_id,
+       '20260814' AS run_date,
+       'FAILED' AS job_status,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'FAILED'
+            WHEN n_nationkey % 5 = 1 THEN 'SKIPPED'
+            ELSE 'SUCCEEDED' END AS transfer_run_state,
+       CAST(n_nationkey * 1000 + n_nationkey AS BIGINT) AS success_records,
+       CAST(n_nationkey % 7 AS BIGINT) AS error_records,
+       CAST(n_nationkey * 11 + 2 AS VARCHAR) || ' seconds' AS extract_duration,
+       CAST(n_nationkey * 37 + 5 AS VARCHAR) || ' MB' AS extract_data_size,
+       '[' || CAST(n_nationkey AS VARCHAR) || ','
+           || CAST(n_nationkey + 1 AS VARCHAR) || ']' AS extract_partitions,
+       CAST(n_nationkey % 4 + 1 AS BIGINT) AS extract_files,
+       CAST(n_nationkey % 3 + 1 AS BIGINT) AS extract_sessions,
+       'gs://dmt-staging/' || lower(n_name) || '/part-'
+           || CAST(n_nationkey AS VARCHAR) || '.csv' AS gcs_file_path,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'FastExport' ELSE 'TPT' END
+           AS transfer_mode,
+       CASE WHEN n_nationkey % 5 = 0
+              THEN 'Job bq_job_' || CAST(n_nationkey AS VARCHAR) || ' (table '
+                   || lower(n_name) || ') failed with quota exceeded.'
+            WHEN n_nationkey % 5 = 1
+              THEN 'Agent agent-' || CAST(n_nationkey % 3 AS VARCHAR)
+                   || '. Skipping corrupt source table (' || lower(n_name)
+                   || ') schema drift detected.'
+            ELSE '' END AS message
+FROM nation
+"""
