@@ -413,8 +413,10 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidate_pairs: DataFrame | None = None,
-    max_join_pairs: int | None = 50_000_000,
+    max_join_pairs: int | str | None = "auto",
     auto_candidates: bool = False,
+    linear_budget: int = 32,
+    max_blowup: int = 8,
 ) -> DataFrame:
     """Exact Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path.
@@ -425,16 +427,23 @@ def ngram_jaccard_pairs(
     - ``candidate_pairs``: restrict the compare to a pre-computed pair
       set (``lsh_candidate_pairs`` output) — the sub-quadratic path;
       Jaccard values stay exact, only pair GENERATION is pruned.
-    - ``max_join_pairs``: with no candidate set, the implied join size
-      is counted first (one cheap shingle-histogram agg — the LSH-free
-      candidate statistic) and above the cap the operator either
-      refuses loudly (default) or, with ``auto_candidates=True``,
-      degrades itself to the LSH-candidate path: pair generation via
-      ``lsh_candidate_pairs`` banding, exact Jaccard verify on the
-      candidates. The degraded mode can miss pairs LSH banding misses
+    - ``max_join_pairs="auto"`` (default): the guard threshold is
+      DERIVED FROM THE DATA, not a static cap.  Tier 1: the implied
+      join size Σ_s C(df_s, 2) comes from one cheap shingle-histogram
+      agg; within ``linear_budget``·n_docs the join is linear-shaped
+      and runs directly.  Tier 2: past that, minhash bands are computed
+      and the band-bucket histogram gives the pair volume the LSH scale
+      path itself would verify (Σ_buckets C(n_b, 2)); the exact join is
+      allowed while implied ≤ ``max_blowup``·that volume — i.e. exact
+      may cost at most a constant factor of the sub-quadratic
+      alternative on THIS corpus.  Past the derived bound the operator
+      degrades to verifying the LSH candidates (``auto_candidates=
+      True``, band signatures reused) or refuses loudly quoting both
+      statistics.  The degraded mode can miss pairs LSH banding misses
       (recall contracted by ``minhash_recall_gate``), which is why it
-      is opt-in rather than silent. ``None`` disables the cap
-      (explicit opt-in to quadratic cost).
+      is opt-in rather than silent.
+    - an ``int`` keeps the legacy static-cap semantics; ``None``
+      disables the guard (explicit opt-in to quadratic cost).
     """
     # persist: sh feeds four plan branches (both join sides + two size
     # lookups) — uncached, the explode+distinct recomputes per branch
@@ -449,21 +458,45 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
             .collect()[0]["p"]
-        )
-        if implied is not None and implied > max_join_pairs:
-            if auto_candidates:
+        ) or 0
+        sigs = None
+        if max_join_pairs == "auto":
+            n_docs = sh.select(id_col).distinct().count()
+            cap = linear_budget * max(n_docs, 1)
+            why = f"{linear_budget}·n_docs = {cap:,}"
+            if implied > cap:
+                # band-bucket histogram: the candidate volume the LSH
+                # path would verify on this exact corpus
                 sigs = minhash_signatures(sh, id_col=id_col)
+                lsh_volume = (
+                    sigs.groupBy("band", "band_key")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+                    .collect()[0]["p"]
+                ) or 0
+                cap = max(max_blowup * int(lsh_volume), cap)
+                why = (
+                    f"max({max_blowup}·lsh_candidates = "
+                    f"{max_blowup * int(lsh_volume):,}, {why})"
+                )
+        else:
+            cap = max_join_pairs
+            why = f"max_join_pairs={cap:,}"
+        if implied > cap:
+            if auto_candidates:
+                if sigs is None:
+                    sigs = minhash_signatures(sh, id_col=id_col)
                 cands = lsh_candidate_pairs(sigs, id_col=id_col)
                 return jaccard_verify(cands, sh, id_col).filter(
                     F.col("jaccard") >= threshold
                 )
             raise RuntimeError(
                 f"ngram_jaccard_pairs: shingle self-join would emit "
-                f"~{int(implied):,} pairs (> max_join_pairs="
-                f"{max_join_pairs:,}). Pass candidate_pairs from "
-                f"lsh_candidate_pairs() (sub-quadratic), pass "
-                f"auto_candidates=True to degrade to the LSH path, "
-                f"raise max_join_pairs, or use minhash_lsh_dedup()."
+                f"~{int(implied):,} pairs (> {why}). Pass "
+                f"candidate_pairs from lsh_candidate_pairs() "
+                f"(sub-quadratic), pass auto_candidates=True to degrade "
+                f"to the LSH path, raise the guard, or use "
+                f"minhash_lsh_dedup()."
             )
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -295,9 +295,17 @@ GROUP BY cluster_id
 
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted shingle
-    index — the verify-stage twin of the LSH path."""
+    index — the verify-stage twin of the LSH path.
+
+    This query EXPLICITLY opts into the quadratic exact join with a
+    bounded static cap: the operator's default "auto" guard derives its
+    threshold from the band-bucket histogram and (correctly) refuses
+    this corpus at sf0.1 — the exact join emits ~1.3M intersection rows
+    where LSH banding would verify ~1k candidates. The oracle needs the
+    byte-exact full answer, so the twin pins the legacy cap instead;
+    production callers get the derived guard."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.8)
+    return DD.ngram_jaccard_pairs(d, threshold=0.8, max_join_pairs=50_000_000)
 
 
 DOC_NGRAM_JACCARD_SQL = f"""
@@ -1176,7 +1184,13 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-flips if a banding change degrades recall below the declared
     contract."""
     d = load_table(spark, sf_dir, "documents")
-    exact = DD.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    # explicit opt-in to the exact quadratic path: this gate EXISTS to
+    # price banding misses against ground truth, so the derived "auto"
+    # guard (which would rightly refuse the exact join at sf0.1) is
+    # overridden with the legacy bounded cap
+    exact = DD.ngram_jaccard_pairs(
+        d, threshold=0.5, max_join_pairs=50_000_000
+    ).select("id_a", "id_b")
     lsh = (
         DD.minhash_lsh_dedup(d, threshold=0.5)
         .select("id_a", "id_b")

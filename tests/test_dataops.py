@@ -50,6 +50,52 @@ def test_ngram_jaccard_guard_trips(spark):
         DD.ngram_jaccard_pairs(_docs(spark), threshold=0.1, max_join_pairs=3)
 
 
+def _hot_shingle_docs(spark, n=40):
+    """Unique bodies + a universal boilerplate tail: the implied
+    shingle self-join is quadratic (every doc meets every other on the
+    hot shingles) while true near-dups are rare — exactly the corpus
+    shape the derived guard must catch."""
+    rows = [
+        (
+            i,
+            f"unique{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+            f"zeta{i} eta{i} theta{i} "
+            "common boilerplate footer appears everywhere always legal notice",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_auto_guard_derived_from_band_buckets(spark):
+    """The "auto" guard compares the implied join size against the
+    band-bucket candidate volume of THIS corpus, not a static cap: a
+    hot-shingle corpus (quadratic implied, tiny LSH volume) must refuse
+    loudly quoting the derived statistic."""
+    import pytest
+
+    docs = _hot_shingle_docs(spark)
+    with pytest.raises(RuntimeError, match="lsh_candidates"):
+        DD.ngram_jaccard_pairs(docs, threshold=0.2, linear_budget=1)
+
+    # same corpus, auto_candidates=True → degrades to LSH verify
+    # (band signatures reused), returning exact-Jaccard survivors
+    out = DD.ngram_jaccard_pairs(
+        docs, threshold=0.2, linear_budget=1, auto_candidates=True
+    ).collect()
+    assert all(r["jaccard"] >= 0.2 for r in out)
+
+
+def test_ngram_jaccard_auto_guard_allows_linear_corpora(spark):
+    """Tier 1: a corpus whose implied join is within the linear budget
+    runs the exact path without ever computing signatures."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert (1, 4) in pairs
+
+
 def test_ngram_jaccard_candidate_path_matches_exact(spark):
     docs = _docs(spark)
     exact = {
