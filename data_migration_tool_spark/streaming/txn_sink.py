@@ -35,25 +35,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _is_local_dir(path: str) -> bool:
+    """True iff ``path`` addresses the driver-local filesystem.
+
+    The committed markers are written with driver-local ``os`` calls
+    while the data goes through Spark writers; with an ``hdfs://`` /
+    ``s3a://`` / ``gs://`` target the two would live on DIFFERENT
+    filesystems — correctness survives (the per-batch overwrite is
+    idempotent) but the replay short-circuit would silently no-op, and
+    worse, a stale local marker from a previous run could skip a write
+    whose data directory lives elsewhere. So markers are only used for
+    genuinely local targets; remote targets rely on the overwrite
+    alone (or a lakehouse table format, which replaces this module)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme in ("", "file")
+
+
+def _local_fs_path(path: str) -> str:
+    """Strip a ``file://`` scheme so driver-side ``os`` calls see the
+    plain filesystem path Spark's writer resolves the URI to."""
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
 def append_batch_idempotent(
     df: DataFrame, batch_id: int, target_dir: str
 ) -> bool:
     """The ``foreachBatch`` body: write ``df`` under
     ``target_dir/batch_id=N`` (overwrite → replay-idempotent), then
     mark the batch committed. Returns False when the batch was already
-    committed (replay short-circuit), True when data was written."""
-    marker_dir = os.path.join(target_dir, "_manifest")
+    committed (replay short-circuit), True when data was written.
+
+    Non-local ``target_dir`` (any non-``file`` URI scheme): the marker
+    optimization is disabled — see ``_is_local_dir`` — and every call
+    (re)writes its batch directory, which is still exactly-once."""
+    use_markers = _is_local_dir(target_dir)
+    marker_dir = os.path.join(_local_fs_path(target_dir), "_manifest")
     marker = os.path.join(marker_dir, str(batch_id))
-    if os.path.exists(marker):
+    if use_markers and os.path.exists(marker):
         return False
     df.write.mode("overwrite").parquet(
         os.path.join(target_dir, f"batch_id={batch_id}")
     )
-    os.makedirs(marker_dir, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write("committed")
-    os.replace(tmp, marker)  # atomic on POSIX — no torn markers
+    if use_markers:
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.replace(tmp, marker)  # atomic on POSIX — no torn markers
     return True
 
 

@@ -494,6 +494,19 @@ def _rewrite_datepart_func(
             if unit in _TRUNC_PARTS:
                 a = f"DATE_TRUNC('{unit}', {a})"
                 b = f"DATE_TRUNC('{unit}', {b})"
+            if unit == "WEEK":
+                # Spark's DATE_TRUNC('WEEK') snaps to ISO Monday;
+                # Redshift documents Sunday–Saturday weeks for the week
+                # datepart, so operand pairs straddling only a Sunday
+                # can differ by one boundary. Flag for manual review
+                # (same policy as PERCENT / WITH TIES) — the rewrite is
+                # still emitted for the common case.
+                warnings.append(
+                    f"{name}(week, ...) — Spark counts ISO Monday week "
+                    "boundaries; Redshift weeks run Sunday–Saturday. "
+                    "Dates straddling only a Sunday differ by one — "
+                    "verify or rewrite the week convention manually"
+                )
             repl = f"TIMESTAMPDIFF({unit}, {a}, {b})"
         else:
             repl = f"TIMESTAMPADD({unit}, {a}, {b})"

@@ -346,6 +346,33 @@ def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
     assert read_appended(spark, target).count() == 100
 
 
+def test_txn_sink_markers_only_for_local_targets(spark, tmp_path):
+    """Marker files are driver-local os calls while data goes through
+    Spark writers — with an hdfs://s3a://gs:// target the two would hit
+    different filesystems, so the marker optimization must disable
+    itself for any non-file URI (a stale LOCAL marker must never skip a
+    REMOTE write). Correctness then rests on overwrite idempotence
+    alone. file:// and bare paths keep the short-circuit."""
+    from data_migration_tool_spark.streaming.txn_sink import (
+        _is_local_dir,
+        append_batch_idempotent,
+        read_appended,
+    )
+
+    assert _is_local_dir(str(tmp_path / "x"))
+    assert _is_local_dir("file:///data/out")
+    for remote in ("hdfs://nn/out", "s3a://bucket/out", "gs://bucket/out"):
+        assert not _is_local_dir(remote)
+
+    # file:// URI target: data via Spark, marker via os — both local, so
+    # the replay short-circuit works and no remote-style skip happens
+    target = "file://" + str(tmp_path / "ft")
+    rows = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert append_batch_idempotent(rows, 7, target) is True
+    assert append_batch_idempotent(rows, 7, target) is False  # marker hit
+    assert read_appended(spark, target).count() == 1
+
+
 def test_lsh_ingest_stream_across_batches(spark, tmp_path):
     """Three landed doc files drained as three micro-batches: each
     batch's near-dup pairs are checked against everything ingested

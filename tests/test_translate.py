@@ -696,6 +696,20 @@ def test_redshift_datediff_boundary_truncation(spark):
     assert r.us == 1_000_000
 
 
+def test_redshift_datediff_week_warns_but_still_rewrites():
+    """Redshift weeks run Sunday–Saturday; Spark DATE_TRUNC('WEEK')
+    snaps to ISO Monday. The rewrite is emitted (right for all pairs
+    not straddling exactly a Sunday) but must flag the convention for
+    manual review — same policy as PERCENT / WITH TIES."""
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT DATEDIFF(week, a, b) FROM t", dialect="redshift"
+    )
+    assert "TIMESTAMPDIFF(WEEK, DATE_TRUNC('WEEK', a)" in ts.sql
+    assert any("Sunday" in w for w in ts.warnings)
+
+
 def test_oracle_to_char_warns_and_hive_transform_warns():
     from data_migration_tool_spark.translate.dml import translate_statement
 
