@@ -474,3 +474,167 @@ def test_orc_and_xml_round_trip(spark, tmp_path):
             (r["id"], r["name"], float(r["score"])) for r in back.collect()
         )
         assert got == [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)]
+
+
+# ---------------------------------------------------------------- avro S5
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "staged",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {
+            "name": "amount",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 12,
+                "scale": 2,
+            },
+        },
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "ok", "type": "boolean"},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+
+def _avro_rows():
+    import decimal
+
+    return [
+        {
+            "id": 1,
+            "name": "alpha",
+            "amount": decimal.Decimal("123.45"),
+            "d": datetime.date(2024, 2, 29),
+            "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            "tags": ["a", "b"],
+            "ok": True,
+            "score": 1.5,
+        },
+        {
+            "id": 2,
+            "name": None,
+            "amount": decimal.Decimal("-0.07"),
+            "d": datetime.date(1969, 12, 31),
+            "ts": datetime.datetime(1999, 12, 31, 23, 59, 59),
+            "tags": [],
+            "ok": False,
+            "score": -2.25,
+        },
+    ]
+
+
+def test_avro_fallback_round_trip_with_logical_types(spark, tmp_path):
+    """S5 avro: the pure-Python OCF lane must land decimal / date /
+    timestamp-micros TYPED (the reference's --use_avro_logical_types
+    contract), through the distributed read_table path, deflate codec
+    included."""
+    from data_migration_tool_spark.sources import avro_fallback as AF
+
+    d = str(tmp_path / "av")
+    os.makedirs(d)
+    rows = _avro_rows()
+    AF.write_avro(rows[:1], AVRO_SCHEMA, os.path.join(d, "p0.avro"))
+    AF.write_avro(
+        rows[1:], AVRO_SCHEMA, os.path.join(d, "p1.avro"), codec="deflate"
+    )
+
+    df = read_table(spark, d, fmt="avro")
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,amount:decimal(12,2),d:date,"
+        "ts:timestamp,tags:array<string>,ok:boolean,score:double>"
+    )
+    got = {r.id: r for r in df.collect()}
+    assert len(got) == 2
+    import decimal
+
+    assert got[1].amount == decimal.Decimal("123.45")
+    assert got[1].d == datetime.date(2024, 2, 29)
+    assert got[1].ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert got[1].tags == ["a", "b"]
+    assert got[2].name is None and got[2].amount == decimal.Decimal("-0.07")
+
+
+def test_avro_fallback_interops_with_jvm_reference_impl(spark, tmp_path):
+    """Cross-implementation pinning: a file written by the JVM Avro
+    reference implementation (the avro core jars pyspark ships, driven
+    over py4j, deflate codec) must decode in the fallback reader with
+    logical dates applied — and a fallback-written file must be
+    readable by the JVM DataFileReader (sync markers, unions, varints
+    all validated by the reference code)."""
+    import json
+
+    from data_migration_tool_spark.sources import avro_fallback as AF
+
+    jvm = spark._jvm
+    sch_json = json.dumps(
+        {
+            "type": "record",
+            "name": "jrec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+                {"name": "score", "type": "double"},
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p = str(tmp_path / "jvm.avro")
+    writer.create(schema, jvm.java.io.File(p))
+    for i, (name, days, sc) in enumerate(
+        [("x", 19782, 0.5), (None, -1, -3.25), ("y", 0, 2.0)]
+    ):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long.valueOf(str(i)))
+        rec.put("name", name)
+        rec.put("d", jvm.java.lang.Integer.valueOf(str(days)))
+        rec.put("score", jvm.java.lang.Double.valueOf(str(sc)))
+        writer.append(rec)
+    writer.close()
+
+    _, rows = AF.decode_file(open(p, "rb").read())
+    assert rows == [
+        {"id": 0, "name": "x", "d": datetime.date(2024, 2, 29), "score": 0.5},
+        {"id": 1, "name": None, "d": datetime.date(1969, 12, 31), "score": -3.25},
+        {"id": 2, "name": "y", "d": datetime.date(1970, 1, 1), "score": 2.0},
+    ]
+
+    # reverse direction: our writer, their reader
+    ours = str(tmp_path / "ours.avro")
+    AF.write_avro(rows, json.loads(sch_json), ours, codec="deflate")
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ours), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append((rec.get("id"), rec.get("d"), rec.get("score")))
+    rdr.close()
+    assert got == [(0, 19782, 0.5), (1, -1, -3.25), (2, 0, 2.0)]
+
+
+def test_avro_fallback_rejects_unsupported(spark, tmp_path):
+    import pytest
+
+    from data_migration_tool_spark.sources import avro_fallback as AF
+
+    d = str(tmp_path / "av2")
+    os.makedirs(d)
+    AF.write_avro(_avro_rows(), AVRO_SCHEMA, os.path.join(d, "p.avro"))
+    with pytest.raises(RuntimeError, match="plain path reads"):
+        read_table(spark, d, fmt="avro", schema_ddl="id bigint")
+    with pytest.raises(ValueError, match="bad magic"):
+        AF.decode_file(b"PAR1not-avro-at-all")
