@@ -763,6 +763,12 @@ _DEFS: list[QueryDef] = [
         V.TRANSFER_LOG_JOBWISE_SQL,
         ("orchestrate", "regex", "audit"),
     ),
+    QueryDef(
+        "transfer_log_run_summary",
+        V.transfer_log_run_summary,
+        V.TRANSFER_LOG_SUMMARY_SQL,
+        ("orchestrate", "regex", "audit"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

@@ -701,24 +701,12 @@ FROM z GROUP BY 1
 """
 
 
-def transfer_log_jobwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transfer-run log mining end-to-end (reference
-    teradata_transfer_run_log_dag.py:281-470): synthesize the agent's
-    log lines deterministically from ``nation`` (one migrated table per
-    nation; mode/stats/upload/duration/records lines each in the
-    agent's real wording, ERROR lines for keys ≡0,1 mod 5, plus the
-    run-scoped Transfer-load and Summary lines), then mine them back
-    with ``orchestrate.transfer_logs.mine_job_stats`` — the scan-side
-    regexp_extract bank + one table-grain groupBy.  The oracle derives
-    the expected jobwise rows DIRECTLY from nation arithmetic, so the
-    gate proves the regex mining recovers exactly the values planted in
-    the prose.
-
-    Scale: line synthesis and field extraction are pure scan-side
-    expressions; the only shuffle is the table-grain groupBy (row count
-    = number of migrated tables, not log lines)."""
-    from data_migration_tool_spark.orchestrate import transfer_logs as TL
-
+def _synthetic_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic agent-log lines synthesized from ``nation`` (one
+    migrated table per nation; mode/stats/upload/duration/records lines
+    each in the agent's real wording, ERROR lines for keys ≡0,1 mod 5,
+    plus the run-scoped Transfer-load and Summary lines) — the shared
+    fixture for both transfer-log registry queries."""
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("k"),
         F.lower(F.col("n_name")).alias("t"),
@@ -782,8 +770,54 @@ def transfer_log_jobwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.severity").alias("severity"),
         F.col("l.message_text").alias("message_text"),
     )
-    logs = per_table.unionByName(run_lines)
+    return per_table.unionByName(run_lines)
+
+
+def transfer_log_jobwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-run log mining end-to-end (reference
+    teradata_transfer_run_log_dag.py:281-470): synthesize agent log
+    lines deterministically from ``nation``, then mine them back with
+    ``orchestrate.transfer_logs.mine_job_stats`` — the scan-side
+    regexp_extract bank + one table-grain groupBy.  The oracle derives
+    the expected jobwise rows DIRECTLY from nation arithmetic, so the
+    gate proves the regex mining recovers exactly the values planted in
+    the prose.
+
+    Scale: line synthesis and field extraction are pure scan-side
+    expressions; the only shuffle is the table-grain groupBy (row count
+    = number of migrated tables, not log lines)."""
+    from data_migration_tool_spark.orchestrate import transfer_logs as TL
+
+    logs = _synthetic_transfer_logs(spark, sf_dir)
     return TL.mine_job_stats(logs, "u-tl", "cfg-tl", "run-tl")
+
+
+def transfer_log_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single run-summary row mined from the same synthetic log
+    stream (reference ``dts_run_summary_json`` assembly): Summary-line
+    job counts, Transfer-load run date, max agent id, FAILED status
+    because ERROR lines exist, NULL error_message because every error
+    is table-attributed. One full-scan aggregate; the oracle re-derives
+    each field from nation arithmetic."""
+    from data_migration_tool_spark.orchestrate import transfer_logs as TL
+
+    logs = _synthetic_transfer_logs(spark, sf_dir)
+    return TL.mine_run_summary(logs, "u-tl", "cfg-tl", "run-tl")
+
+
+TRANSFER_LOG_SUMMARY_SQL = """
+SELECT 'u-tl' AS unique_id,
+       'cfg-tl' AS transfer_config_id,
+       'run-tl' AS transfer_run_id,
+       '20260814' AS run_date,
+       'agent-' || CAST((SELECT MAX(n_nationkey % 3) FROM nation) AS VARCHAR)
+           AS agent_id,
+       CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_nationkey % 5 IN (0, 1))
+            THEN 'FAILED' ELSE 'SUCCEEDED' END AS transfer_run_status,
+       CAST(20 AS BIGINT) AS succeeded_jobs,
+       CAST(5 AS BIGINT) AS failed_jobs,
+       CAST(NULL AS VARCHAR) AS error_message
+"""
 
 
 TRANSFER_LOG_JOBWISE_SQL = """

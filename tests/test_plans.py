@@ -228,6 +228,18 @@ def test_sessionization_paths_agree_under_power_user_skew(spark):
     assert m == nv
     assert sum(1 for (u, _) in m if u == 1) == 15  # the power user's sessions
 
+    # the skew-robustness claim itself, from the physical plan: the
+    # native path must place a PARTIAL aggregate BEFORE the user_id
+    # exchange (hot-user events combine map-side, so the post-shuffle
+    # task receives session-grain partials, not the user's raw events)
+    # while the window path necessarily ships raw rows to one task.
+    native_plan = native._jdf.queryExecution().executedPlan().toString()
+    i_partial = native_plan.find("partial_count")
+    i_exchange = native_plan.find("Exchange hashpartitioning(user_id")
+    assert 0 <= i_exchange < i_partial, native_plan[:800]
+    manual_plan = manual._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" not in manual_plan.split("Exchange")[-1]
+
 
 def test_hash_sampling_is_scan_only(spark):
     """Deterministic md5 sampling must be a shuffle-free scan+filter."""
