@@ -555,6 +555,108 @@ def cross_corpus_overlap(
     )
 
 
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter over the benchmark's distinct n-gram shingles — the
+    SKETCH twin of ``cross_corpus_overlap``'s exact broadcast set, for
+    when even the distinct benchmark shingles are too large to ship.
+
+    Layout: ``m_bits`` bits packed 32 per BIGINT word → the whole
+    filter is ``m_bits/32`` rows of (word_idx, bits).  All ``k`` hash
+    positions are md5-derived (``conv(substr(md5('bl{r}|'||s),1,8))``
+    mod m), so both engines compute bit-identical filters — the sketch
+    itself is oracle-checkable, not just its error envelope.  Words
+    merge by ``bit_or``, which IS the map-side combine of the groupBy:
+    per-partition partial filters OR together associatively, the
+    textbook mergeable-summary contract.  At 100 TB the filter is KBs
+    regardless of corpus size."""
+    sh = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    pos = sh.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), r, m_bits) for r in range(k)])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr("p div 32").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def _bloom_pos(col: F.Column, r: int, m_bits: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bl{r}|"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bloom: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Probe every train shingle against a ``bloom_build`` filter and
+    emit per-document contamination stats.  Bloom guarantee: NO false
+    negatives — every document ``cross_corpus_overlap`` flags is
+    flagged here (pinned by test_dataops.py); false positives inflate
+    ``n_maybe_contaminated`` at the filter's fill-ratio rate and are
+    resolved by running the exact check on the (rare) flagged docs.
+
+    Scale shape: the filter broadcasts (KBs); the train side is one
+    scan → shingle explode → k-way position explode → broadcast join →
+    two aggregate-grain groupBys (shingle verdicts, then doc rollup).
+    The train corpus is never self-joined and never shuffled in full —
+    only per-shingle verdict rows move."""
+    sh = shingle_set(train, id_col, text_col, n)
+    probes = sh.select(
+        id_col,
+        "shingle",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("shingle"), r, m_bits) for r in range(k)])
+        ).alias("r", "p"),
+    ).select(
+        id_col,
+        "shingle",
+        F.expr("p div 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    hits = probes.join(F.broadcast(bloom), "word_idx", "left_outer").select(
+        id_col,
+        "shingle",
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+            == F.col("mask")
+        ).cast("int").alias("hit"),
+    )
+    verdicts = hits.groupBy(id_col, "shingle").agg(
+        (F.sum("hit") == F.count(F.lit(1))).cast("int").alias("maybe")
+    )
+    return verdicts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("maybe").cast("long").alias("n_maybe_contaminated"),
+        (F.sum("maybe") > 0).alias("flagged"),
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -769,6 +769,12 @@ _DEFS: list[QueryDef] = [
         V.TRANSFER_LOG_SUMMARY_SQL,
         ("orchestrate", "regex", "audit"),
     ),
+    QueryDef(
+        "doc_bloom_decontaminate",
+        TQ.doc_bloom_decontaminate,
+        TQ.DOC_BLOOM_DECONTAMINATE_SQL,
+        ("text", "dedup", "sketch"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in

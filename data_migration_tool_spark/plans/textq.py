@@ -885,6 +885,70 @@ GROUP BY t.doc_id
 """
 
 
+def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the mergeable-SKETCH twin of
+    ``doc_decontaminate`` (same doc_id % 37 benchmark split): the
+    benchmark's shingles compress to a 4096-bit / k=4 md5-hashed Bloom
+    filter (128 BIGINT words, bit_or-mergeable), every train shingle
+    probes it, and per-doc stats roll up.  Because every hash is
+    md5-derived, the oracle rebuilds the IDENTICAL filter in SQL and
+    the whole verdict table is value-checked — no false negatives by
+    construction (pinned against the exact path in test_dataops.py),
+    false positives bounded by the fill ratio.
+
+    At 100 TB: the filter is KBs and broadcasts regardless of
+    benchmark size (the exact path must ship the full distinct-shingle
+    set); train is one scan + broadcast probe, shuffled only at
+    shingle-verdict grain."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    bloom = DD.bloom_build(bench)
+    return DD.bloom_decontaminate(train, bloom)
+
+
+DOC_BLOOM_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLES_CTE},
+bpos AS (
+  SELECT CAST(concat('0x', substr(md5('bl' || CAST(t.r AS VARCHAR) || '|'
+                                       || shingle), 1, 8)) AS BIGINT) % 4096 AS p
+  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0) b,
+       (SELECT unnest(range(4)) AS r) t
+),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5('bl' || CAST(t.r AS VARCHAR) || '|'
+                                      || shingle), 1, 8)) AS BIGINT) % 4096 AS p
+  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0) tr,
+       (SELECT unnest(range(4)) AS r) t
+),
+hits AS (
+  SELECT doc_id, shingle,
+         CASE WHEN COALESCE(w.bits, 0)
+                   & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))
+                 = (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT doc_id, shingle, p, p // 32 AS word_idx FROM probes) pr
+  LEFT JOIN words w USING (word_idx)
+),
+verdicts AS (
+  SELECT doc_id, shingle,
+         CASE WHEN SUM(hit) = COUNT(*) THEN 1 ELSE 0 END AS maybe
+  FROM hits GROUP BY 1, 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe_contaminated,
+       SUM(maybe) > 0 AS flagged
+FROM verdicts GROUP BY doc_id
+"""
+
+
 # Corpus rebalance: keep all German, ~25% French, ~10% Spanish/Chinese,
 # ~5% of everything else (the dominant English slice).
 _STRATA_THRESHOLDS = {"de": "zz", "fr": "40", "es": "1a", "zh": "1a"}

@@ -137,6 +137,37 @@ def test_ngram_jaccard_auto_candidates_degrades_to_lsh(spark):
     assert (1, 4) in degraded  # exact dups always share every band
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom guarantee: every document the exact broadcast-set check
+    flags MUST be flagged by the sketch path (false positives allowed,
+    bounded by fill ratio; false negatives never). Run on a corpus
+    where contamination is real: docs 1/4 share text, 2/3 are clean."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "story of the quick brown fox jumps over fences daily"),
+            (2, "completely unrelated text about database migration tools"),
+            (3, "another clean document with zero shared trigram content"),
+            (4, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id for r in DD.cross_corpus_overlap(train, bench).collect()
+    }
+    bloom = DD.bloom_build(bench)
+    sketch = {r.doc_id: r for r in DD.bloom_decontaminate(train, bloom).collect()}
+    flagged = {d for d, r in sketch.items() if r.flagged}
+    assert exact <= flagged  # no false negatives, ever
+    assert {1, 4} <= exact  # the planted contamination is caught
+    # per-doc shingle accounting is complete (every train doc appears)
+    assert set(sketch) == {1, 2, 3, 4}
+    assert all(r.n_maybe_contaminated <= r.n_shingles for r in sketch.values())
+
+
 def test_simhash_near_dup_property(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[4]  # identical text → identical signature
