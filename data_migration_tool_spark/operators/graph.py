@@ -109,6 +109,7 @@ def pagerank_exact(
     scale: int = 10**12,
     broadcast_ranks: bool = False,
     loop_shuffle_partitions: int | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-point PageRank: the same power iteration as ``pagerank``
     carried entirely in scaled int64 (rank ≙ rank_scaled / 10^12) with
@@ -167,7 +168,7 @@ def pagerank_exact(
     ).localCheckpoint()
 
     with scope:
-        for _ in range(iters):
+        for it in range(iters):
             dangling = ranks.join(
                 out_deg, ranks.node == out_deg.src, "left_anti"
             ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("m"))
@@ -195,8 +196,16 @@ def pagerank_exact(
                     .cast("long")
                     .alias("rank"),
                 )
-                .localCheckpoint()
             )
+            # checkpoint cadence: each localCheckpoint is an eager
+            # Spark job, so checkpointing every round costs `iters`
+            # job launches. Lineage only doubles per un-checkpointed
+            # round, so a small cadence (default 1 preserves the
+            # original behavior; part_pagerank uses 3) bounds the plan
+            # while halving the job count. Values are identical either
+            # way — the fixed-point arithmetic doesn't see the plan.
+            if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+                ranks = ranks.localCheckpoint()
     e.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
