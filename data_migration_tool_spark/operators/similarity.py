@@ -194,7 +194,18 @@ def ivf_topk(
     only the cells it contains. A (query, neighbor) pair is scored at
     most once because each corpus row lives in exactly one cell."""
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    rows = q_assigned.collect()
+    # Deliberate broadcast of the small (query) side — same house guard
+    # as _collect_matrix, on queries × nprobe (nprobe replicates each
+    # query row), so a corpus passed as `queries` fails LOUD instead of
+    # OOMing the driver.
+    rows = q_assigned.limit(MAX_BROADCAST_VECTORS + 1).collect()
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise RuntimeError(
+            f"ivf_topk: queries × nprobe exceeds {MAX_BROADCAST_VECTORS:,} "
+            "broadcast rows — the query operand must be the SMALL side. "
+            "For corpus-scale pairwise work use embedding_near_dup_pairs "
+            "(block-pair) or embedding_near_dup_pairs_ivf (cell-bucketed)."
+        )
     by_cell: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for cell in {r["cell_id"] for r in rows}:
         cell_rows = [r for r in rows if r["cell_id"] == cell]

@@ -117,11 +117,25 @@ def _tbl_from_qualified(col: F.Column) -> F.Column:
     return F.element_at(F.split(col, r"\."), 2)
 
 
-def extract_line_fields(logs: DataFrame) -> DataFrame:
+def extract_line_fields(logs: DataFrame, variant: str = "teradata") -> DataFrame:
     """One scan-side projection computing every extractor's candidate
     fields for every line.  Lines that don't match a pattern yield ''
     (regexp_extract's no-match value) → NULL via ``_nonempty``; the
-    per-table fold then keeps the single real value per field."""
+    per-table fold then keeps the single real value per field.
+
+    ``variant`` picks the reference agent's log dialect:
+
+    * ``teradata`` (teradata_transfer_run_log_dag.py:281-470): per-agent
+      EXTRACT lines; ERROR lines attributed by Agent first, then Job —
+      and the Job branch writes the job id into the *agent_id* field
+      (``:327``), a reference quirk mirrored here for row parity.
+    * ``redshift`` (redshift_transfer_run_log_dag.py:250-360): no agent
+      concept — only Transfer-load / Number-of-records / Summary INFO
+      lines; ERROR lines attributed by Job id (into ``bq_job_id``),
+      every other ERROR line is unattributed (→ summary error_message).
+    """
+    if variant not in ("teradata", "redshift"):
+        raise ValueError(f"unknown transfer-log variant {variant!r}")
     is_info = F.col("severity") == "INFO"
     is_err = F.col("severity") == "ERROR"
     has = F.col("message_text").contains
@@ -134,21 +148,31 @@ def extract_line_fields(logs: DataFrame) -> DataFrame:
     err_agent_tbl = _nonempty(_x(PAT_ERR_AGENT, 2))
     err_job_tbl = _nonempty(_x(PAT_ERR_JOB, 2))
 
-    # Which line class is this? Mirrors the reference's elif ladder —
+    # Which line class is this? Mirrors each reference's elif ladder —
     # each line feeds exactly one extractor.
-    cls = (
-        F.when(is_err & has("Agent"), F.lit("err_agent"))
-        .when(is_err & has("Job"), F.lit("err_job"))
-        .when(is_err, F.lit("err_other"))
-        .when(is_info & has("Transfer load"), F.lit("run_date"))
-        .when(is_info & has("Finished extracting data"), F.lit("extract_done"))
-        .when(is_info & has("Uploading"), F.lit("upload"))
-        .when(is_info & has(": Extracting data"), F.lit("extract_stats"))
-        .when(is_info & has(": Running"), F.lit("mode"))
-        .when(is_info & has("Number of records"), F.lit("records"))
-        .when(is_info & has("Summary:"), F.lit("summary"))
-        .otherwise(F.lit("other"))
-    )
+    if variant == "teradata":
+        cls = (
+            F.when(is_err & has("Agent"), F.lit("err_agent"))
+            .when(is_err & has("Job"), F.lit("err_job"))
+            .when(is_err, F.lit("err_other"))
+            .when(is_info & has("Transfer load"), F.lit("run_date"))
+            .when(is_info & has("Finished extracting data"), F.lit("extract_done"))
+            .when(is_info & has("Uploading"), F.lit("upload"))
+            .when(is_info & has(": Extracting data"), F.lit("extract_stats"))
+            .when(is_info & has(": Running"), F.lit("mode"))
+            .when(is_info & has("Number of records"), F.lit("records"))
+            .when(is_info & has("Summary:"), F.lit("summary"))
+            .otherwise(F.lit("other"))
+        )
+    else:  # redshift: Job-only error attribution, 3 INFO line classes
+        cls = (
+            F.when(is_err & has("Job"), F.lit("err_job"))
+            .when(is_err, F.lit("err_other"))
+            .when(is_info & has("Transfer load"), F.lit("run_date"))
+            .when(is_info & has("Number of records"), F.lit("records"))
+            .when(is_info & has("Summary:"), F.lit("summary"))
+            .otherwise(F.lit("other"))
+        )
 
     table_key = (
         F.when(cls == "extract_done", _tbl_from_qualified(done_tbl))
@@ -166,8 +190,14 @@ def extract_line_fields(logs: DataFrame) -> DataFrame:
         "message_text",
         cls.alias("cls"),
         table_key.alias("src_table_name"),
+        # teradata's ERROR-Job branch writes the JOB id into agent_id
+        # (reference :327) — mirrored, last writer wins in the fold
         F.when(cls == "extract_done", _nonempty(_x(PAT_EXTRACT_DONE, 1)))
         .when(cls == "err_agent", _nonempty(_x(PAT_ERR_AGENT, 1)))
+        .when(
+            F.lit(variant == "teradata") & (cls == "err_job"),
+            _nonempty(_x(PAT_ERR_JOB, 1)),
+        )
         .alias("agent_id"),
         F.when(cls == "extract_done", _nonempty(_x(PAT_EXTRACT_DONE, 3)))
         .alias("extract_duration"),
@@ -186,8 +216,14 @@ def extract_line_fields(logs: DataFrame) -> DataFrame:
         .alias("extract_sessions"),
         F.when(cls == "mode", _nonempty(_x(PAT_TRANSFER_MODE, 2)))
         .alias("transfer_mode"),
+        # redshift attributes errors by job id into bq_job_id
+        # (reference :288-291); teradata's records line is the only
+        # bq_job_id writer
         F.when(cls == "records", _nonempty(_x(PAT_JOB_RECORDS, 1)))
-        .when(cls == "err_job", _nonempty(_x(PAT_ERR_JOB, 1)))
+        .when(
+            F.lit(variant == "redshift") & (cls == "err_job"),
+            _nonempty(_x(PAT_ERR_JOB, 1)),
+        )
         .alias("bq_job_id"),
         F.when(cls == "records", _nonempty(_x(PAT_JOB_RECORDS, 3)))
         .cast("long")
@@ -212,19 +248,32 @@ def mine_job_stats(
     unique_id: str = "",
     transfer_config_id: str = "",
     transfer_run_id: str = "",
+    variant: str = "teradata",
 ) -> DataFrame:
     """Per-table jobwise rows (reference ``_process_transfer_logs`` →
     ``*_transfer_run_jobwise_details``).  One regex projection + one
-    table-grain groupBy; run-scope fields (run_date, any-error flag)
-    ride a 1-row broadcast join, exactly the aggregate-then-broadcast
-    shape the tiny summary data wants."""
-    fields = extract_line_fields(logs)
+    table-grain groupBy; the run-scope run_date rides a 1-row broadcast
+    join, exactly the aggregate-then-broadcast shape the tiny summary
+    data wants."""
+    fields = extract_line_fields(logs, variant=variant)
 
     per_table = (
         fields.filter(F.col("src_table_name").isNotNull())
         .groupBy("src_table_name")
         .agg(
-            F.max("agent_id").alias("agent_id"),
+            # last writer wins (the reference mutates one dict per
+            # table in log order, and agent_id has several writers)
+            F.max_by(
+                "agent_id",
+                F.when(F.col("agent_id").isNotNull(), F.col("line_no")),
+            ).alias("agent_id"),
+            # the template's job_status flips FAILED on every ERROR
+            # line and back to SUCCEEDED on every INFO line, and the
+            # table's row copies it at FIRST mention (reference
+            # :308-309,:335) — i.e. the severity of the first line
+            # mentioning the table (mention lines are always INFO or
+            # ERROR, so the flip the template just took IS that line's)
+            F.min_by("severity", "line_no").alias("_first_sev"),
             F.max("bq_job_id").alias("bq_job_id"),
             F.max("extract_duration").alias("extract_duration"),
             F.max("extract_data_size").alias("extract_data_size"),
@@ -252,10 +301,7 @@ def mine_job_stats(
         )
     )
 
-    run_scope = fields.agg(
-        F.max("run_date").alias("run_date"),
-        F.max((F.col("severity") == "ERROR").cast("int")).alias("any_error"),
-    )
+    run_scope = fields.agg(F.max("run_date").alias("run_date"))
 
     msg = F.col("message")
     return per_table.crossJoin(F.broadcast(run_scope)).select(
@@ -266,9 +312,7 @@ def mine_job_stats(
         "agent_id",
         "bq_job_id",
         "run_date",
-        # reference semantics: the template's job_status flips FAILED the
-        # moment any ERROR line is seen (run-scoped, not table-scoped)
-        F.when(F.col("any_error") == 1, "FAILED")
+        F.when(F.col("_first_sev") == "ERROR", "FAILED")
         .otherwise("SUCCEEDED")
         .alias("job_status"),
         F.when(msg == "", "SUCCEEDED")
@@ -293,13 +337,16 @@ def mine_run_summary(
     unique_id: str = "",
     transfer_config_id: str = "",
     transfer_run_id: str = "",
+    variant: str = "teradata",
 ) -> DataFrame:
     """The single run-summary row (reference ``dts_run_summary_json``):
     succeeded/failed job counts from the Summary line, run_date from
-    the Transfer-load line, agent_id from the extract-finished lines,
-    error_message = first unattributed ERROR line (redshift semantics,
+    the Transfer-load line, agent_id from the LAST extract-finished
+    line (the reference overwrites it per line, so the final value is
+    the last writer's — teradata :357-359), error_message = first
+    unattributed ERROR line (redshift semantics,
     redshift_transfer_run_log_dag.py:295-297)."""
-    fields = extract_line_fields(logs)
+    fields = extract_line_fields(logs, variant=variant)
     first_other_err = F.min(
         F.when(
             F.col("cls") == "err_other", F.struct("line_no", "message_text")
@@ -310,7 +357,10 @@ def mine_run_summary(
         F.lit(transfer_config_id).alias("transfer_config_id"),
         F.lit(transfer_run_id).alias("transfer_run_id"),
         F.max("run_date").alias("run_date"),
-        F.max("agent_id").alias("agent_id"),
+        F.max_by(
+            F.when(F.col("cls") == "extract_done", F.col("agent_id")),
+            F.when(F.col("cls") == "extract_done", F.col("line_no")),
+        ).alias("agent_id"),
         F.when(F.max((F.col("severity") == "ERROR").cast("int")) == 1, "FAILED")
         .otherwise("SUCCEEDED")
         .alias("transfer_run_status"),

@@ -770,6 +770,12 @@ _DEFS: list[QueryDef] = [
         ("orchestrate", "regex", "audit"),
     ),
     QueryDef(
+        "transfer_log_redshift_jobwise",
+        V.transfer_log_redshift_jobwise,
+        V.TRANSFER_LOG_REDSHIFT_SQL,
+        ("orchestrate", "regex", "audit"),
+    ),
+    QueryDef(
         "doc_bloom_decontaminate",
         TQ.doc_bloom_decontaminate,
         TQ.DOC_BLOOM_DECONTAMINATE_SQL,

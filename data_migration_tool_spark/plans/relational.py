@@ -1180,6 +1180,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PAGERANK_SCALE,
         broadcast_ranks=True,
         loop_shuffle_partitions=8,
+        checkpoint_every=3,
     )
     return (
         ranks.select(

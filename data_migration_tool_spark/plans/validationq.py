@@ -792,10 +792,105 @@ def transfer_log_jobwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TL.mine_job_stats(logs, "u-tl", "cfg-tl", "run-tl")
 
 
+def _synthetic_redshift_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift-dialect agent logs from ``nation``: Job-grain lines only
+    (no per-agent EXTRACT lines exist in that agent's output). Tables
+    with key ≡0 mod 4 fail — their ERROR-Job line arrives BEFORE the
+    records line, so first-mention job_status capture is exercised."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.lower(F.col("n_name")).alias("t"),
+    )
+    k, t = F.col("k"), F.col("t")
+    s = lambda c: c.cast("string")  # noqa: E731
+    job = F.concat(F.lit("bq_job_"), s(k))
+
+    def line(off: int, sev: str, text):
+        return F.struct(
+            F.lit(off).alias("off"), F.lit(sev).alias("severity"),
+            text.alias("message_text"),
+        )
+
+    err = F.when(
+        k % 4 == 0,
+        line(0, "ERROR", F.concat(
+            F.lit("Job "), job, F.lit(" (table "), t,
+            F.lit(") failed with insufficient cluster capacity."))),
+    )
+    arr = F.array(
+        err,
+        line(1, "INFO", F.concat(
+            F.lit("Job "), job, F.lit(" (table "), t,
+            F.lit(") completed. Number of records: "), s(k * 500 + 7),
+            F.lit(", errors: "), s(k % 3), F.lit("."))),
+    )
+    per_table = n.select(
+        k, F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("l")
+    ).select(
+        (k * 10 + F.col("l.off").cast("long")).alias("line_no"),
+        F.col("l.severity").alias("severity"),
+        F.col("l.message_text").alias("message_text"),
+    )
+    run_lines = spark.range(1).select(
+        F.explode(F.array(
+            line(-3, "INFO", F.lit("Transfer load date: 20260815")),
+            line(-2, "ERROR", F.lit("Transfer run hit a service interruption.")),
+            line(-1, "INFO", F.lit("Summary: succeeded 18 jobs, failed 7 jobs.")),
+        )).alias("l")
+    ).select(
+        F.col("l.off").cast("long").alias("line_no"),
+        F.col("l.severity").alias("severity"),
+        F.col("l.message_text").alias("message_text"),
+    )
+    return per_table.unionByName(run_lines)
+
+
+def transfer_log_redshift_jobwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift-variant transfer-log mining end-to-end
+    (redshift_transfer_run_log_dag.py:250-360): errors attributed by
+    Job id into ``bq_job_id``, no agent fields, first-mention
+    job_status capture (≡0 mod 4 tables fail first). Same scan-side
+    plan as the teradata variant — only the classifier ladder and the
+    field writers differ."""
+    from data_migration_tool_spark.orchestrate import transfer_logs as TL
+
+    logs = _synthetic_redshift_logs(spark, sf_dir)
+    mined = TL.mine_job_stats(logs, "u-rs", "cfg-rs", "run-rs", variant="redshift")
+    # EXTRACT-line fields can never bind in this dialect — project the
+    # columns that carry information so the oracle row stays honest
+    return mined.select(
+        "unique_id", "transfer_config_id", "transfer_run_id",
+        "src_table_name", "bq_job_id", "run_date", "job_status",
+        "transfer_run_state", "success_records", "error_records", "message",
+    )
+
+
+TRANSFER_LOG_REDSHIFT_SQL = """
+SELECT 'u-rs' AS unique_id,
+       'cfg-rs' AS transfer_config_id,
+       'run-rs' AS transfer_run_id,
+       lower(n_name) AS src_table_name,
+       'bq_job_' || CAST(n_nationkey AS VARCHAR) AS bq_job_id,
+       '20260815' AS run_date,
+       CASE WHEN n_nationkey % 4 = 0 THEN 'FAILED'
+            ELSE 'SUCCEEDED' END AS job_status,
+       CASE WHEN n_nationkey % 4 = 0 THEN 'FAILED'
+            ELSE 'SUCCEEDED' END AS transfer_run_state,
+       CAST(n_nationkey * 500 + 7 AS BIGINT) AS success_records,
+       CAST(n_nationkey % 3 AS BIGINT) AS error_records,
+       CASE WHEN n_nationkey % 4 = 0
+              THEN 'Job bq_job_' || CAST(n_nationkey AS VARCHAR) || ' (table '
+                   || lower(n_name) || ') failed with insufficient cluster capacity.'
+            ELSE '' END AS message
+FROM nation
+"""
+
+
 def transfer_log_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single run-summary row mined from the same synthetic log
     stream (reference ``dts_run_summary_json`` assembly): Summary-line
-    job counts, Transfer-load run date, max agent id, FAILED status
+    job counts, Transfer-load run date, agent id from the LAST
+    extract-finished line (reference last-writer-wins), FAILED status
     because ERROR lines exist, NULL error_message because every error
     is table-attributed. One full-scan aggregate; the oracle re-derives
     each field from nation arithmetic."""
@@ -810,7 +905,7 @@ SELECT 'u-tl' AS unique_id,
        'cfg-tl' AS transfer_config_id,
        'run-tl' AS transfer_run_id,
        '20260814' AS run_date,
-       'agent-' || CAST((SELECT MAX(n_nationkey % 3) FROM nation) AS VARCHAR)
+       'agent-' || CAST((SELECT MAX(n_nationkey) FROM nation) % 3 AS VARCHAR)
            AS agent_id,
        CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_nationkey % 5 IN (0, 1))
             THEN 'FAILED' ELSE 'SUCCEEDED' END AS transfer_run_status,
@@ -825,10 +920,15 @@ SELECT 'u-tl' AS unique_id,
        'cfg-tl' AS transfer_config_id,
        'run-tl' AS transfer_run_id,
        lower(n_name) AS src_table_name,
-       'agent-' || CAST(n_nationkey % 3 AS VARCHAR) AS agent_id,
+       -- last agent_id writer: the k%5=0 tables' ERROR-Job line lands
+       -- the job id in agent_id (the mirrored reference quirk)
+       CASE WHEN n_nationkey % 5 = 0
+              THEN 'bq_job_' || CAST(n_nationkey AS VARCHAR)
+            ELSE 'agent-' || CAST(n_nationkey % 3 AS VARCHAR) END AS agent_id,
        'bq_job_' || CAST(n_nationkey AS VARCHAR) AS bq_job_id,
        '20260814' AS run_date,
-       'FAILED' AS job_status,
+       -- first mention of every table is its INFO mode line
+       'SUCCEEDED' AS job_status,
        CASE WHEN n_nationkey % 5 = 0 THEN 'FAILED'
             WHEN n_nationkey % 5 = 1 THEN 'SKIPPED'
             ELSE 'SUCCEEDED' END AS transfer_run_state,

@@ -17,6 +17,11 @@ public specification in pure stdlib Python:
 * codecs: ``null`` and ``deflate`` (raw zlib) — both stdlib;
 * logical types: ``date`` (int days), ``timestamp-millis/-micros``
   (long), ``decimal`` (bytes/fixed two's-complement unscaled).
+  Timestamp convention: NAIVE datetimes mean UTC on both the encode
+  and decode side; timezone-aware values are normalized to UTC before
+  encoding. Run Spark with ``spark.sql.session.timeZone=UTC`` (the
+  repo default) when round-tripping through this lane, or wall-clock
+  values shift by the session offset.
 
 Execution shape: ``read_avro`` lists the ``.avro`` files, reads ONE
 header driver-side for the schema, then decodes file contents inside
@@ -239,6 +244,11 @@ def _encode(w: _Writer, schema, v) -> None:
     elif t == "int" and logical == "date":
         w.long((v - _EPOCH).days)
     elif t == "long" and logical in ("timestamp-millis", "timestamp-micros"):
+        # naive datetimes mean UTC (module convention, mirrored by the
+        # decoder); aware ones are normalized so the subtraction from
+        # the naive epoch is well-defined instead of a TypeError
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         us = round((v - _EPOCH_TS).total_seconds() * 1_000_000)
         w.long(us // 1000 if logical == "timestamp-millis" else us)
     else:
@@ -404,7 +414,16 @@ def spark_schema(avro_schema: dict) -> T.StructType:
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed fallback read: schema from one header driver-side,
     then per-file decode inside ``mapInPandas`` over a ``binaryFile``
-    scan — Arrow-batched, one task per file."""
+    scan — Arrow-batched, one task per file.
+
+    ``path`` must be DRIVER-LOCAL (a file or a flat directory): the
+    schema probe in ``_first_avro_file`` uses ``os.listdir`` + ``open``,
+    so an ``hdfs://`` / ``gs://`` / ``s3a://`` staging URI fails loudly
+    at the probe even though the ``binaryFile`` scan itself would accept
+    any Hadoop URI. That matches this lane's role — decoding the agent
+    hand-off files already staged locally; remote lakes should use the
+    real spark-avro connector (``readers.read_table`` probes for it and
+    prefers it whenever it is on the classpath)."""
     first = _first_avro_file(path)
     with open(first, "rb") as fh:
         head = fh.read()

@@ -795,6 +795,24 @@ def test_collect_matrix_guard(spark):
         S.MAX_BROADCAST_VECTORS = orig
 
 
+def test_ivf_topk_query_side_guard(spark):
+    import pytest
+
+    from data_migration_tool_spark.operators import similarity as S
+
+    v = _vecs(spark)
+    centroids = v.filter(F.col("vec_id").isin(0, 2, 4))
+    assigned = SIM.ivf_assign(v, centroids)
+    orig = S.MAX_BROADCAST_VECTORS
+    S.MAX_BROADCAST_VECTORS = 3
+    try:
+        # 5 queries × nprobe 1 > cap of 3 — must fail loud, not collect
+        with pytest.raises(RuntimeError, match="ivf_topk: queries"):
+            SIM.ivf_topk(v, assigned, centroids, k=1)
+    finally:
+        S.MAX_BROADCAST_VECTORS = orig
+
+
 def test_interval_overlap_join_semantics(spark):
     from data_migration_tool_spark.operators.rangejoin import interval_overlap_join
 

@@ -626,6 +626,30 @@ def test_avro_fallback_interops_with_jvm_reference_impl(spark, tmp_path):
     assert got == [(0, 19782, 0.5), (1, -1, -3.25), (2, 0, 2.0)]
 
 
+def test_avro_fallback_aware_datetime_normalized_to_utc(tmp_path):
+    import datetime as dt
+
+    from data_migration_tool_spark.sources import avro_fallback as AF
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    aware = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=plus2)
+    naive_utc = dt.datetime(2024, 3, 1, 10, 0, 0)  # same instant, naive-UTC
+    p = str(tmp_path / "tz.avro")
+    AF.write_avro([{"ts": aware}, {"ts": naive_utc}], schema, p)
+    _, rows = AF.decode_file(open(p, "rb").read())
+    assert rows[0]["ts"] == rows[1]["ts"] == naive_utc
+
+
 def test_avro_fallback_rejects_unsupported(spark, tmp_path):
     import pytest
 

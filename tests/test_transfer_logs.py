@@ -73,14 +73,52 @@ def test_mine_job_stats_recovers_planted_values(spark):
     assert o["error_records"] == 3
     assert o["run_date"] == "20260814"
     assert o["transfer_run_state"] == "SUCCEEDED"
-    # reference semantics: any ERROR line flips the run-scoped job_status
-    assert o["job_status"] == "FAILED"
+    # job_status = template state at FIRST mention (reference copies the
+    # template when a table is first seen): orders first appears on an
+    # INFO line, so later ERROR lines don't flip it
+    assert o["job_status"] == "SUCCEEDED"
 
     assert rows["lineitem"]["transfer_run_state"] == "SKIPPED"
     assert rows["lineitem"]["agent_id"] == "agent-2"
+    assert rows["lineitem"]["job_status"] == "FAILED"  # first seen on ERROR
     assert rows["customer"]["transfer_run_state"] == "FAILED"
-    assert rows["customer"]["bq_job_id"] == "bq_job_9"
+    assert rows["customer"]["job_status"] == "FAILED"
+    # teradata quirk mirrored: the ERROR-Job branch writes the job id
+    # into agent_id (reference :327); bq_job_id only comes from the
+    # Number-of-records line, which customer never got
+    assert rows["customer"]["agent_id"] == "bq_job_9"
+    assert rows["customer"]["bq_job_id"] is None
     assert "quota exceeded" in rows["customer"]["message"]
+
+
+def test_mine_job_stats_redshift_variant(spark):
+    """Redshift dialect (redshift_transfer_run_log_dag.py:250-360): no
+    agent lines parsed at all, errors attributed by Job id into
+    bq_job_id, Agent-shaped ERROR lines are unattributed and become the
+    summary's error_message."""
+    rows = {
+        r["src_table_name"]: r.asDict()
+        for r in TL.mine_job_stats(
+            TL.logs_to_df(spark, FIXTURE_LOGS), variant="redshift"
+        ).collect()
+    }
+    # lineitem's only line is an Agent ERROR — not a table in redshift
+    assert set(rows) == {"orders", "customer"}
+    o = rows["orders"]
+    assert o["bq_job_id"] == "bq_job_7" and o["success_records"] == 15000
+    assert o["agent_id"] is None  # no agent concept
+    assert o["transfer_mode"] is None  # no EXTRACT lines parsed
+    assert o["job_status"] == "SUCCEEDED"
+    c = rows["customer"]
+    assert c["bq_job_id"] == "bq_job_9" and c["agent_id"] is None
+    assert c["job_status"] == "FAILED"
+    s = TL.mine_run_summary(
+        TL.logs_to_df(spark, FIXTURE_LOGS), variant="redshift"
+    ).collect()[0]
+    # first unattributed ERROR — under redshift that's the Agent line
+    assert s.error_message.startswith("Agent agent-2. Skipping")
+    assert s.agent_id is None
+    assert s.succeeded_jobs == 8 and s.failed_jobs == 2
 
 
 def test_mine_run_summary(spark):
@@ -91,6 +129,8 @@ def test_mine_run_summary(spark):
     assert s.failed_jobs == 2
     assert s.run_date == "20260814"
     assert s.transfer_run_status == "FAILED"
+    # last 'Finished extracting' line's agent (reference last-writer-wins)
+    assert s.agent_id == "agent-1"
     # first ERROR line with neither Agent nor Job attribution
     assert s.error_message == "Transfer run aborted by service."
 
