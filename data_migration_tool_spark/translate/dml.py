@@ -491,23 +491,35 @@ def _rewrite_datepart_func(
             continue
         a, b = args[1].strip(), args[2].strip()
         if diff:
-            if unit in _TRUNC_PARTS:
-                a = f"DATE_TRUNC('{unit}', {a})"
-                b = f"DATE_TRUNC('{unit}', {b})"
             if unit == "WEEK":
-                # Spark's DATE_TRUNC('WEEK') snaps to ISO Monday;
-                # Redshift documents Sunday–Saturday weeks for the week
-                # datepart, so operand pairs straddling only a Sunday
-                # can differ by one boundary. Flag for manual review
-                # (same policy as PERCENT / WITH TIES) — the rewrite is
-                # still emitted for the common case.
+                # Redshift weeks run Sunday–Saturday; Spark's
+                # DATE_TRUNC('WEEK') snaps to ISO Monday, so the
+                # generic truncate-then-TIMESTAMPDIFF shape would be
+                # off by one for pairs straddling only a Sunday.
+                # Instead truncate each operand to its week's SUNDAY
+                # (DAYOFWEEK: 1=Sunday … 7=Saturday) and count 7-day
+                # steps — both ends are Sundays, so the day difference
+                # is an exact multiple of 7 and integer DIV is exact
+                # for either sign. Property-tested against a
+                # pure-Python Sunday-week reference
+                # (test_properties.py).
+                def _sun(x: str) -> str:
+                    return (
+                        f"DATE_SUB(CAST({x} AS DATE), "
+                        f"DAYOFWEEK(CAST({x} AS DATE)) - 1)"
+                    )
+
+                repl = f"(DATEDIFF({_sun(b)}, {_sun(a)}) DIV 7)"
                 warnings.append(
-                    f"{name}(week, ...) — Spark counts ISO Monday week "
-                    "boundaries; Redshift weeks run Sunday–Saturday. "
-                    "Dates straddling only a Sunday differ by one — "
-                    "verify or rewrite the week convention manually"
+                    f"info: {name}(week, ...) rewritten to Sunday-based "
+                    "week-boundary count (Redshift convention); Spark's "
+                    "native WEEK functions are ISO-Monday"
                 )
-            repl = f"TIMESTAMPDIFF({unit}, {a}, {b})"
+            else:
+                if unit in _TRUNC_PARTS:
+                    a = f"DATE_TRUNC('{unit}', {a})"
+                    b = f"DATE_TRUNC('{unit}', {b})"
+                repl = f"TIMESTAMPDIFF({unit}, {a}, {b})"
         else:
             repl = f"TIMESTAMPADD({unit}, {a}, {b})"
         sql = sql[: m.start()] + repl + sql[close + 1 :]

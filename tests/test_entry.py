@@ -93,3 +93,56 @@ def test_no_oracle_projects_driver_unsafe_types():
         except Exception:  # noqa: BLE001
             continue  # parse failures are test_every_oracle_parses_in_duckdb's job
     assert not bad, bad
+
+
+def test_official_coverage_invariant():
+    """Machine-check of COVERAGE.md's coverage claim (the round-6 lesson:
+    the hand-written claim was wrong for 2 queries). Every oracle-backed
+    registry query must either have at least one official driver row in
+    some CORRECTNESS_r*.json artifact, or be explicitly listed in
+    registry.PENDING_OFFICIAL — and every pending query must hold a
+    scored window slot (first 50 registry entries) so the NEXT driver
+    run produces its row. A pending entry that already has a row is
+    stale bookkeeping and fails too."""
+    import glob
+    import json
+    import os
+
+    from data_migration_tool_spark.plans.registry import (
+        _PRIORITY,
+        PENDING_OFFICIAL,
+        QUERIES,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    assert artifacts, "no CORRECTNESS artifacts found next to the repo root"
+    seen: set[str] = set()
+    for f in artifacts:
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+
+    oracle_backed = {n for n, d in QUERIES.items() if d.oracle is not None}
+    uncovered = oracle_backed - seen - set(PENDING_OFFICIAL)
+    assert not uncovered, (
+        f"oracle-backed queries with no official row and not declared "
+        f"pending: {sorted(uncovered)}"
+    )
+
+    window = set(list(QUERIES)[:50])
+    unslotted = set(PENDING_OFFICIAL) - window
+    assert not unslotted, (
+        f"pending-official queries outside the scored 50-slot window: "
+        f"{sorted(unslotted)}"
+    )
+
+    stale = set(PENDING_OFFICIAL) & seen
+    assert not stale, f"PENDING_OFFICIAL entries that already have a row: {sorted(stale)}"
+
+    # window hygiene: exactly 50 scored slots, every name real and
+    # oracle-backed (a rows-only or misspelled name is a guaranteed red)
+    assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    rows_only = [n for n in _PRIORITY if QUERIES[n].oracle is None]
+    assert not rows_only, f"rows-only queries holding scored slots: {rows_only}"

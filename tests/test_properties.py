@@ -366,3 +366,47 @@ def test_dialect_rewrites_never_touch_string_literals(dialect, phrase, pad):
     sql = f"SELECT col1 FROM t WHERE note = '{lit}'"
     out = translate_statement(sql, dialect=dialect).sql
     assert f"'{lit}'" in out, (dialect, lit, out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(
+                min_value=__import__("datetime").date(2000, 1, 1),
+                max_value=__import__("datetime").date(2030, 1, 1),
+            ),
+            st.dates(
+                min_value=__import__("datetime").date(2000, 1, 1),
+                max_value=__import__("datetime").date(2030, 1, 1),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_redshift_week_datediff_matches_sunday_reference(spark, pairs):
+    """DATEDIFF(week, a, b) rewrite vs a pure-Python Sunday-week
+    reference: Redshift counts Sunday–Saturday week boundaries crossed,
+    i.e. (sunday_of(b) - sunday_of(a)) / 7 with Python's weekday()
+    (Mon=0 … Sun=6). Every example's pair list is evaluated in ONE
+    Spark job through the actually-rewritten SQL."""
+    import datetime as dt
+
+    from data_migration_tool_spark.translate.dml import translate_statement
+
+    ts = translate_statement(
+        "SELECT DATEDIFF(week, a, b) AS w FROM wk_pairs", dialect="redshift"
+    )
+    assert "DAYOFWEEK" in ts.sql
+
+    def sunday(d: dt.date) -> dt.date:
+        return d - dt.timedelta(days=(d.weekday() + 1) % 7)
+
+    want = [(sunday(b) - sunday(a)).days // 7 for a, b in pairs]
+    spark.createDataFrame(
+        [(a.isoformat(), b.isoformat()) for a, b in pairs], "a string, b string"
+    ).createOrReplaceTempView("wk_pairs")
+    got = [r.w for r in spark.sql(ts.sql).collect()]
+    assert got == want

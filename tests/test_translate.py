@@ -696,18 +696,30 @@ def test_redshift_datediff_boundary_truncation(spark):
     assert r.us == 1_000_000
 
 
-def test_redshift_datediff_week_warns_but_still_rewrites():
-    """Redshift weeks run Sunday–Saturday; Spark DATE_TRUNC('WEEK')
-    snaps to ISO Monday. The rewrite is emitted (right for all pairs
-    not straddling exactly a Sunday) but must flag the convention for
-    manual review — same policy as PERCENT / WITH TIES."""
+def test_redshift_datediff_week_sunday_rewrite(spark):
+    """Redshift weeks run Sunday–Saturday; Spark's WEEK functions are
+    ISO-Monday. The rewrite truncates both operands to their week's
+    Sunday and counts 7-day steps — exact for every pair, including
+    ones straddling only a Sunday — and leaves an info note (not a
+    manual-review warning)."""
     from data_migration_tool_spark.translate.dml import translate_statement
 
     ts = translate_statement(
-        "SELECT DATEDIFF(week, a, b) FROM t", dialect="redshift"
+        "SELECT DATEDIFF(week, a, b) AS w FROM t", dialect="redshift"
     )
-    assert "TIMESTAMPDIFF(WEEK, DATE_TRUNC('WEEK', a)" in ts.sql
-    assert any("Sunday" in w for w in ts.warnings)
+    assert "DAYOFWEEK" in ts.sql and "DIV 7" in ts.sql
+    assert any(w.startswith("info:") and "Sunday" in w for w in ts.warnings)
+
+    # 2026-08-08 is a Saturday, 2026-08-09 a Sunday: one-day pair
+    # straddling exactly a Sunday boundary → 1 week under Redshift,
+    # 0 under the old ISO-Monday truncation
+    spark.createDataFrame(
+        [("2026-08-08", "2026-08-09"), ("2026-08-09", "2026-08-10"),
+         ("2026-08-03", "2026-08-16")],
+        "a string, b string",
+    ).createOrReplaceTempView("t")
+    got = [r.w for r in spark.sql(ts.sql).collect()]
+    assert got == [1, 0, 2]
 
 
 def test_oracle_to_char_warns_and_hive_transform_warns():
