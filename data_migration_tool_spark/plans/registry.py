@@ -752,6 +752,12 @@ _DEFS: list[QueryDef] = [
         ("vector", "pca", "fixed-point"),
     ),
     QueryDef(
+        "embedding_pca_power2_exact",
+        VQ.embedding_pca_power2_exact,
+        VQ.EMB_PCA_POWER2_SQL,
+        ("vector", "pca", "fixed-point"),
+    ),
+    QueryDef(
         "doc_semantic_packing",
         WQ.doc_semantic_packing,
         WQ.DOC_SEMANTIC_PACKING_SQL,
@@ -849,7 +855,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_stream_dedup",
     "purchase_attribution_asof",
     "orders_zorder_layout",
-    "returnflag_pivot",
+    # -- new this round: rank-2 exact PCA takes the last fill slot --
+    "embedding_pca_power2_exact",
 )
 
 # Oracle-backed queries that do not yet have an official driver
@@ -864,6 +871,7 @@ PENDING_OFFICIAL: tuple[str, ...] = (
     "doc_bloom_decontaminate",
     "transfer_log_run_summary",
     "transfer_log_redshift_jobwise",
+    "embedding_pca_power2_exact",
 )
 
 

@@ -1576,31 +1576,77 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets — the asymmetric complement of Jaccard: a short document
     embedded verbatim in a much longer one scores near 1.0 here while
     its Jaccard stays low, so symmetric thresholds never catch it.
-    Same inverted-index join as the Jaccard path (cost follows shared
-    shingles, never n²); only the denominator changes. Both directions
-    are reported (contained_id, container_id)."""
+
+    Scale path: PREFIX-FILTERED candidate generation (the PPJoin-family
+    bound). For containment ≥ t on |A|, a container B that misses ALL
+    of any chosen floor((1−t)·|A|)+1 shingles of A has
+    |A∩B| ≤ |A| − floor((1−t)·|A|) − 1 < t·|A| — so joining only each
+    doc's floor((1−t)|A|)+1 globally-RAREST shingles (rarest = shortest
+    posting lists = cheapest join) against the full inverted index
+    finds every qualifying pair, and an array-intersect verify on the
+    surviving candidates computes the exact coefficient. Output is
+    provably identical to the naive shared-shingle join (the r7 sf1
+    scale pass measured the naive join at exponent 1.35 — candidate
+    volume grows faster than the corpus; the prefix join prunes it back
+    to the qualifying-pair neighborhood). The DuckDB oracle keeps the
+    declarative full-join spec — same rows, so the gate pins the
+    equivalence. Both directions are reported
+    (contained_id, container_id)."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(TX.word_shingles("text"))).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    docsets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+        ),
+    )
+    # Prefix size in EXACT integer arithmetic — float (1-t) under-sizes
+    # it (1.0-0.9 = 0.0999…; floor(0.0999…·10)=0 missed a boundary pair
+    # at exactly 0.9). A filter-passing pair needs
+    # n_common ≥ ceil(9·n/10) = (9n+9) div 10, so a prefix of
+    # n − ceil(9n/10) + 1 shingles is complete; +1 more unit of slack
+    # covers the round(·,6) admission window for any document under
+    # ~4M distinct shingles (tens of MB of text — far past real docs).
+    prefix = (
+        ranked.join(docsets.select("doc_id", "n_sh"), "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh")
+            - F.expr("(9 * n_sh + 9) div 10")
+            + F.lit(2)
+        )
+        .select(F.col("doc_id").alias("id_a"), "shingle")
+    )
+    cand = (
+        prefix.join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sset").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = docsets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
     return (
-        common.join(F.broadcast(na), "id_a")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             F.col("id_a").alias("contained_id"),
             F.col("id_b").alias("container_id"),
             F.round(
-                F.col("n_common").cast("double") / F.col("na").cast("double"), 6
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.col("na").cast("double"),
+                6,
             ).alias("containment"),
         )
         .filter(F.col("containment") >= 0.9)

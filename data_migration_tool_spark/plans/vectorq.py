@@ -1033,6 +1033,144 @@ _PCA_ROUND_SQL = ",\n".join(
     _pca_round_ctes(k) for k in range(1, _PCA_ROUNDS + 1)
 )
 
+# ---------------------------------------------------------------------------
+# Rank-2 extension: deflation-free second component by per-round
+# re-orthogonalization against the converged first direction
+# ---------------------------------------------------------------------------
+
+# Round counts for the rank-2 query. Shorter than the rank-1 query's
+# 200 because DuckDB's max_expression_depth (default 1000) bounds the
+# total unrolled-CTE chain: phase 1 costs 2 CTEs/round, phase 2 costs 4
+# — 120+120 lands at ~750 with margin, and the planted-direction test
+# shows both components converged to >0.999 correlation well before
+# round 120.
+_PCA2_P1_ROUNDS = 120
+_PCA2_ROUNDS = 120
+
+
+def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 principal directions in the exact-hash lane — extends
+    ``embedding_pca_power_exact``'s fixed-point power iteration with a
+    second phase that re-orthogonalizes against the converged first
+    direction EVERY round (deflating the matrix would need rational
+    arithmetic; subtracting the truncated projection keeps everything
+    int64 and the per-round truncation residual along v is knocked back
+    down each round, so it never accumulates):
+
+        y  = M·x                     (int64 matvec)
+        c  = trunc(trunc(y/S)·v) div trunc(v·v / S)   (projection coeff)
+        o  = y − c·v                 (orthogonalized)
+        x' = trunc(o/S)·S div max|trunc(o/S)|          (renormalize)
+
+    The extra ``/S`` rescales keep every product under 2^57 at sf0.1
+    row counts (y·v and o·S would otherwise overflow int64). Every op
+    is truncate-toward-zero int64 arithmetic (Spark ``div`` == DuckDB
+    ``//``), so the 200+200-round sequence is bit-identical
+    cross-engine; the oracle unrolls both phases as chained MATERIALIZED
+    CTEs. Output: integer projections of every vector on both
+    directions. With this, the float 8-component eigh
+    (``embedding_pca_project``) is the only rows-only survivor and the
+    top-2 subspace is gate-certified.
+
+    Scale shape: identical to the rank-1 query — d² gram groupBy at
+    (i,j) grain, O(d²) driver iteration (400 rounds × 64² int ops),
+    one broadcast join + vec_id groupBy for the projections."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("val").cast("double") * _PCA_Q)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    n = emb.count()
+    s = {
+        r["pos"]: r["s"]
+        for r in ex.groupBy("pos")
+        .agg(F.sum("q").cast("long").alias("s"))
+        .collect()
+    }
+    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
+    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
+    g = {
+        (r["i"], r["j"]): r["g"]
+        for r in a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g"))
+        .collect()
+    }
+    d = len(s)
+    m = {
+        (i, j): _tdiv(n * g[(i, j)] - s[i] * s[j], _PCA_D)
+        for i in range(d)
+        for j in range(d)
+    }
+    # phase 1: identical recurrence to embedding_pca_power_exact
+    x = [_pca_x0(i) for i in range(d)]
+    for _ in range(_PCA2_P1_ROUNDS):
+        y = [sum(m[(i, j)] * x[j] for j in range(d)) for i in range(d)]
+        mx = max(max(abs(v) for v in y), 1)
+        x = [_tdiv(v * _PCA_S, mx) for v in y]
+    v = x
+    vvr = _tdiv(sum(t * t for t in v), _PCA_S)
+    # phase 2: re-orthogonalized iteration from an independent start
+    x2 = [_pca_x0(i + d) for i in range(d)]
+    for _ in range(_PCA2_ROUNDS):
+        y = [sum(m[(i, j)] * x2[j] for j in range(d)) for i in range(d)]
+        pr = sum(_tdiv(y[i], _PCA_S) * v[i] for i in range(d))
+        c = _tdiv(pr, vvr)
+        orv = [_tdiv(y[i] - c * v[i], _PCA_S) for i in range(d)]
+        mx = max(max(abs(t) for t in orv), 1)
+        x2 = [_tdiv(t * _PCA_S, mx) for t in orv]
+    xdf = spark.createDataFrame(
+        [(i, v[i], x2[i]) for i in range(d)], "pos int, v1 long, v2 long"
+    )
+    out = (
+        ex.join(F.broadcast(xdf), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("q") * F.col("v1")).cast("long").alias("pc1_raw"),
+            F.sum(F.col("q") * F.col("v2")).cast("long").alias("pc2_raw"),
+        )
+    )
+    ex.unpersist()
+    return out
+
+
+def _pca2_round_ctes(k: int) -> str:
+    prev = f"w{k - 1}" if k > 1 else "w0"
+    return f"""y2_{k} AS MATERIALIZED (
+  SELECT m.i AS pos, CAST(SUM(m.mv * p.xv) AS BIGINT) AS yv
+  FROM m JOIN {prev} p ON p.pos = m.j GROUP BY 1
+),
+c{k} AS MATERIALIZED (
+  SELECT (SELECT CAST(SUM((y.yv // {_PCA_S}) * v.xv) AS BIGINT)
+          FROM y2_{k} y JOIN vfin v ON v.pos = y.pos)
+         // (SELECT CAST(SUM(xv * xv) AS BIGINT) // {_PCA_S} FROM vfin) AS c
+),
+o{k} AS MATERIALIZED (
+  SELECT y.pos, (y.yv - (SELECT c FROM c{k}) * v.xv) // {_PCA_S} AS ov
+  FROM y2_{k} y JOIN vfin v ON v.pos = y.pos
+),
+w{k} AS MATERIALIZED (
+  SELECT pos,
+         (ov * {_PCA_S}) // GREATEST((SELECT MAX(ABS(ov)) FROM o{k}), 1) AS xv
+  FROM o{k}
+)"""
+
+
+_PCA2_ROUND_SQL = ",\n".join(
+    _pca2_round_ctes(k) for k in range(1, _PCA2_ROUNDS + 1)
+)
+
+_PCA2_P1_ROUND_SQL = ",\n".join(
+    _pca_round_ctes(k) for k in range(1, _PCA2_P1_ROUNDS + 1)
+)
+
 EMB_PCA_POWER_SQL = f"""
 WITH ex AS MATERIALIZED (
   SELECT vec_id, i - 1 AS pos,
@@ -1057,5 +1195,42 @@ x0 AS (SELECT pos,
 {_PCA_ROUND_SQL}
 SELECT e.vec_id, CAST(SUM(e.q * x.xv) AS BIGINT) AS pc1_raw
 FROM ex e JOIN x{_PCA_ROUNDS} x ON x.pos = e.pos
+GROUP BY e.vec_id
+"""
+
+EMB_PCA_POWER2_SQL = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_PCA_Q}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, {_PCA_DIM + 1})) AS u(i)
+),
+sv AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS s FROM ex GROUP BY pos),
+gm AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+m AS MATERIALIZED (
+  SELECT g.i, g.j,
+         (CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) * g.g
+          - si.s * sj.s) // {_PCA_D} AS mv
+  FROM gm g JOIN sv si ON si.pos = g.i JOIN sv sj ON sj.pos = g.j
+),
+x0 AS (SELECT pos,
+         CAST((1103515245 * (pos + 12345)) % (2 * {_PCA_S} + 1)
+              - {_PCA_S} AS BIGINT) AS xv
+       FROM sv),
+{_PCA2_P1_ROUND_SQL},
+vfin AS MATERIALIZED (SELECT pos, xv FROM x{_PCA2_P1_ROUNDS}),
+w0 AS (SELECT pos,
+         CAST((1103515245 * (pos + {_PCA_DIM} + 12345)) % (2 * {_PCA_S} + 1)
+              - {_PCA_S} AS BIGINT) AS xv
+       FROM sv),
+{_PCA2_ROUND_SQL}
+SELECT e.vec_id,
+       CAST(SUM(e.q * v.xv) AS BIGINT) AS pc1_raw,
+       CAST(SUM(e.q * w.xv) AS BIGINT) AS pc2_raw
+FROM ex e
+JOIN vfin v ON v.pos = e.pos
+JOIN w{_PCA2_ROUNDS} w ON w.pos = e.pos
 GROUP BY e.vec_id
 """

@@ -1560,6 +1560,52 @@ def test_pca_power_exact_converges_to_top_component(spark, tmp_path):
     assert corr > 0.999, corr
 
 
+def test_pca_power2_exact_converges_to_top_two_components(spark, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.vectorq import (
+        embedding_pca_power2_exact,
+    )
+
+    # two PLANTED orthogonal directions with separated variances, small
+    # isotropic noise — the fixed-point iteration must recover both
+    rng = np.random.RandomState(11)
+    d, n = 16, 300
+    q, _ = np.linalg.qr(rng.randn(d, 2))
+    u1, u2 = q[:, 0], q[:, 1]
+    X = (
+        rng.randn(n, 1) * 0.8 @ u1[None, :]
+        + rng.randn(n, 1) * 0.4 @ u2[None, :]
+        + rng.randn(n, d) * 0.03
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in X], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.vec_id: (r.pc1_raw, r.pc2_raw)
+        for r in embedding_pca_power2_exact(spark, str(tmp_path)).collect()
+    }
+    p1 = np.array([got[i][0] for i in range(n)], dtype="float64")
+    p2 = np.array([got[i][1] for i in range(n)], dtype="float64")
+    Xc = X - X.mean(0)
+    evecs = np.linalg.eigh(np.cov(Xc.T))[1]
+    t1, t2 = Xc @ evecs[:, -1], Xc @ evecs[:, -2]
+    assert abs(np.corrcoef(p1, t1)[0, 1]) > 0.999
+    assert abs(np.corrcoef(p2, t2)[0, 1]) > 0.99
+    # and the recovered directions are genuinely distinct
+    assert abs(np.corrcoef(p1, p2)[0, 1]) < 0.2
+
+
 def test_semantic_packing_topic_coherent_and_dense(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
