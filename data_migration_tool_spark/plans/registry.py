@@ -601,6 +601,12 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "recall"),
     ),
     QueryDef(
+        "minhash_recall_gate_sampled",
+        TQ.minhash_recall_gate_sampled,
+        TQ.MINHASH_RECALL_SAMPLED_SQL,
+        ("text", "dedup", "recall", "sampled"),
+    ),
+    QueryDef(
         "pq_adc_rerank",
         VQ.pq_adc_rerank,
         VQ.PQ_RERANK_SQL,
@@ -854,9 +860,12 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_ann_topk",
     "events_stream_dedup",
     "purchase_attribution_asof",
-    "orders_zorder_layout",
-    # -- new this round: rank-2 exact PCA takes the last fill slot --
+    # -- new this round: rank-2 exact PCA and the sampled recall gate
+    # take the last two fill slots (orders_zorder_layout and
+    # returnflag_pivot, both already officially green in r4, re-seat
+    # in r8 instead)
     "embedding_pca_power2_exact",
+    "minhash_recall_gate_sampled",
 )
 
 # Oracle-backed queries that do not yet have an official driver
@@ -872,6 +881,7 @@ PENDING_OFFICIAL: tuple[str, ...] = (
     "transfer_log_run_summary",
     "transfer_log_redshift_jobwise",
     "embedding_pca_power2_exact",
+    "minhash_recall_gate_sampled",
 )
 
 

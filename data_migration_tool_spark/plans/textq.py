@@ -1303,6 +1303,73 @@ FROM (
 """
 
 
+def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of ``minhash_recall_gate``: recall estimated
+    on a DETERMINISTIC 20% document sample (``doc_id % 5 = 0``) instead
+    of the full corpus. The exact ground-truth arm — the quadratic part
+    the corpus-derived guard rightly refuses above sf0.1 (measured at
+    sf1: ~125M implied pairs > the derived cap) — runs only on the
+    sample, so its candidate volume shrinks by the sample rate squared
+    (~25×) and the gate keeps producing a recall number at any corpus
+    size. The LSH arm still runs on the FULL corpus (that is the
+    production path being audited); its pairs are restricted to
+    sampled endpoints for the comparison. LSH-verified pairs are a
+    subset of exact pairs, so recall ≤ 1 by construction and estimates
+    pure banding misses, same as the full gate."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") % 5 == 0)
+    exact = DD.ngram_jaccard_pairs(
+        sample, threshold=0.5, max_join_pairs=50_000_000
+    ).select("id_a", "id_b")
+    lsh = (
+        DD.minhash_lsh_dedup(d, threshold=0.5)
+        .filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left_outer")
+        .agg(
+            F.lit(5).alias("sample_mod"),
+            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .withColumn("meets_bound", F.col("recall") >= 0.70)
+    )
+
+
+MINHASH_RECALL_SAMPLED_SQL = f"""
+WITH {_MINHASH_CTES},
+exact_common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM exact_common c
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+)
+SELECT sample_mod, n_exact_pairs, recall, recall >= 0.70 AS meets_bound
+FROM (
+  SELECT 5 AS sample_mod,
+         COUNT(*) AS n_exact_pairs,
+         round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+  FROM exact e
+  LEFT JOIN lsh_pairs l
+    ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus-adaptive stopword discovery + filtering (boilerplate removal)
 # ---------------------------------------------------------------------------
