@@ -114,6 +114,7 @@ def pq_adc_topk(
     corpus_codes: DataFrame,
     codebook: list[list[list[float]]] | None = None,
     k: int = 5,
+    join_on: list[str] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: rank PQ-encoded corpus rows against
     raw query vectors. ``queries``: (query_id, q_emb array<float>);
@@ -125,7 +126,13 @@ def pq_adc_topk(
     small by definition); the corpus-codes scan streams against it and
     a single window takes the per-query top-k. Distances fold
     sequentially (subspace-major, coordinate-minor) so the oracle's
-    nested list_sum reproduces them bit-for-bit."""
+    nested list_sum reproduces them bit-for-bit.
+
+    ``join_on``: restrict scoring to (query, corpus) rows agreeing on
+    these columns instead of the full cross product — the IVF-PQ
+    composition passes ``["cell_id"]`` so each query scores only its
+    probed cells' codes (probed-fraction of the corpus, the production
+    serving shape). Default None keeps the exhaustive ADC scan."""
     from pyspark.sql import Window as W
 
     cb = codebook or pq_codebook()
@@ -165,7 +172,11 @@ def pq_adc_topk(
         F.lit(0.0),
         lambda acc, s: acc + sub_adc(s),
     )
-    pairs = corpus_codes.crossJoin(F.broadcast(queries)).select(
+    if join_on:
+        joined = corpus_codes.join(F.broadcast(queries), join_on)
+    else:
+        joined = corpus_codes.crossJoin(F.broadcast(queries))
+    pairs = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         adc.alias("adc_dist"),

@@ -613,6 +613,12 @@ _DEFS: list[QueryDef] = [
         ("vector", "ann", "pq", "rerank"),
     ),
     QueryDef(
+        "ivf_pq_topk",
+        VQ.ivf_pq_topk,
+        VQ.IVF_PQ_TOPK_SQL,
+        ("vector", "ann", "ivf", "pq"),
+    ),
+    QueryDef(
         "corpus_stopword_filter",
         TQ.corpus_stopword_filter,
         TQ.CORPUS_STOPWORD_SQL,
@@ -853,7 +859,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_exact_dedup",
     "doc_minhash_lsh_dedup",
     "doc_dup_clusters",
-    "doc_token_stats",
     "doc_language_id",
     "knn_brute_force",
     "embedding_near_dups",
@@ -866,6 +871,7 @@ _PRIORITY: tuple[str, ...] = (
     # in r8 instead)
     "embedding_pca_power2_exact",
     "minhash_recall_gate_sampled",
+    "ivf_pq_topk",
 )
 
 # Oracle-backed queries that do not yet have an official driver
@@ -882,6 +888,7 @@ PENDING_OFFICIAL: tuple[str, ...] = (
     "transfer_log_redshift_jobwise",
     "embedding_pca_power2_exact",
     "minhash_recall_gate_sampled",
+    "ivf_pq_topk",
 )
 
 

@@ -671,6 +671,92 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 PQ_ADC_SQL = _pq_adc_oracle_sql()
 
 
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the canonical billion-scale ANN serving
+    stack assembled from this repo's two halves: IVF routing (each
+    query probes its 2 nearest cells; the corpus lives in exactly one
+    cell each) composed with ADC scoring over the PQ codes of ONLY the
+    probed cells. Per query the scored fraction is ≈ nprobe/n_cells of
+    the corpus, and each scored row costs an 8-byte code lookup — the
+    two multiplicative reductions (probe fraction × 32× compression)
+    that make a 100 TB embedding corpus searchable from memory.
+    Mechanics: cell routing is the broadcast-centroid single pass
+    (``ivf_assign``), the candidate restriction is ONE equi-join on
+    cell_id with the query set broadcast, and the per-query top-k is a
+    single window. The oracle replays routing, encoding, and the
+    cell-restricted ADC ranking declaratively."""
+    from data_migration_tool_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8)
+    corpus = PQ.pq_encode(SIM.ivf_assign(e, cents)).select(
+        "vec_id", "codes", "cell_id"
+    )
+    queries = SIM.ivf_assign(
+        e.filter(F.col("vec_id") < 10), cents, nprobe=2
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell_id",
+    )
+    return PQ.pq_adc_topk(queries, corpus, k=5, join_on=["cell_id"])
+
+
+def _ivf_pq_oracle_sql() -> str:
+    from data_migration_tool_spark.operators.pq import pq_codebook
+
+    cbl = repr(pq_codebook())
+    return f"""
+WITH {_pq_ctes()},
+cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+c_assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+q_assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                      c.cell_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, 8), s ->
+           list_sum(list_transform(
+             list_transform(range(1, 9),
+               i -> q.embedding[s * 8 + i]::DOUBLE
+                    - ({cbl}::DOUBLE[][][])[s + 1][t.codes[s + 1] + 1][i]),
+             x -> x * x)))) AS adc_dist
+  FROM q_assigned q
+  JOIN c_assigned ca ON ca.cell_id = q.cell_id
+  JOIN pq t ON t.vec_id = ca.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+IVF_PQ_TOPK_SQL = _ivf_pq_oracle_sql()
+
+
 def pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production IVF-PQ serving shape:
     stage 1 scans only the 8-byte PQ codes and takes ADC top-20
