@@ -13,9 +13,15 @@ summary row (``dmt_teradata_transfer_run_summary``):
 * ``teradata_transfer_run_log_dag.py:281-470`` — the extractor bank
   (run date, extract-finished, upload path, extract stats, transfer
   mode, record counts, summary counts, error attribution) and the
-  jobwise/summary row assembly; Redshift variant
-  ``redshift_transfer_run_log_dag.py:250-360`` (no per-agent EXTRACT
-  lines, errors attributed by job id).
+  jobwise/summary row assembly. Both agent dialects are implemented
+  behind ``variant=``: ``teradata`` (the full bank) and ``redshift``
+  (``redshift_transfer_run_log_dag.py:250-360`` — no per-agent EXTRACT
+  lines, errors attributed by Job id into ``bq_job_id``, Agent-shaped
+  ERROR lines unattributed → summary ``error_message``). Row-order
+  semantics mirror the reference's mutate-in-log-order loop exactly:
+  job_status is the template state at a table's FIRST mention,
+  agent_id is last-writer-wins (including the teradata quirk of the
+  ERROR-Job branch writing the job id into agent_id).
 * Row shapes: ``datamigration_utils/bq_result_tbl_utils.py:1-38``.
 
 Spark-first design: the reference walks the log list in a Python loop,

@@ -1132,6 +1132,11 @@ _PCA_ROUND_SQL = ",\n".join(
 # round 120.
 _PCA2_P1_ROUNDS = 120
 _PCA2_ROUNDS = 120
+# Pre-dot rescale for the projection coefficient: y is divided by 4·S
+# before dotting with v so the int64 worst case holds to n ≈ 3.7e5
+# vectors (at plain S the bound crosses 2^63 at n ≈ 1.85e5 — the sf1
+# embedding table is 2e5). Same constant on both engines.
+_PCA2_PR_DIV = _PCA_S * 4
 
 
 def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,14 +1149,16 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     down each round, so it never accumulates):
 
         y  = M·x                     (int64 matvec)
-        c  = trunc(trunc(y/S)·v) div trunc(v·v / S)   (projection coeff)
+        c  = trunc(trunc(y/4S)·v) div trunc(v·v / 4S)  (projection coeff)
         o  = y − c·v                 (orthogonalized)
         x' = trunc(o/S)·S div max|trunc(o/S)|          (renormalize)
 
-    The extra ``/S`` rescales keep every product under 2^57 at sf0.1
-    row counts (y·v and o·S would otherwise overflow int64). Every op
+    The pre-dot ``/4S`` rescale keeps the projection dot product's
+    worst case inside int64 up to n ≈ 3.7e5 vectors (a plain ``/S``
+    crosses 2^63 at n ≈ 1.85e5 — under the sf1 table's 2e5) and
+    ``o/S`` bounds the renormalization products. Every op
     is truncate-toward-zero int64 arithmetic (Spark ``div`` == DuckDB
-    ``//``), so the 200+200-round sequence is bit-identical
+    ``//``), so the 120+120-round sequence is bit-identical
     cross-engine; the oracle unrolls both phases as chained MATERIALIZED
     CTEs. Output: integer projections of every vector on both
     directions. With this, the float 8-component eigh
@@ -1202,12 +1209,12 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx = max(max(abs(v) for v in y), 1)
         x = [_tdiv(v * _PCA_S, mx) for v in y]
     v = x
-    vvr = _tdiv(sum(t * t for t in v), _PCA_S)
+    vvr = _tdiv(sum(t * t for t in v), _PCA2_PR_DIV)
     # phase 2: re-orthogonalized iteration from an independent start
     x2 = [_pca_x0(i + d) for i in range(d)]
     for _ in range(_PCA2_ROUNDS):
         y = [sum(m[(i, j)] * x2[j] for j in range(d)) for i in range(d)]
-        pr = sum(_tdiv(y[i], _PCA_S) * v[i] for i in range(d))
+        pr = sum(_tdiv(y[i], _PCA2_PR_DIV) * v[i] for i in range(d))
         c = _tdiv(pr, vvr)
         orv = [_tdiv(y[i] - c * v[i], _PCA_S) for i in range(d)]
         mx = max(max(abs(t) for t in orv), 1)
@@ -1234,9 +1241,9 @@ def _pca2_round_ctes(k: int) -> str:
   FROM m JOIN {prev} p ON p.pos = m.j GROUP BY 1
 ),
 c{k} AS MATERIALIZED (
-  SELECT (SELECT CAST(SUM((y.yv // {_PCA_S}) * v.xv) AS BIGINT)
+  SELECT (SELECT CAST(SUM((y.yv // {_PCA2_PR_DIV}) * v.xv) AS BIGINT)
           FROM y2_{k} y JOIN vfin v ON v.pos = y.pos)
-         // (SELECT CAST(SUM(xv * xv) AS BIGINT) // {_PCA_S} FROM vfin) AS c
+         // (SELECT CAST(SUM(xv * xv) AS BIGINT) // {_PCA2_PR_DIV} FROM vfin) AS c
 ),
 o{k} AS MATERIALIZED (
   SELECT y.pos, (y.yv - (SELECT c FROM c{k}) * v.xv) // {_PCA_S} AS ov
