@@ -198,12 +198,15 @@ def pagerank_exact(
                 )
             )
             # checkpoint cadence: each localCheckpoint is an eager
-            # Spark job, so checkpointing every round costs `iters`
-            # job launches. Lineage only doubles per un-checkpointed
-            # round, so a small cadence (default 1 preserves the
-            # original behavior; part_pagerank uses 3) bounds the plan
-            # while halving the job count. Values are identical either
-            # way — the fixed-point arithmetic doesn't see the plan.
+            # Spark job, but the plan DOUBLES per un-checkpointed
+            # round (ranks is referenced twice: contrib join +
+            # dangling-mass aggregate), so larger cadences trade a few
+            # cheap node-grain jobs for exponential plan growth and
+            # re-analysis cost. Measured at sf0.1 (part_pagerank):
+            # cadence 1 = 7.2 s, 2 = 11.9 s, 3 = 17.0 s — keep the
+            # default 1 unless a profile says otherwise. Values are
+            # identical either way — the fixed-point arithmetic
+            # doesn't see the plan.
             if (it + 1) % checkpoint_every == 0 or it == iters - 1:
                 ranks = ranks.localCheckpoint()
     e.unpersist()

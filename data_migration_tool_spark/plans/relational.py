@@ -1180,7 +1180,11 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PAGERANK_SCALE,
         broadcast_ranks=True,
         loop_shuffle_partitions=8,
-        checkpoint_every=3,
+        # cadence 1 (the default) measured 7.2 s vs 11.9 s (every 2) and
+        # 17.0 s (every 3) at sf0.1: each un-checkpointed round REFERENCES
+        # the previous rank frame twice (contrib join + dangling-mass
+        # aggregate), so the logical plan doubles per round and
+        # re-analysis dwarfs the saved checkpoint jobs
     )
     return (
         ranks.select(
