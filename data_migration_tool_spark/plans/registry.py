@@ -484,6 +484,9 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef("doc_tfidf_topk", TQ.doc_tfidf_topk, TQ.DOC_TFIDF_SQL, ("text", "topk")),
     QueryDef(
+        "doc_bm25_topk", TQ.doc_bm25_topk, TQ.DOC_BM25_SQL, ("text", "topk", "search")
+    ),
+    QueryDef(
         "doc_lm_fluency", TQ.doc_lm_fluency, TQ.DOC_LM_FLUENCY_SQL, ("text", "quality")
     ),
     QueryDef(
@@ -862,16 +865,17 @@ _PRIORITY: tuple[str, ...] = (
     "doc_language_id",
     "knn_brute_force",
     "embedding_near_dups",
-    "ivf_ann_topk",
     "events_stream_dedup",
     "purchase_attribution_asof",
-    # -- new this round: rank-2 exact PCA and the sampled recall gate
-    # take the last two fill slots (orders_zorder_layout and
-    # returnflag_pivot, both already officially green in r4, re-seat
-    # in r8 instead)
+    # -- new this round: rank-2 exact PCA, the sampled recall gate,
+    # IVF-PQ end-to-end, and BM25 retrieval take the last fill slots
+    # (orders_zorder_layout, returnflag_pivot, and ivf_ann_topk — all
+    # already officially green in r4, and the IVF family is represented
+    # this window by ivf_pq_topk — re-seat in r8 instead)
     "embedding_pca_power2_exact",
     "minhash_recall_gate_sampled",
     "ivf_pq_topk",
+    "doc_bm25_topk",
 )
 
 # Oracle-backed queries that do not yet have an official driver
@@ -889,6 +893,7 @@ PENDING_OFFICIAL: tuple[str, ...] = (
     "embedding_pca_power2_exact",
     "minhash_recall_gate_sampled",
     "ivf_pq_topk",
+    "doc_bm25_topk",
 )
 
 

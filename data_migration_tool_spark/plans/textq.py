@@ -2561,3 +2561,183 @@ WITH {_MINHASH_CTES}
 SELECT id_a, id_b, jaccard FROM lsh_pairs
 WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (inverted-index-shaped top-k search)
+# ---------------------------------------------------------------------------
+
+# (query_id, term) pairs for the fixed benchmark query set. One term may
+# serve several queries; the term->query map is a broadcast join so a
+# shared posting list is scanned once and fanned out per query.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash"),
+    (1, "join"),
+    (2, "window"),
+    (2, "agg"),
+    (2, "stream"),
+    (3, "vector"),
+    (3, "scan"),
+    (3, "filter"),
+]
+_BM25_TOPK = 5
+# fixed-point scale for the per-term score quotient (micro-units). The
+# quotient is a correctly-rounded double of two <2^53 integers, so
+# floor(q * 1e6) is bit-identical across engines; summing the resulting
+# BIGINTs is order-free, unlike summing the doubles themselves.
+_BM25_SCALE = 1_000_000
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 documents per keyword query, exact across
+    engines.
+
+    Parity: the reference validates warehouse-side ranking queries by
+    running the same SQL on both engines (custom-query validation,
+    `/root/reference/src/datamigration/dags/datavalidation/*`); this is
+    the retrieval-flavoured member of that family for the LLM-pipeline
+    corpus — keyword search over `documents` with the classic BM25
+    weighting.
+
+    Exactness: k1 = 6/5 and b = 3/4 are kept as rationals and folded
+    into one integer numerator/denominator pair per (doc, term):
+
+        idf      = (N - df + 1/2) / (df + 1/2)        [log-free ratio]
+        tf_term  = 22*L*tf / (10*L*tf + 3*L + 9*dl*N)
+        score_t  = idf * tf_term
+
+    with N = corpus size, L = total token count, dl = doc length. Both
+    num and den stay < 2^53 through sf1 (num <= 2N * 22 * L * tf_max),
+    so the double quotient is correctly rounded and identical in Spark
+    and DuckDB; `floor(q * 1e6)` converts each term's score to an exact
+    BIGINT and the per-(query, doc) SUM is integer — no float-summation
+    ordering hazard. The log-free idf is a documented variant: it is a
+    monotone transform of the classic `ln` idf with the same 0.5
+    smoothing, chosen because libm `ln` is not guaranteed correctly
+    rounded across engines.
+
+    Scale: the corpus is scanned once, projecting only (doc_id, dl =
+    token_count) — no explode on the dl lane; N and L reduce map-side
+    to a 1-row broadcast. The posting lane explodes tokens but filters
+    to the query vocabulary immediately (an IN over 8 literals — the
+    generate→filter pair prunes before any shuffle), so the (doc, term)
+    tf aggregate shuffles only matching postings: this is exactly the
+    touched slice of an inverted index, built on the fly. df rides the
+    same tiny frame as a term-partitioned window count (a separate
+    groupBy("term") subtree gets column-pruned into a second corpus
+    explode — see the inline comment); the corpus stats and term→query
+    map broadcast. The one data-sized shuffle is the doc-keyed join of
+    matched postings against dl, then a top-5 window per query over
+    candidate docs only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, t in _BM25_QUERIES})
+
+    # corpus stats: scan-side token_count, 1-row broadcast
+    dl = d.select("doc_id", TX.token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("l_tot"),
+    )
+
+    # postings restricted to the query vocabulary, then (doc, term) tf
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df as a window count over tf rather than a separate aggregate +
+    # join: a groupBy("term") subtree gets column-pruned by Catalyst
+    # into a COPY of the posting scan (pruning drops the partial count,
+    # which defeats exchange reuse), so the corpus would be exploded
+    # twice. The window form stacks a term-keyed exchange on the
+    # already-tiny tf frame instead — one corpus pass total.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    )
+
+    qmap = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+
+    num = (
+        (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+        * (22 * F.col("l_tot") * F.col("tf"))
+    ).cast("double")
+    den = (
+        (2 * F.col("df") + 1)
+        * (
+            10 * F.col("l_tot") * F.col("tf")
+            + 3 * F.col("l_tot")
+            + 9 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("double")
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qmap), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(num / den * F.lit(float(_BM25_SCALE)))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("score_micro").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rk", "bm25_micro", "n_terms")
+    )
+
+
+_BM25_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+DOC_BM25_SQL = f"""
+WITH queries(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS l_tot FROM dl),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM queries)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           CAST((2*s.n_docs - 2*df.df + 1) * (22 * s.l_tot * tf.tf) AS DOUBLE)
+           / CAST((2*df.df + 1)
+                  * (10*s.l_tot*tf.tf + 3*s.l_tot + 9*dl.dl*s.n_docs)
+                  AS DOUBLE)
+           * {_BM25_SCALE}
+         ) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+  JOIN queries q USING (term)
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC
+  ) AS rk
+  FROM per_doc
+)
+SELECT query_id, doc_id, rk, bm25_micro, n_terms
+FROM ranked WHERE rk <= {_BM25_TOPK}
+"""

@@ -1686,3 +1686,60 @@ def test_span_dedup_survives_universal_boilerplate_block(spark, tmp_path):
         assert r.n_blocks == 2 and r.n_dropped == 1
         assert r.clean_n_tokens == 2
         assert r.clean_md5 == md5(f"unique{i} tail{i}")
+
+
+def test_bm25_matches_python_reference(spark):
+    """doc_bm25_topk vs an independent pure-Python scorer over sf0.001.
+
+    The Python path replicates the integer num/den construction and the
+    IEEE floor(q * 1e6) fixed-point step with Python floats (which ARE
+    IEEE doubles), so every rank and score must match bit-for-bit."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from data_migration_tool_spark.plans import textq as TQ
+    from tests.conftest import SF_DIR
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in tab.to_pylist()
+    }
+    n_docs = len(docs)
+    l_tot = sum(len(ts) for ts in docs.values())
+    qterms = sorted({t for _, t in TQ._BM25_QUERIES})
+    tf = {}  # (doc, term) -> count
+    for d, ts in docs.items():
+        for t in ts:
+            if t in qterms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}  # (query_id, doc) -> (micro_sum, n_terms)
+    for qid, t in TQ._BM25_QUERIES:
+        for (d, tt), f in tf.items():
+            if tt != t:
+                continue
+            dl = len(docs[d])
+            num = float((2 * n_docs - 2 * df[t] + 1) * (22 * l_tot * f))
+            den = float(
+                (2 * df[t] + 1) * (10 * l_tot * f + 3 * l_tot + 9 * dl * n_docs)
+            )
+            micro = math.floor(num / den * float(TQ._BM25_SCALE))
+            s, c = scores.get((qid, d), (0, 0))
+            scores[(qid, d)] = (s + micro, c + 1)
+    expect = set()
+    by_q = {}
+    for (qid, d), (s, c) in scores.items():
+        by_q.setdefault(qid, []).append((-s, d, c))
+    for qid, rows in by_q.items():
+        for rk, (neg_s, d, c) in enumerate(sorted(rows)[: TQ._BM25_TOPK], 1):
+            expect.add((qid, d, rk, -neg_s, c))
+
+    got = {
+        (r.query_id, r.doc_id, r.rk, r.bm25_micro, r.n_terms)
+        for r in TQ.doc_bm25_topk(spark, SF_DIR).collect()
+    }
+    assert got == expect

@@ -433,3 +433,25 @@ def test_no_query_uses_row_python_registry_wide(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bm25_single_explode_and_prefilter(spark):
+    """doc_bm25_topk's scale contract: the corpus is exploded exactly
+    once (df rides the tf frame as a window count — a separate
+    groupBy(term) subtree would be column-pruned into a second explode),
+    the query-vocabulary IN filter sits between the Generate and the
+    first Exchange so only matching postings shuffle, the top-k window
+    runs under WindowGroupLimit (rank pushdown), and no Python node
+    appears anywhere."""
+    plan = _plan(spark, "doc_bm25_topk")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert "WindowGroupLimit" in tree
+    assert "Python" not in tree and "ArrowEval" not in tree
+    # vocabulary prefilter: the IN condition exists, and in the detailed
+    # section it is applied to the exploded term column (not post-join)
+    assert "IN (agg,filter,hash,join,scan,stream,vector,window)" in plan
+    gen = tree.index("Generate")
+    first_exchange_above = tree.rindex("Exchange", 0, gen)
+    filt = tree.rindex("Filter", 0, gen)
+    assert first_exchange_above < filt < gen  # Exchange ... Filter ... Generate
