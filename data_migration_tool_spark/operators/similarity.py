@@ -609,6 +609,33 @@ def ivf_exact_topk(
     )
 
 
+# Sign-LSH bucket-width derivation: the bucket join costs Σ bucket², so
+# at fixed width occupancy (and with it pair volume) grows super-
+# linearly with the corpus. The width is therefore DERIVED from the
+# corpus size — smallest p in [LSH_MIN_BITS, LSH_MAX_BITS] with
+# n <= LSH_TARGET_OCCUPANCY * 2**p — keeping expected occupancy (and the
+# per-bucket quadratic term) constant as the corpus grows. Because the
+# md5-keyed sign matrix makes bit b independent of the total width and
+# bucket bits pack as 1 << b, the p-bit bucket is exactly the
+# LSH_MAX_BITS-bit bucket masked to its low p bits: one static bucket
+# expression serves every width, and the data-dependent part is a single
+# broadcast scalar mask. Thresholds are pure integers so Spark's WHEN
+# chain and a SQL CASE chain derive bit-identical widths (no float log2).
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 16
+LSH_TARGET_OCCUPANCY = 64
+
+
+def lsh_mask_ladder() -> list[tuple[int, int]]:
+    """``(max_n, mask)`` steps for the width derivation above; the
+    final fallback mask (corpora beyond the last threshold) is
+    ``(1 << LSH_MAX_BITS) - 1``."""
+    return [
+        (LSH_TARGET_OCCUPANCY << p, (1 << p) - 1)
+        for p in range(LSH_MIN_BITS, LSH_MAX_BITS)
+    ]
+
+
 def hyperplane_signs(n_bits: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (md5-derived) — the random
     projections of sign-LSH, reproducible bit-for-bit in any engine or

@@ -439,21 +439,47 @@ IVF_TRAINED_SQL = _ivf_trained_sql()
 
 
 def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs ≥ 0.45 via sign-LSH bucketing (4 md5-derived
-    hyperplanes → 16 buckets; at corpus scale raise n_bits so buckets
-    stay executor-sized — cost is Σ bucket², the LSH contract) — the
-    angle-family complement of the IVF cell path. Pairs are compared only within a bucket; the exact
-    cosine (sequential HOF accumulation, bit-identical to DuckDB)
-    filters false collisions. The oracle replicates the approximate
-    semantics with the SAME embedded sign matrix, so the gate checks
+    """Near-dup pairs ≥ 0.45 via sign-LSH bucketing with a CORPUS-
+    DERIVED bucket width — the angle-family complement of the IVF cell
+    path. The bucket join costs Σ bucket², so the hyperplane count p is
+    derived from the corpus size (smallest p with n ≤ 64·2^p, p ∈
+    [4, 16]) instead of being a static knob: expected occupancy — and
+    with it the per-bucket quadratic term — stays constant as the
+    corpus grows. One static 16-bit bucket expression serves every
+    width (bit b is independent of the total width), and the derived
+    part is a single broadcast scalar mask over its low p bits; at the
+    gate scale (n = 500 → p = 4) the bucketing is bit-identical to the
+    historical 4-hyperplane version. Pairs are compared only within a
+    bucket; the exact cosine (sequential HOF accumulation, bit-
+    identical to DuckDB) filters false collisions. The oracle
+    replicates the approximate semantics with the SAME embedded sign
+    matrix and the SAME integer threshold ladder, so the gate checks
     the defined bucketing at any scale (recall-vs-exact is the usual
     LSH trade: more hyperplane tables → higher recall)."""
     e = load_table(spark, sf_dir, "embeddings")
-    signs = SIM.hyperplane_signs(n_bits=4, dim=64)
-    b = e.select(
-        "vec_id",
-        "embedding",
-        SIM.hyperplane_lsh_bucket("embedding", signs).alias("bucket"),
+    signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
+    stats = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    mask_expr = None
+    for max_n, mask in SIM.lsh_mask_ladder():
+        cond = F.col("n_vecs") <= max_n
+        mask_expr = (
+            F.when(cond, mask)
+            if mask_expr is None
+            else mask_expr.when(cond, mask)
+        )
+    mask_expr = mask_expr.otherwise((1 << SIM.LSH_MAX_BITS) - 1).cast("bigint")
+    b = (
+        e.select(
+            "vec_id",
+            "embedding",
+            SIM.hyperplane_lsh_bucket("embedding", signs).alias("b_full"),
+        )
+        .crossJoin(F.broadcast(stats.select(mask_expr.alias("mask"))))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("b_full").bitwiseAND(F.col("mask")).alias("bucket"),
+        )
     )
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
@@ -472,12 +498,22 @@ def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_pair_ctes() -> str:
     """CTE chain ending in ``lsh_pairs(id_a, id_b, bucket)`` — the
     sign-LSH near-dup pair set, shared by the pair query's oracle and
-    the semantic-cluster oracle."""
-    from data_migration_tool_spark.operators.similarity import hyperplane_signs
+    the semantic-cluster oracle. Mirrors the Spark side exactly: the
+    static 16-hyperplane bucket masked to a corpus-derived width via
+    the same integer threshold ladder (see
+    ``similarity.lsh_mask_ladder``)."""
+    from data_migration_tool_spark.operators.similarity import (
+        LSH_MAX_BITS,
+        hyperplane_signs,
+        lsh_mask_ladder,
+    )
 
     rows = ",\n  ".join(
         f"({b}, {[float(s) for s in row]})"
-        for b, row in enumerate(hyperplane_signs(n_bits=4, dim=64))
+        for b, row in enumerate(hyperplane_signs(n_bits=LSH_MAX_BITS, dim=64))
+    )
+    ladder = "\n           ".join(
+        f"WHEN n_vecs <= {max_n} THEN {mask}" for max_n, mask in lsh_mask_ladder()
     )
     return f"""planes(b, s) AS (VALUES
   {rows}
@@ -488,10 +524,16 @@ d AS (
            j -> e.embedding[j]::DOUBLE * p.s[j])) AS dot
   FROM embeddings e, planes p
 ),
+msk AS (
+  SELECT CAST(CASE {ladder}
+           ELSE {(1 << LSH_MAX_BITS) - 1} END AS BIGINT) AS mask
+  FROM (SELECT COUNT(*) AS n_vecs FROM embeddings)
+),
 bk AS (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
-  FROM d GROUP BY vec_id
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) & msk.mask
+           AS bucket
+  FROM d, msk GROUP BY vec_id, msk.mask
 ),
 lsh_pairs AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b, ab.bucket

@@ -1743,3 +1743,40 @@ def test_bm25_matches_python_reference(spark):
         for r in TQ.doc_bm25_topk(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_lsh_mask_ladder_and_prefix_property(spark):
+    """The corpus-derived sign-LSH width: (a) the integer ladder picks
+    the smallest p in [4,16] with n <= 64*2^p; (b) the md5-keyed sign
+    matrix makes the 16-bit bucket's low-p bits EQUAL to the p-bit
+    bucket, so masking is exactly re-bucketing at width p."""
+    ladder = SIM.lsh_mask_ladder()
+    # (a) derivation: walk the ladder the way both engines' CASE does
+    def derived_mask(n):
+        for max_n, mask in ladder:
+            if n <= max_n:
+                return mask
+        return (1 << SIM.LSH_MAX_BITS) - 1
+
+    assert derived_mask(500) == (1 << 4) - 1      # gate scale: unchanged
+    assert derived_mask(2000) == (1 << 5) - 1     # sf0.1
+    assert derived_mask(20_000) == (1 << 9) - 1   # sf1 upsample
+    assert derived_mask(100_000) == (1 << 11) - 1
+    assert derived_mask(10**9) == (1 << 16) - 1   # capped
+
+    # (b) prefix property on real vectors
+    import pyarrow.parquet as pq
+    from tests.conftest import SF_DIR
+
+    rows = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()[:32]
+    df = spark.createDataFrame([(r["vec_id"], r["embedding"]) for r in rows],
+                               "vec_id long, embedding array<float>")
+    s16 = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
+    s4 = SIM.hyperplane_signs(n_bits=4, dim=64)
+    assert s16[:4] == s4  # the matrix is width-independent
+    got = df.select(
+        (SIM.hyperplane_lsh_bucket("embedding", s16).bitwiseAND(F.lit(15)))
+        .alias("masked"),
+        SIM.hyperplane_lsh_bucket("embedding", s4).alias("narrow"),
+    ).collect()
+    assert all(r.masked == r.narrow for r in got)
