@@ -636,6 +636,26 @@ def lsh_mask_ladder() -> list[tuple[int, int]]:
     ]
 
 
+def cap_bucket_size(
+    bucketed: DataFrame, bucket_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Skew valve for any bucket self-join: drop buckets larger than
+    the bound BEFORE the join — a bucket of B rows costs B² in one
+    task, so one adversarially hot bucket (mass-duplicated boilerplate,
+    a zero vector repeated corpus-wide) would pin a single executor
+    regardless of how well the width derivation sizes the TYPICAL
+    bucket. Members of a dropped bucket are near-certain exact dups —
+    route them through the exact hash-groupBy dedup instead of pairwise
+    verification (same protocol as ``dedup.lsh_candidate_pairs``).
+    One window count over the bucket key; no extra scan."""
+    w = Window.partitionBy(bucket_col)
+    return (
+        bucketed.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def hyperplane_signs(n_bits: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (md5-derived) — the random
     projections of sign-LSH, reproducible bit-for-bit in any engine or

@@ -438,7 +438,9 @@ SELECT query_id, vec_id, dist_sq, rank FROM (
 IVF_TRAINED_SQL = _ivf_trained_sql()
 
 
-def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_lsh_near_dups(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup pairs ≥ 0.45 via sign-LSH bucketing with a CORPUS-
     DERIVED bucket width — the angle-family complement of the IVF cell
     path. The bucket join costs Σ bucket², so the hyperplane count p is
@@ -481,6 +483,10 @@ def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_full").bitwiseAND(F.col("mask")).alias("bucket"),
         )
     )
+    if max_bucket_size is not None:
+        # hot-bucket valve (default OFF: exact LSH semantics, matching
+        # the SQL oracle) — see similarity.cap_bucket_size
+        b = SIM.cap_bucket_size(b, "bucket", max_bucket_size)
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
     )

@@ -1780,3 +1780,30 @@ def test_lsh_mask_ladder_and_prefix_property(spark):
         SIM.hyperplane_lsh_bucket("embedding", s4).alias("narrow"),
     ).collect()
     assert all(r.masked == r.narrow for r in got)
+
+
+def test_signlsh_hot_bucket_valve(spark):
+    """cap_bucket_size on the sign-LSH lane: a hot bucket (many copies
+    of one vector) is dropped while a small bucket's pair survives —
+    the B^2-in-one-task guard for adversarially duplicated embeddings."""
+    import math
+
+    dim = 64
+    base = [math.sin(i + 1) for i in range(dim)]      # family A: 2 near-dups
+    hot = [math.cos(i + 1) for i in range(dim)]       # family B: 5 exact dups
+    rows = [(1, base), (2, [x * 1.001 for x in base])] + [
+        (10 + k, hot) for k in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=dim)
+    b = df.select(
+        "vec_id",
+        "embedding",
+        SIM.hyperplane_lsh_bucket("embedding", signs)
+        .bitwiseAND(F.lit(15))
+        .alias("bucket"),
+    )
+    capped = SIM.cap_bucket_size(b, "bucket", 4)
+    ids = {r.vec_id for r in capped.collect()}
+    assert not any(i >= 10 for i in ids)  # hot bucket dropped whole
+    assert {1, 2} <= ids                  # small bucket intact
