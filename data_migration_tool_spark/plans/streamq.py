@@ -29,6 +29,27 @@ from data_migration_tool_spark.tables import (
 from contextlib import contextmanager
 
 
+def _stage_events(src: str, landing: str) -> None:
+    """Land the events table into the stream's landing directory.
+
+    ``src`` may be a single parquet file (the driver's testdata layout)
+    or a Spark-written DIRECTORY of part files (the layout of any real
+    lake table). Each part lands as its own file — which is also the
+    realistic file-source condition: the source lists N files and
+    micro-batches split along file boundaries."""
+    if os.path.isdir(src):
+        parts = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {src}")
+        for i, name in enumerate(parts):
+            shutil.copy(
+                os.path.join(src, name),
+                os.path.join(landing, f"events_{i:05d}.parquet"),
+            )
+    else:
+        shutil.copy(src, os.path.join(landing, "events.parquet"))
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Size the state-store partition count for a test-scale drain.
@@ -63,12 +84,12 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="dmt_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -110,12 +131,12 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="dmt_sess_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -235,12 +256,12 @@ def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="dmt_quota_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -300,12 +321,12 @@ def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
     work = tempfile.mkdtemp(prefix="dmt_ssjoin_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
 
     def _stream():
         s = spark.readStream.schema(schema).parquet(landing)
@@ -434,12 +455,12 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     work = tempfile.mkdtemp(prefix="dmt_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
     stream = spark.readStream.schema(schema).parquet(landing)
     for c in ns_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -724,12 +745,12 @@ def events_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFr
     work = tempfile.mkdtemp(prefix="dmt_ssleft_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_events(src, landing)
 
     ns_cols = _nanos_timestamp_cols(src)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(landing, "events.parquet")).schema
+    schema = spark.read.parquet(landing).schema
 
     def _stream():
         s = spark.readStream.schema(schema).parquet(landing)

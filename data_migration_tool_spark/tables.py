@@ -36,19 +36,38 @@ def table_path(sf_dir: str, name: str) -> str:
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     long (``spark.sql.legacy.parquet.nanosAsLong``); we restore them to
-    micros timestamps. Footer-only read, negligible cost."""
-    import pyarrow as pa
+    micros timestamps. Footer-only read, negligible cost. A directory
+    table (Spark-written part files — the layout of any real lake) is
+    probed via its first part file: one writer produced the directory,
+    so part schemas agree."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     try:
-        schema = pq.read_schema(path)
-    except Exception:  # noqa: BLE001 — directory datasets etc.
+        schema = pq.ParquetFile(path).schema
+    except Exception:  # noqa: BLE001 — remote URIs etc.
         return []
-    return [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    # The check must use the PARQUET (not Arrow) schema: Arrow surfaces
+    # legacy INT96 timestamps as timestamp[ns] too, but Spark reads
+    # INT96 as plain TIMESTAMP with no nanosAsLong involvement — only
+    # INT64 columns annotated Timestamp(nanoseconds) take the
+    # long-restore path.
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if "." in col.path:  # nested leaf — top-level restore only
+            continue
+        if col.physical_type == "INT64" and "timeUnit=nanoseconds" in str(
+            col.logical_type
+        ):
+            out.append(col.name)
+    return out
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

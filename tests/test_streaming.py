@@ -448,3 +448,31 @@ def test_lsh_ingest_stream_across_batches(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_stream_stager_handles_directory_tables(spark, tmp_path):
+    """The stream queries must accept events.parquet as a Spark-written
+    DIRECTORY of part files (any real lake layout), not only the
+    single-file testdata layout: results must equal the single-file
+    run row-for-row."""
+    from data_migration_tool_spark.plans.streamq import (
+        events_stream_daily_counts,
+    )
+    from data_migration_tool_spark.tables import load_table
+
+    src_dir = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    # write events as a 3-part DIRECTORY table
+    load_table(spark, src_dir, "events").repartition(3).write.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got = {
+        tuple(r)
+        for r in events_stream_daily_counts(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in events_stream_daily_counts(spark, src_dir).collect()
+    }
+    assert got == want and len(got) > 0
