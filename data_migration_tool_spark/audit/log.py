@@ -119,6 +119,19 @@ KNOWN_SCHEMAS: dict[str, T.StructType] = {
         ("failed_files", T.IntegerType()),
         ("execution_start_time", T.TimestampType()),
     ),
+    # guard engagements: every refusal / skew reroute leaves a row, the
+    # same observability contract as the reference's 16 TB size-guard
+    # skip (hive_bq_load_utils.py:154-173 writes an audit row per
+    # skipped table rather than failing silently)
+    "dmt_guard_events": _schema(
+        ("event_time", T.TimestampType()),
+        ("guard", T.StringType()),
+        ("action", T.StringType()),
+        ("subject", T.StringType()),
+        ("implied_cost", T.LongType()),
+        ("cap", T.LongType()),
+        ("detail", T.StringType()),
+    ),
     "dmt_report_table": _schema(
         ("unique_id", T.StringType()),
         ("source_db", T.StringType()),
@@ -184,3 +197,38 @@ class AuditLog:
         df = self.table(table)
         df.createOrReplaceTempView(view_name or table)
         return df
+
+
+def guard_event(
+    audit: AuditLog,
+    guard: str,
+    action: str,
+    subject: str,
+    implied_cost: int,
+    cap: int,
+    detail: str,
+) -> None:
+    """Record one guard engagement in ``dmt_guard_events``.
+
+    ``action``: ``"refuse"`` (operator raised instead of running the
+    plan), ``"reroute"`` (degraded to a cheaper protocol, e.g. hot
+    buckets → exact dedup), or ``"degrade"`` (ran with reduced
+    semantics, e.g. exact Jaccard verified over LSH candidates).
+    ``implied_cost`` and ``cap`` quote the statistics the decision was
+    made on, so the row explains itself without the driver log."""
+    import datetime
+
+    audit.insert_rows(
+        "dmt_guard_events",
+        [
+            {
+                "event_time": datetime.datetime.now(),
+                "guard": guard,
+                "action": action,
+                "subject": subject,
+                "implied_cost": implied_cost,
+                "cap": cap,
+                "detail": detail,
+            }
+        ],
+    )

@@ -417,6 +417,7 @@ def ngram_jaccard_pairs(
     auto_candidates: bool = False,
     linear_budget: int = 32,
     max_blowup: int = 8,
+    audit=None,
 ) -> DataFrame:
     """Exact Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path.
@@ -484,11 +485,36 @@ def ngram_jaccard_pairs(
             why = f"max_join_pairs={cap:,}"
         if implied > cap:
             if auto_candidates:
+                if audit is not None:
+                    from data_migration_tool_spark.audit.log import guard_event
+
+                    guard_event(
+                        audit,
+                        guard="ngram_jaccard_pairs",
+                        action="degrade",
+                        subject=f"{id_col}/{text_col} shingle self-join",
+                        implied_cost=int(implied),
+                        cap=int(cap),
+                        detail=f"implied pairs over guard ({why}); "
+                        f"verifying LSH candidates instead of all pairs",
+                    )
                 if sigs is None:
                     sigs = minhash_signatures(sh, id_col=id_col)
                 cands = lsh_candidate_pairs(sigs, id_col=id_col)
                 return jaccard_verify(cands, sh, id_col).filter(
                     F.col("jaccard") >= threshold
+                )
+            if audit is not None:
+                from data_migration_tool_spark.audit.log import guard_event
+
+                guard_event(
+                    audit,
+                    guard="ngram_jaccard_pairs",
+                    action="refuse",
+                    subject=f"{id_col}/{text_col} shingle self-join",
+                    implied_cost=int(implied),
+                    cap=int(cap),
+                    detail=f"refused: implied pairs over guard ({why})",
                 )
             raise RuntimeError(
                 f"ngram_jaccard_pairs: shingle self-join would emit "

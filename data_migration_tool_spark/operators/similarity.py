@@ -636,8 +636,21 @@ def lsh_mask_ladder() -> list[tuple[int, int]]:
     ]
 
 
+def bucket_sizes(bucketed: DataFrame, bucket_col: str) -> DataFrame:
+    """Annotate every row with its bucket's member count (``__bsz``) —
+    one window count over the bucket key, no extra scan. The primitive
+    under the hot-bucket valve: callers route on the count (keep ≤ cap
+    for the pairwise join, send > cap through exact dedup)."""
+    w = Window.partitionBy(bucket_col)
+    return bucketed.withColumn("__bsz", F.count(F.lit(1)).over(w))
+
+
 def cap_bucket_size(
-    bucketed: DataFrame, bucket_col: str, max_bucket_size: int
+    bucketed: DataFrame,
+    bucket_col: str,
+    max_bucket_size: int,
+    audit=None,
+    context: str = "",
 ) -> DataFrame:
     """Skew valve for any bucket self-join: drop buckets larger than
     the bound BEFORE the join — a bucket of B rows costs B² in one
@@ -646,14 +659,46 @@ def cap_bucket_size(
     regardless of how well the width derivation sizes the TYPICAL
     bucket. Members of a dropped bucket are near-certain exact dups —
     route them through the exact hash-groupBy dedup instead of pairwise
-    verification (same protocol as ``dedup.lsh_candidate_pairs``).
-    One window count over the bucket key; no extra scan."""
-    w = Window.partitionBy(bucket_col)
-    return (
-        bucketed.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    verification (the full drop-and-reroute protocol is oracle-pinned
+    by the ``emb_lsh_hot_bucket_dedup`` registry query).
+
+    ``audit``: optional :class:`~data_migration_tool_spark.audit.log.
+    AuditLog` — when given, every engaged drop leaves a
+    ``dmt_guard_events`` row (guard skips must be observable, the
+    reference's 16 TB-guard pattern, hive_bq_load_utils.py:154-173);
+    costs one extra bucket-histogram aggregate, so it is opt-in."""
+    sized = bucket_sizes(bucketed, bucket_col)
+    if audit is not None:
+        hot = (
+            bucketed.groupBy(bucket_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)).alias(
+                    "pair_cost"
+                ),
+            )
+            .collect()[0]
+        )
+        if hot["n_buckets"]:
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard="cap_bucket_size",
+                action="reroute",
+                subject=context or bucket_col,
+                implied_cost=int(hot["pair_cost"]),
+                cap=int(max_bucket_size),
+                detail=(
+                    f"{hot['n_buckets']} bucket(s) over the cap "
+                    f"({hot['n_rows']} rows) dropped from the pairwise "
+                    f"join; route members through exact dedup"
+                ),
+            )
+    return sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
 
 
 def hyperplane_signs(n_bits: int, dim: int) -> list[list[int]]:

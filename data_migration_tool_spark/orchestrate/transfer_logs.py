@@ -280,16 +280,28 @@ def mine_job_stats(
             # mentioning the table (mention lines are always INFO or
             # ERROR, so the flip the template just took IS that line's)
             F.min_by("severity", "line_no").alias("_first_sev"),
-            F.max("bq_job_id").alias("bq_job_id"),
-            F.max("extract_duration").alias("extract_duration"),
-            F.max("extract_data_size").alias("extract_data_size"),
-            F.max("extract_partitions").alias("extract_partitions"),
-            F.max("extract_files").alias("extract_files"),
-            F.max("extract_sessions").alias("extract_sessions"),
-            F.max("gcs_file_path").alias("gcs_file_path"),
-            F.max("transfer_mode").alias("transfer_mode"),
-            F.max("success_records").alias("success_records"),
-            F.max("error_records").alias("error_records"),
+            # every other per-table field is also last-writer-wins in
+            # the reference's per-table dict mutation — a retried job
+            # whose second id sorts lexicographically below the first
+            # would diverge under MAX, so take the latest non-null
+            # writer by line order, same as agent_id above
+            *[
+                F.max_by(
+                    c, F.when(F.col(c).isNotNull(), F.col("line_no"))
+                ).alias(c)
+                for c in (
+                    "bq_job_id",
+                    "extract_duration",
+                    "extract_data_size",
+                    "extract_partitions",
+                    "extract_files",
+                    "extract_sessions",
+                    "gcs_file_path",
+                    "transfer_mode",
+                    "success_records",
+                    "error_records",
+                )
+            ],
             F.concat_ws(
                 " ",
                 F.transform(

@@ -802,98 +802,82 @@ _DEFS: list[QueryDef] = [
         TQ.DOC_BLOOM_DECONTAMINATE_SQL,
         ("text", "dedup", "sketch"),
     ),
+    QueryDef(
+        "emb_lsh_hot_bucket_dedup",
+        VQ.emb_lsh_hot_bucket_dedup,
+        VQ.EMB_LSH_HOT_BUCKET_SQL,
+        ("ann", "dedup", "guard"),
+    ),
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-7 rotation policy (see COVERAGE.md rotation
-# log): (a) PENDING_OFFICIAL leads — every oracle-backed query without
-# an official driver row yet (the two the r6 window bookkeeping missed,
-# the two late-r6 additions, and this round's new Redshift-variant
-# query); (b) transfer_log_jobwise_stats re-seats because its oracle
-# semantics changed this round (first-mention job_status, last-writer
-# agent_id); (c) oldest-official-row-first re-seats: all 32 queries
-# whose latest official row is r3, then the 12 oldest r4 rows — the
-# max-staleness policy (no latest row older than 3-4 rounds, bounded by
-# 165 queries / 50 slots); (d) no rows-only query occupies a scored
-# slot.
+# iteration order. Round-8 rotation policy (see COVERAGE.md rotation
+# log): (a) never-officially-checked queries lead — derived, not
+# hand-kept: tests/test_entry.py::test_official_coverage_invariant
+# computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
+# fails unless every pending query holds a scored slot (this round:
+# only the new hot-bucket valve query); (b) oracle-semantics-changed
+# re-seats: minhash_recall_gate_sampled (degenerate zero-pair guard
+# added to both engines' recall expression); (c) oldest-official-
+# row-first: all 25 queries whose latest row is r4 (owed first claim
+# per the COVERAGE.md staleness ledger), then the first-listed 23 of
+# the 46 r5-row queries (the other 23 re-seat in r9); (d) no rows-only
+# query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
-    # -- never-officially-checked: PENDING_OFFICIAL leads --
-    "doc_pii_scrub",
-    "events_hourly_gapfill",
-    "doc_bloom_decontaminate",
-    "transfer_log_run_summary",
-    "transfer_log_redshift_jobwise",
+    # -- never-officially-checked: pending leads --
+    "emb_lsh_hot_bucket_dedup",
     # -- oracle semantics changed this round: re-certify officially --
-    "transfer_log_jobwise_stats",
-    # -- latest official row r3 (all 32) --
-    "q4_order_priority",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_dormant_customers",
-    "q11_important_parts",
-    "q16_part_supplier_relation",
-    "q20_dominant_shippers",
-    "pricing_rollup",
-    "order_status_cube",
-    "revenue_grouping_sets",
-    "order_metrics_unpivot",
-    "customer_value_quartiles",
-    "part_name_fuzzy_pairs",
-    "price_quantiles",
-    "sketch_price_median",
-    "customer_status_history",
-    "order_price_histogram",
-    "price_dispersion_stats",
-    "customer_retention_set_ops",
-    "customer_order_bookends",
-    "skewed_returnflag_stats",
-    "latest_event_per_user",
-    "top_order_per_customer",
-    "customers_without_orders",
-    "suppliers_with_shipments",
-    "nation_customer_roster",
-    "fully_open_customers",
-    # -- latest official row r4: the 12 oldest-family representatives --
-    "doc_exact_dedup",
-    "doc_minhash_lsh_dedup",
-    "doc_dup_clusters",
-    "doc_language_id",
-    "knn_brute_force",
-    "embedding_near_dups",
-    "events_stream_dedup",
-    "purchase_attribution_asof",
-    # -- new this round: rank-2 exact PCA, the sampled recall gate,
-    # IVF-PQ end-to-end, and BM25 retrieval take the last fill slots
-    # (orders_zorder_layout, returnflag_pivot, and ivf_ann_topk — all
-    # already officially green in r4, and the IVF family is represented
-    # this window by ivf_pq_topk — re-seat in r8 instead)
-    "embedding_pca_power2_exact",
     "minhash_recall_gate_sampled",
-    "ivf_pq_topk",
-    "doc_bm25_topk",
-)
-
-# Oracle-backed queries that do not yet have an official driver
-# correctness row in any CORRECTNESS_r*.json artifact. Machine-checked
-# by tests/test_entry.py::test_official_coverage_invariant: everything
-# oracle-backed must appear in some artifact OR be listed here, and
-# everything here must hold a scored window slot (first 50) so the next
-# driver run produces its row. Prune entries as artifacts land.
-PENDING_OFFICIAL: tuple[str, ...] = (
-    "doc_pii_scrub",
-    "events_hourly_gapfill",
-    "doc_bloom_decontaminate",
-    "transfer_log_run_summary",
-    "transfer_log_redshift_jobwise",
-    "embedding_pca_power2_exact",
-    "minhash_recall_gate_sampled",
-    "ivf_pq_topk",
-    "doc_bm25_topk",
+    # -- latest official row r4 (all 25 owed) --
+    "returnflag_pivot",
+    "user_purchase_funnel",
+    "sketch_distinct_users",
+    "orders_partition_checksums",
+    "events_stream_segment_revenue",
+    "orders_table_profile",
+    "referential_integrity_orphans",
+    "orders_quality_expectations",
+    "doc_split_chi2_drift",
+    "orders_zorder_layout",
+    "order_reconciliation",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_ngram_jaccard_pairs",
+    "embedding_near_dups_ivf",
+    "ivf_ann_topk",
+    "ivf_ann_multiprobe",
+    "ann_recall_gate",
+    "events_stream_daily_counts",
+    "error_window_views",
+    "next_view_after_purchase",
+    "media_feature_extract",
+    "doc_decontaminate",
+    "embedding_int8_quantize",
+    "doc_source_cap",
+    # -- latest official row r5: first 23 of 46 (rest re-seat in r9) --
+    "customer_top2_orders_lateral",
+    "doc_ingest_expectations",
+    "order_line_union_counts",
+    "order_priority_buckets",
+    "event_props_json",
+    "event_props_variant",
+    "events_last_day_window",
+    "doc_token_frequencies",
+    "doc_simhash",
+    "corpus_prep_pipeline",
+    "embedding_cosine_stats",
+    "emb_lsh_near_dups",
+    "ivf_trained_topk",
+    "user_sessions",
+    "events_stream_sessions",
+    "customer_running_revenue",
+    "doc_hash_sample",
+    "overlapping_error_windows",
+    "events_session_window_native",
+    "doc_train_val_test_split",
+    "events_hypertable_rollup",
+    "media_frame_plan",
+    "media_frame_luma",
 )
 
 

@@ -1266,11 +1266,20 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(16).alias("num_hashes"),
             F.lit(4).alias("band_rows"),
             F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("recall"),
+            # degenerate corpus (zero exact pairs): recall is vacuously
+            # 1.0 — there is nothing for the banding to miss.  Without
+            # the guard Spark yields NULL (sum-over-empty / 0) while
+            # DuckDB's 0/0 double division can yield NaN, flapping the
+            # gate hash on that input class.
+            F.when(F.count(F.lit(1)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
         .withColumn("meets_bound", F.col("recall") >= 0.70)
     )
@@ -1295,8 +1304,9 @@ SELECT num_hashes, band_rows, n_exact_pairs, recall,
 FROM (
   SELECT 16 AS num_hashes, 4 AS band_rows,
          COUNT(*) AS n_exact_pairs,
-         round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         CASE WHEN COUNT(*) = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) END AS recall
   FROM exact e
   LEFT JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b
 )
@@ -1332,11 +1342,19 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit(5).alias("sample_mod"),
             F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("recall"),
+            # zero exact pairs in the sample (possible on a tiny or
+            # duplicate-free corpus): recall is vacuously 1.0 on both
+            # engines instead of Spark-NULL vs DuckDB-NaN (see the full
+            # gate's guard)
+            F.when(F.count(F.lit(1)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
         .withColumn("meets_bound", F.col("recall") >= 0.70)
     )
@@ -1361,8 +1379,9 @@ SELECT sample_mod, n_exact_pairs, recall, recall >= 0.70 AS meets_bound
 FROM (
   SELECT 5 AS sample_mod,
          COUNT(*) AS n_exact_pairs,
-         round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         CASE WHEN COUNT(*) = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) END AS recall
   FROM exact e
   LEFT JOIN lsh_pairs l
     ON l.id_a = e.id_a AND l.id_b = e.id_b

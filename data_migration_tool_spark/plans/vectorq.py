@@ -438,6 +438,23 @@ SELECT query_id, vec_id, dist_sq, rank FROM (
 IVF_TRAINED_SQL = _ivf_trained_sql()
 
 
+def _lsh_mask_expr() -> F.Column:
+    """The corpus-derived bucket-width mask as a Catalyst WHEN chain
+    over an ``n_vecs`` column — smallest p with n ≤ 64·2^p, expressed
+    as the low-p-bits mask of the static 16-bit bucket (see
+    ``similarity.lsh_mask_ladder``). Pure integer thresholds, so the
+    SQL CASE twin derives bit-identical widths."""
+    mask_expr = None
+    for max_n, mask in SIM.lsh_mask_ladder():
+        cond = F.col("n_vecs") <= max_n
+        mask_expr = (
+            F.when(cond, mask)
+            if mask_expr is None
+            else mask_expr.when(cond, mask)
+        )
+    return mask_expr.otherwise((1 << SIM.LSH_MAX_BITS) - 1).cast("bigint")
+
+
 def emb_lsh_near_dups(
     spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -461,15 +478,7 @@ def emb_lsh_near_dups(
     e = load_table(spark, sf_dir, "embeddings")
     signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
     stats = e.agg(F.count(F.lit(1)).alias("n_vecs"))
-    mask_expr = None
-    for max_n, mask in SIM.lsh_mask_ladder():
-        cond = F.col("n_vecs") <= max_n
-        mask_expr = (
-            F.when(cond, mask)
-            if mask_expr is None
-            else mask_expr.when(cond, mask)
-        )
-    mask_expr = mask_expr.otherwise((1 << SIM.LSH_MAX_BITS) - 1).cast("bigint")
+    mask_expr = _lsh_mask_expr()
     b = (
         e.select(
             "vec_id",
@@ -586,6 +595,177 @@ clusters AS (
 )
 SELECT vec_id, cluster_id FROM clusters
 """
+
+
+# Hot-bucket valve contract: buckets over 4× the target occupancy are
+# dropped from the pairwise join and rerouted through exact dedup.
+HOT_BUCKET_CAP = 4 * SIM.LSH_TARGET_OCCUPANCY
+_PLANTED_COPIES = 300
+
+
+def emb_lsh_hot_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket valve's drop-and-reroute protocol, oracle-pinned:
+    plant a mass-duplicated embedding (300 exact copies of the min-id
+    vector — the adversarial input class: corpus-wide boilerplate or a
+    repeated zero vector), sign-LSH-bucket the augmented corpus, then
+    route each bucket by its member count. Buckets within
+    ``HOT_BUCKET_CAP`` (4× the derivation's target occupancy, so a
+    well-sized corpus never trips it) take the normal pairwise
+    cosine-verify path; buckets over the cap are DROPPED from the
+    pairwise join — a B-row bucket costs B² in one task, and the
+    planted bucket would otherwise emit ~45k pairs pinning one executor
+    — and their members reroute through exact hash-groupBy dedup on the
+    fixed-point fingerprint (O(B) star edges to the group's min id, the
+    ``similarity.cap_bucket_size`` protocol).  Output is one edge list:
+    (id_a, id_b, route ∈ {lsh, exact}).
+
+    Scale: the valve is the reason one adversarial duplicate blob
+    cannot break the Σ bucket² contract at 100 TB; the exact lane's
+    groupBy is linear in hot-bucket rows. At cluster scale you'd
+    persist the sized bucketing before the two route branches — at gate
+    scale the double computation is cheaper than the cache."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bounds = e.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    )
+    src = e.join(
+        F.broadcast(bounds.select(F.col("mn").alias("vec_id"), "mx")), "vec_id"
+    )
+    planted = src.crossJoin(spark.range(_PLANTED_COPIES)).select(
+        (F.col("mx") + 1 + F.col("id")).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    aug = e.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding").unionByName(
+        planted
+    )
+    signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
+    stats = aug.agg(F.count(F.lit(1)).alias("n_vecs"))
+    b = (
+        aug.select(
+            "vec_id",
+            "embedding",
+            SIM.hyperplane_lsh_bucket("embedding", signs).alias("b_full"),
+        )
+        .crossJoin(F.broadcast(stats.select(_lsh_mask_expr().alias("mask"))))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("b_full").bitwiseAND(F.col("mask")).alias("bucket"),
+        )
+    )
+    sized = SIM.bucket_sizes(b, "bucket")
+    cold = sized.filter(F.col("__bsz") <= HOT_BUCKET_CAP).drop("__bsz")
+    hot = sized.filter(F.col("__bsz") > HOT_BUCKET_CAP).drop("__bsz")
+    a = cold.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
+    )
+    c = cold.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"), "bucket"
+    )
+    lsh = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("v_a", "v_b") >= 0.45)
+        .select("id_a", "id_b", F.lit("lsh").alias("route"))
+    )
+    fp = hot.select(
+        "vec_id",
+        "bucket",
+        F.concat_ws(
+            ",",
+            F.transform(
+                SIM.quantize_vec("embedding"), lambda x: x.cast("string")
+            ),
+        ).alias("fp"),
+    )
+    canon = fp.groupBy("bucket", "fp").agg(F.min("vec_id").alias("id_a"))
+    exact = (
+        fp.join(canon, ["bucket", "fp"])
+        .filter(F.col("vec_id") != F.col("id_a"))
+        .select("id_a", F.col("vec_id").alias("id_b"), F.lit("exact").alias("route"))
+    )
+    return lsh.unionByName(exact)
+
+
+def _hot_bucket_sql() -> str:
+    """DuckDB twin of ``emb_lsh_hot_bucket_dedup``: identical planted
+    augmentation, identical sign matrix / width ladder, identical cap,
+    identical fixed-point fingerprint — the whole reroute protocol is
+    hash-checked, not just unit-tested."""
+    from data_migration_tool_spark.operators.similarity import (
+        LSH_MAX_BITS,
+        hyperplane_signs,
+        lsh_mask_ladder,
+    )
+
+    rows = ",\n  ".join(
+        f"({b}, {[float(s) for s in row]})"
+        for b, row in enumerate(hyperplane_signs(n_bits=LSH_MAX_BITS, dim=64))
+    )
+    ladder = "\n           ".join(
+        f"WHEN n_vecs <= {max_n} THEN {mask}" for max_n, mask in lsh_mask_ladder()
+    )
+    return f"""
+WITH planes(b, s) AS (VALUES
+  {rows}
+),
+aug AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST((SELECT MAX(vec_id) FROM embeddings) + 1 + t.i AS BIGINT) AS vec_id,
+         e.embedding
+  FROM embeddings e, range({_PLANTED_COPIES}) t(i)
+  WHERE e.vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+d AS (
+  SELECT a.vec_id, p.b,
+         list_sum(list_transform(range(1, 65),
+           j -> a.embedding[j]::DOUBLE * p.s[j])) AS dot
+  FROM aug a, planes p
+),
+msk AS (
+  SELECT CAST(CASE {ladder}
+           ELSE {(1 << LSH_MAX_BITS) - 1} END AS BIGINT) AS mask
+  FROM (SELECT COUNT(*) AS n_vecs FROM aug)
+),
+bk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) & msk.mask
+           AS bucket
+  FROM d, msk GROUP BY vec_id, msk.mask
+),
+sz AS (SELECT bucket, COUNT(*) AS bsz FROM bk GROUP BY bucket),
+memb AS (
+  SELECT k.vec_id, k.bucket, s.bsz, a.embedding
+  FROM bk k JOIN sz s ON s.bucket = k.bucket
+  JOIN aug a ON a.vec_id = k.vec_id
+),
+lsh AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, 'lsh' AS route
+  FROM memb a JOIN memb c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+  WHERE a.bsz <= {HOT_BUCKET_CAP}
+    AND list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
+),
+fpr AS (
+  SELECT vec_id, bucket,
+         array_to_string(list_transform(range(1, 65),
+           i -> CAST(floor((embedding[i]::DOUBLE + 2.0) * 1048576.0) AS BIGINT)),
+           ',') AS fp
+  FROM memb WHERE bsz > {HOT_BUCKET_CAP}
+),
+canon AS (SELECT bucket, fp, MIN(vec_id) AS id_a FROM fpr GROUP BY bucket, fp),
+exct AS (
+  SELECT c.id_a, f.vec_id AS id_b, 'exact' AS route
+  FROM fpr f JOIN canon c ON c.bucket = f.bucket AND c.fp = f.fp
+  WHERE f.vec_id <> c.id_a
+)
+SELECT id_a, id_b, route FROM lsh
+UNION ALL
+SELECT id_a, id_b, route FROM exct
+"""
+
+
+EMB_LSH_HOT_BUCKET_SQL = _hot_bucket_sql()
 
 
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

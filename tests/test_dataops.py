@@ -1807,3 +1807,68 @@ def test_signlsh_hot_bucket_valve(spark):
     ids = {r.vec_id for r in capped.collect()}
     assert not any(i >= 10 for i in ids)  # hot bucket dropped whole
     assert {1, 2} <= ids                  # small bucket intact
+
+
+def test_hot_bucket_valve_audit_row(spark, tmp_path):
+    """Engaging the valve with an audit sink leaves a dmt_guard_events
+    row (the reference's 16 TB-guard observability contract: every
+    skip is recorded, hive_bq_load_utils.py:154-173) — and a run with
+    no hot bucket leaves none."""
+    import math
+
+    from data_migration_tool_spark.audit.log import AuditLog
+
+    dim = 64
+    hot = [math.cos(i + 1) for i in range(dim)]
+    rows = [(10 + k, hot) for k in range(5)] + [
+        (1, [math.sin(i + 1) for i in range(dim)])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=dim)
+    b = df.select(
+        "vec_id",
+        SIM.hyperplane_lsh_bucket("embedding", signs)
+        .bitwiseAND(F.lit(15))
+        .alias("bucket"),
+    )
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    SIM.cap_bucket_size(b, "bucket", 4, audit=audit, context="unit-hot").count()
+    got = audit.table("dmt_guard_events").collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.guard == "cap_bucket_size"
+    assert row.action == "reroute"
+    assert row.subject == "unit-hot"
+    assert row.cap == 4 and row.implied_cost == 25  # 5-row bucket → 5²
+    # cap above every bucket: valve silent, no new row
+    SIM.cap_bucket_size(b, "bucket", 50, audit=audit, context="unit-cold").count()
+    assert audit.table("dmt_guard_events").count() == 1
+
+
+def test_jaccard_guard_refusal_audit_row(spark, tmp_path):
+    """The exact-Jaccard guard's refusal and its auto_candidates
+    degrade both leave dmt_guard_events rows quoting the statistics
+    the decision was made on."""
+    import pytest as _pytest
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+
+    # every doc shares the same text → one hot shingle per position,
+    # implied pair volume n²-shaped; a static cap of 1 forces the guard
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    with _pytest.raises(RuntimeError, match="shingle self-join"):
+        DD.ngram_jaccard_pairs(df, max_join_pairs=1, audit=audit)
+    refusals = audit.table("dmt_guard_events").collect()
+    assert len(refusals) == 1 and refusals[0].action == "refuse"
+    assert refusals[0].guard == "ngram_jaccard_pairs"
+    assert refusals[0].implied_cost > refusals[0].cap == 1
+    DD.ngram_jaccard_pairs(
+        df, max_join_pairs=1, auto_candidates=True, audit=audit
+    ).count()
+    actions = sorted(
+        r.action for r in audit.table("dmt_guard_events").collect()
+    )
+    assert actions == ["degrade", "refuse"]

@@ -97,22 +97,20 @@ def test_no_oracle_projects_driver_unsafe_types():
 
 def test_official_coverage_invariant():
     """Machine-check of COVERAGE.md's coverage claim (the round-6 lesson:
-    the hand-written claim was wrong for 2 queries). Every oracle-backed
-    registry query must either have at least one official driver row in
-    some CORRECTNESS_r*.json artifact, or be explicitly listed in
-    registry.PENDING_OFFICIAL — and every pending query must hold a
-    scored window slot (first 50 registry entries) so the NEXT driver
-    run produces its row. A pending entry that already has a row is
-    stale bookkeeping and fails too."""
+    the hand-written claim was wrong for 2 queries; the round-7 lesson:
+    a hand-kept pending list goes stale the moment an artifact lands).
+    The pending set is DERIVED — oracle-backed registry queries minus
+    everything with a row in some CORRECTNESS_r*.json artifact — and
+    the invariant asserts only what artifacts can't prove: every
+    pending query must hold a scored window slot (first 50 registry
+    entries) so the NEXT driver run produces its row. Self-clearing:
+    when the new artifact lands, the derived set shrinks to empty with
+    no bookkeeping commit."""
     import glob
     import json
     import os
 
-    from data_migration_tool_spark.plans.registry import (
-        _PRIORITY,
-        PENDING_OFFICIAL,
-        QUERIES,
-    )
+    from data_migration_tool_spark.plans.registry import _PRIORITY, QUERIES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     artifacts = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
@@ -123,21 +121,13 @@ def test_official_coverage_invariant():
             seen |= set(json.load(fh))
 
     oracle_backed = {n for n, d in QUERIES.items() if d.oracle is not None}
-    uncovered = oracle_backed - seen - set(PENDING_OFFICIAL)
-    assert not uncovered, (
-        f"oracle-backed queries with no official row and not declared "
-        f"pending: {sorted(uncovered)}"
-    )
-
+    pending = oracle_backed - seen
     window = set(list(QUERIES)[:50])
-    unslotted = set(PENDING_OFFICIAL) - window
+    unslotted = pending - window
     assert not unslotted, (
-        f"pending-official queries outside the scored 50-slot window: "
-        f"{sorted(unslotted)}"
+        f"oracle-backed queries with no official row yet and no scored "
+        f"window slot (they can never gain one): {sorted(unslotted)}"
     )
-
-    stale = set(PENDING_OFFICIAL) & seen
-    assert not stale, f"PENDING_OFFICIAL entries that already have a row: {sorted(stale)}"
 
     # window hygiene: exactly 50 scored slots, every name real and
     # oracle-backed (a rows-only or misspelled name is a guaranteed red)
