@@ -67,6 +67,21 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    canary: list[float] = []
+
+    def _canary_sample() -> None:
+        """Load sentinel: one FIXED pure-compute job (no IO, no shuffle,
+        no registry code) timed alongside the queries, so every artifact
+        carries its own machine-contention estimate. The r7 bench
+        recorded the IVF family ~2.5× high because another workload
+        shared the box during the driver's run, and nothing in the
+        artifact could prove it; a canary sample far above the artifact
+        family's historical band (idle ≈ 0.2-0.4 s warm on this
+        32-thread box) adjudicates that without a re-run. Keep the job
+        literal frozen — comparability across rounds is the point."""
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
+        canary.append(round(time.time() - t0, 3))
 
     def _payload() -> str:
         total = round(sum(v for v in timings.values() if v is not None), 3)
@@ -76,11 +91,21 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "canary": {
+                "job": "range(200e6) sum(id % 97), local[$SPARK_GRAFT_CPUS]",
+                "samples": canary,
+                "min": min(canary) if canary else None,
+            },
         }
         if errors:
             body["errors"] = errors
         return json.dumps(body)
 
+    # warm the canary's own codegen (first execution costs ~3 s of
+    # one-time compile that would mask the contention signal), then
+    # sample the JVM-warm contention floor
+    spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
+    _canary_sample()
     for _pass in range(2):
         for name, qdef in QUERIES.items():
             t0 = time.time()
@@ -107,6 +132,7 @@ def main() -> None:
             with open(sidecar, "w") as fh:
                 fh.write(_payload() + "\n")
         spark._jvm.System.gc()
+        _canary_sample()  # end of each pass: contention drift check
 
     payload = _payload()
     with open(sidecar, "w") as fh:

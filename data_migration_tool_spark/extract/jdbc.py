@@ -5,11 +5,17 @@
 
 Each dialect's system-catalog query is pushed down through
 ``spark.read.format("jdbc")`` with the ``query`` option — the warehouse
-executes it, Spark receives the result as a DataFrame. No JDBC drivers
-ship in this environment, so ``read_catalog`` raises a clear error at
-.load() time; the query shapes, option plumbing, and downstream DDL
-reconstruction (``catalog.reconstruct_create_table``) are testable
-without a live warehouse.
+executes it, Spark receives the result as a DataFrame. No warehouse
+JDBC drivers ship in this environment, so against Teradata/Oracle/
+Redshift ``read_catalog`` raises a clear error at .load() time; the
+query shapes, option plumbing, and downstream DDL reconstruction
+(``catalog.reconstruct_create_table``) are interface-tested without a
+live warehouse, and the whole path is exercised LIVE end-to-end against
+a DuckDB JDBC driver when one is discoverable in a local maven/coursier
+cache (``find_local_driver_jar``; tests/test_report_jdbc.py
+``test_live_jdbc_catalog_end_to_end`` — real driver registration, real
+query pushdown, real result marshalling through the same
+``jdbc_reader`` options).
 
 Scale: catalog tables are metadata-sized; ``fetchsize`` and a single
 partition are correct here (don't parallelize tiny JDBC reads — the
@@ -86,5 +92,30 @@ def read_catalog(
     spark: SparkSession, src: JdbcSource, dialect: str, database: str
 ) -> DataFrame:
     """Catalog scan for one source database. Raises at load() when the
-    JDBC driver is absent (this environment ships none)."""
+    JDBC driver is absent (this environment ships no warehouse ones)."""
     return jdbc_reader(spark, src, catalog_query(dialect, database)).load()
+
+
+def find_local_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
+    """Locate a JDBC driver jar in the machine's local maven/coursier
+    caches (standard repository layout — no network, no install). Used
+    by the live end-to-end test: any cached driver jar turns the
+    interface-level JDBC tests into a real pushdown round-trip."""
+    import glob
+    import os
+
+    home = os.path.expanduser("~")
+    for root in (
+        os.path.join(home, ".cache", "coursier"),
+        os.path.join(home, ".m2", "repository"),
+        os.path.join(home, ".ivy2"),
+    ):
+        if not os.path.isdir(root):
+            continue
+        hits = sorted(
+            glob.glob(os.path.join(root, "**", f"{artifact}-*.jar"), recursive=True)
+        )
+        hits = [h for h in hits if not os.path.basename(h).startswith(".")]
+        if hits:
+            return hits[-1]  # highest version by lexicographic sort
+    return None

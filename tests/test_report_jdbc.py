@@ -91,3 +91,117 @@ def test_jdbc_reader_options_and_graceful_failure(spark):
     # no driver on the classpath → load must raise, not hang/segfault
     with pytest.raises(Exception):
         read_catalog(spark, src, "teradata", "db")
+
+
+_LIVE_JDBC_SCRIPT = """
+import sys
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession
+
+from data_migration_tool_spark.extract.catalog import reconstruct_create_table
+from data_migration_tool_spark.extract.jdbc import JdbcSource, read_catalog
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.jars", JAR)
+    .appName("jdbc-live-e2e")
+    .getOrCreate()
+)
+jvm = spark._sc._jvm
+# the jar rides Spark's mutable classloader, not the JVM app loader —
+# register through Spark's own DriverRegistry (what the JDBC source
+# uses at load() time) so DriverManager sees the driver too
+jvm.org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register(
+    "org.duckdb.DuckDBDriver"
+)
+
+# ---- build the "warehouse": catalog fixtures created THROUGH the same
+# JDBC driver Spark will read with (a python-duckdb-written file could
+# be a different storage version than the cached jar understands)
+conn = jvm.java.sql.DriverManager.getConnection("jdbc:duckdb:" + DB)
+st = conn.createStatement()
+st.execute("CREATE SCHEMA dbc")
+st.execute(
+    "CREATE TABLE dbc.TablesV AS SELECT * FROM (VALUES "
+    "('src_db','orders','CREATE TABLE orders (o_id INT)','T'),"
+    "('src_db','lineitem','CREATE TABLE lineitem (l_id INT)','T'),"
+    "('other_db','x','CREATE TABLE x (i INT)','T'),"
+    "('src_db','v_orders','REPLACE VIEW v_orders AS SELECT 1','V')"
+    ") AS t(DatabaseName, TableName, RequestText, TableKind)"
+)
+st.execute(
+    "CREATE TABLE all_tab_columns AS SELECT * FROM (VALUES "
+    "('ORDERS','O_ID','NUMBER',22,1,'SRC'),"
+    "('ORDERS','O_COMMENT','VARCHAR2',64,2,'SRC'),"
+    "('ORDERS','HIDDEN','NUMBER',22,3,'OTHER')"
+    ") AS t(table_name, column_name, data_type, data_length, column_id, owner)"
+)
+# redshift lane: REAL tables, read back through the engine's own
+# pg_tables compatibility view — the catalog reflects genuine DDL
+st.execute("CREATE SCHEMA rs_schema")
+st.execute("CREATE TABLE rs_schema.sales (s_id INT)")
+st.execute("CREATE TABLE rs_schema.clicks (c_id INT)")
+st.close()
+conn.close()
+
+src = JdbcSource(
+    url="jdbc:duckdb:" + DB, user="", password="",
+    driver="org.duckdb.DuckDBDriver",
+)
+
+# S8 teradata: database + TableKind filters execute warehouse-side
+td = read_catalog(spark, src, "teradata", "src_db").collect()
+assert sorted(r.table_name for r in td) == ["lineitem", "orders"], td
+assert all(r.ddl_text.startswith("CREATE TABLE") for r in td)
+
+# S9 oracle: owner filter + VARCHAR2 length suffix computed in-query,
+# then the ordered-agg DDL reconstruction over the live result
+oc = read_catalog(spark, src, "oracle", "SRC")
+rows = {r.column_name: r for r in oc.collect()}
+assert set(rows) == {"O_ID", "O_COMMENT"}, rows
+assert rows["O_COMMENT"].data_type == "VARCHAR2(64)"
+ddl = reconstruct_create_table(oc).collect()
+assert ddl[0].ddl == "CREATE TABLE ORDERS (O_ID NUMBER, O_COMMENT VARCHAR2(64))", ddl
+
+# S10 redshift: pg_tables reflects the two really-created tables
+rs = read_catalog(spark, src, "redshift", "rs_schema").collect()
+assert sorted(r.table_name for r in rs) == ["clicks", "sales"], rs
+
+print("LIVE_JDBC_OK")
+"""
+
+
+def test_live_jdbc_catalog_end_to_end(tmp_path):
+    """S8/S9/S10 against a REAL JDBC driver (VERDICT r6/r7 backlog item:
+    'if the sandbox ever allows a jar, wire one end-to-end test').
+    A DuckDB JDBC jar discovered in the local maven/coursier cache
+    stands in for the warehouse: the catalog queries are pushed down
+    through spark.read.format("jdbc") exactly as against Teradata/
+    Oracle/Redshift, and the Oracle lane continues into the ordered-agg
+    DDL reconstruction. Runs in a subprocess because the driver jar
+    must be on the session's classpath at JVM launch (the shared test
+    session has no spark.jars)."""
+    import os
+    import subprocess
+    import sys
+
+    from data_migration_tool_spark.extract.jdbc import find_local_driver_jar
+
+    jar = find_local_driver_jar()
+    if jar is None:
+        pytest.skip("no JDBC driver jar in local maven/coursier caches")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db = str(tmp_path / "warehouse.duckdb")
+    script = (
+        f"REPO = {repo!r}\nJAR = {jar!r}\nDB = {db!r}\n" + _LIVE_JDBC_SCRIPT
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "LIVE_JDBC_OK" in proc.stdout
