@@ -103,6 +103,16 @@ def find_local_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
     interface-level JDBC tests into a real pushdown round-trip."""
     import glob
     import os
+    import re
+
+    # main-artifact jars only: <artifact>-<numeric version>.jar. The
+    # anchored numeric tail rejects classifier jars (-sources, -javadoc,
+    # -tests), which match the glob but contain no driver class.
+    name_re = re.compile(rf"^{re.escape(artifact)}-(\d+(?:\.\d+)*)\.jar$")
+
+    def version_key(path: str) -> tuple[int, ...]:
+        m = name_re.match(os.path.basename(path))
+        return tuple(int(p) for p in m.group(1).split("."))
 
     home = os.path.expanduser("~")
     for root in (
@@ -112,10 +122,15 @@ def find_local_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
     ):
         if not os.path.isdir(root):
             continue
-        hits = sorted(
-            glob.glob(os.path.join(root, "**", f"{artifact}-*.jar"), recursive=True)
-        )
-        hits = [h for h in hits if not os.path.basename(h).startswith(".")]
+        hits = [
+            h
+            for h in glob.glob(
+                os.path.join(root, "**", f"{artifact}-*.jar"), recursive=True
+            )
+            if name_re.match(os.path.basename(h))
+        ]
         if hits:
-            return hits[-1]  # highest version by lexicographic sort
+            # numeric component-wise max: 0.10.3 beats 0.9.2 (a plain
+            # lexicographic sort would return the older jar)
+            return max(hits, key=version_key)
     return None

@@ -820,14 +820,17 @@ _DEFS: list[QueryDef] = [
 # re-seats: minhash_recall_gate_sampled (degenerate zero-pair guard
 # added to both engines' recall expression); (c) oldest-official-
 # row-first: all 25 queries whose latest row is r4 (owed first claim
-# per the COVERAGE.md staleness ledger), then the first-listed 23 of
-# the 46 r5-row queries (the other 23 re-seat in r9); (d) no rows-only
+# per the COVERAGE.md staleness ledger), then the first-listed 22 of
+# the 46 r5-row queries (the other 24 re-seat in r9); (d) no rows-only
 # query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "emb_lsh_hot_bucket_dedup",
     # -- oracle semantics changed this round: re-certify officially --
     "minhash_recall_gate_sampled",
+    # retry-records fixture line pins last-writer-wins bq_job_id /
+    # success_records / error_records (a MAX regression now hash-fails)
+    "transfer_log_jobwise_stats",
     # -- latest official row r4 (all 25 owed) --
     "returnflag_pivot",
     "user_purchase_funnel",
@@ -877,7 +880,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_train_val_test_split",
     "events_hypertable_rollup",
     "media_frame_plan",
-    "media_frame_luma",
+    # media_frame_luma yielded its fill slot to the re-certifying
+    # transfer_log_jobwise_stats — it re-seats in r9 with the other r5s
 )
 
 

@@ -705,6 +705,8 @@ def _synthetic_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic agent-log lines synthesized from ``nation`` (one
     migrated table per nation; mode/stats/upload/duration/records lines
     each in the agent's real wording, ERROR lines for keys ≡0,1 mod 5,
+    RETRY records lines for keys ≡0 mod 6 whose job ids sort
+    lexicographically below the originals — the last-writer-wins pin,
     plus the run-scoped Transfer-load and Summary lines) — the shared
     fixture for both transfer-log registry queries."""
     n = load_table(spark, sf_dir, "nation").select(
@@ -754,6 +756,18 @@ def _synthetic_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(") completed. Number of records: "), s(k * 1000 + k),
             F.lit(", errors: "), s(k % 7), F.lit("."))),
         err,
+        # retry records line for k≡0 mod 6 tables: a SECOND writer of
+        # bq_job_id/success_records/error_records whose job id sorts
+        # lexicographically BELOW the original ('bq_job_0r6' < 'bq_job_6')
+        # — pins the last-writer-wins semantics: a MAX aggregation would
+        # keep the original id and hash-mismatch the oracle
+        F.when(
+            k % 6 == 0,
+            line(6, "INFO", F.concat(
+                F.lit("Job bq_job_0r"), s(k), F.lit(" (table "), t,
+                F.lit(") completed. Number of records: "), s(k * 1000 + k + 7),
+                F.lit(", errors: "), s((k + 1) % 7), F.lit("."))),
+        ),
     )
     per_table = n.select(k, F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("l")).select(
         (k * 10 + F.col("l.off").cast("long")).alias("line_no"),
@@ -925,15 +939,23 @@ SELECT 'u-tl' AS unique_id,
        CASE WHEN n_nationkey % 5 = 0
               THEN 'bq_job_' || CAST(n_nationkey AS VARCHAR)
             ELSE 'agent-' || CAST(n_nationkey % 3 AS VARCHAR) END AS agent_id,
-       'bq_job_' || CAST(n_nationkey AS VARCHAR) AS bq_job_id,
+       -- last writer wins: k≡0 mod 6 tables carry a RETRY records line
+       -- whose job id sorts lexicographically below the original
+       CASE WHEN n_nationkey % 6 = 0
+              THEN 'bq_job_0r' || CAST(n_nationkey AS VARCHAR)
+            ELSE 'bq_job_' || CAST(n_nationkey AS VARCHAR) END AS bq_job_id,
        '20260814' AS run_date,
        -- first mention of every table is its INFO mode line
        'SUCCEEDED' AS job_status,
        CASE WHEN n_nationkey % 5 = 0 THEN 'FAILED'
             WHEN n_nationkey % 5 = 1 THEN 'SKIPPED'
             ELSE 'SUCCEEDED' END AS transfer_run_state,
-       CAST(n_nationkey * 1000 + n_nationkey AS BIGINT) AS success_records,
-       CAST(n_nationkey % 7 AS BIGINT) AS error_records,
+       CASE WHEN n_nationkey % 6 = 0
+              THEN CAST(n_nationkey * 1000 + n_nationkey + 7 AS BIGINT)
+            ELSE CAST(n_nationkey * 1000 + n_nationkey AS BIGINT)
+            END AS success_records,
+       CASE WHEN n_nationkey % 6 = 0 THEN CAST((n_nationkey + 1) % 7 AS BIGINT)
+            ELSE CAST(n_nationkey % 7 AS BIGINT) END AS error_records,
        CAST(n_nationkey * 11 + 2 AS VARCHAR) || ' seconds' AS extract_duration,
        CAST(n_nationkey * 37 + 5 AS VARCHAR) || ' MB' AS extract_data_size,
        '[' || CAST(n_nationkey AS VARCHAR) || ','

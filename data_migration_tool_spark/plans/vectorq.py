@@ -621,11 +621,11 @@ def emb_lsh_hot_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the valve is the reason one adversarial duplicate blob
     cannot break the Σ bucket² contract at 100 TB; the exact lane's
-    groupBy is linear in hot-bucket rows. The sized bucketing persists
-    before the two route branches — both consume the same 16-dot-
-    product scan, and caching it measured 33% faster than recomputing
-    (2.2 s vs 3.3 s at sf0.1; the same trade a cluster wants, where the
-    recompute would be a second pass over the corpus)."""
+    groupBy is linear in hot-bucket rows. The two route branches
+    recompute the sized bucketing (one extra 16-dot-product scan —
+    see the inline note for why neither persist nor localCheckpoint
+    wins here); a materializing cluster pipeline would share it via
+    persist → consume → unpersist."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bounds = e.agg(
         F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
@@ -655,7 +655,15 @@ def emb_lsh_hot_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_full").bitwiseAND(F.col("mask")).alias("bucket"),
         )
     )
-    sized = SIM.bucket_sizes(b, "bucket").persist()
+    # the two route branches recompute the sized bucketing rather than
+    # persist it: a CacheManager persist has no reachable unpersist
+    # after this function returns (it would pin corpus-scale blocks for
+    # the session), and a lazy localCheckpoint measured pathological at
+    # gate SF (139 s vs 11 s at sf0.01 — the checkpoint write dominates
+    # tiny inputs). The recompute costs one extra scan (3.3 s vs 2.2 s
+    # at sf0.1); a materializing cluster pipeline would wrap this in
+    # persist → consume → unpersist instead.
+    sized = SIM.bucket_sizes(b, "bucket")
     cold = sized.filter(F.col("__bsz") <= HOT_BUCKET_CAP).drop("__bsz")
     hot = sized.filter(F.col("__bsz") > HOT_BUCKET_CAP).drop("__bsz")
     a = cold.select(
