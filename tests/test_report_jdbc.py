@@ -169,6 +169,49 @@ assert ddl[0].ddl == "CREATE TABLE ORDERS (O_ID NUMBER, O_COMMENT VARCHAR2(64))"
 rs = read_catalog(spark, src, "redshift", "rs_schema").collect()
 assert sorted(r.table_name for r in rs) == ["clicks", "sales"], rs
 
+# ---- live DATA read + live validation (the DVT source-conn shape):
+# a 10k-row fact table read through the PARTITIONED jdbc path, then
+# column-validated against its lake (parquet) copy
+conn2 = jvm.java.sql.DriverManager.getConnection("jdbc:duckdb:" + DB)
+st2 = conn2.createStatement()
+st2.execute("CREATE SCHEMA wh")
+st2.execute(
+    "CREATE TABLE wh.facts AS SELECT i AS id, i % 7 AS grp, "
+    "(i * 13) % 1000 AS amt FROM range(10000) t(i)"
+)
+st2.close()
+conn2.close()
+
+from data_migration_tool_spark.extract.jdbc import read_table
+from data_migration_tool_spark.operators.validation import (
+    ValidationSpec,
+    column_validation,
+)
+
+facts = read_table(
+    spark, src, "wh.facts", partition_column="id", num_partitions=4
+)
+assert facts.rdd.getNumPartitions() == 4, facts.rdd.getNumPartitions()
+assert facts.count() == 10000
+
+lake_path = DB + "_lake"
+facts.write.mode("overwrite").parquet(lake_path)
+lake = spark.read.parquet(lake_path)
+spec = ValidationSpec(
+    validation_type="column",
+    source_table="wh.facts",
+    target_table="lake.facts",
+    count_cols=["*"],
+    sum_cols=["amt"],
+    min_cols=["amt"],
+    max_cols=["amt"],
+    grouped_columns=["grp"],
+)
+res = column_validation(facts, lake, spec).collect()
+assert len(res) == 7 * 4, len(res)  # 7 groups x 4 aggregates
+bad = [r for r in res if r.validation_status != "success"]
+assert not bad, bad
+
 print("LIVE_JDBC_OK")
 """
 
@@ -179,10 +222,14 @@ def test_live_jdbc_catalog_end_to_end(tmp_path):
     A DuckDB JDBC jar discovered in the local maven/coursier cache
     stands in for the warehouse: the catalog queries are pushed down
     through spark.read.format("jdbc") exactly as against Teradata/
-    Oracle/Redshift, and the Oracle lane continues into the ordered-agg
-    DDL reconstruction. Runs in a subprocess because the driver jar
-    must be on the session's classpath at JVM launch (the shared test
-    session has no spark.jars)."""
+    Oracle/Redshift, the Oracle lane continues into the ordered-agg
+    DDL reconstruction, and a 10k-row fact table exercises the
+    PARTITIONED data-read path (4 range-bounded concurrent queries)
+    feeding a live column validation against its parquet lake copy —
+    the reference DVT's source-conn shape (translation/dvt/main.py:44).
+    Runs in a subprocess because the driver jar must be on the
+    session's classpath at JVM launch (the shared test session has no
+    spark.jars)."""
     import os
     import subprocess
     import sys
