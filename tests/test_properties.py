@@ -410,3 +410,115 @@ def test_redshift_week_datediff_matches_sunday_reference(spark, pairs):
     ).createOrReplaceTempView("wk_pairs")
     got = [r.w for r in spark.sql(ts.sql).collect()]
     assert got == want
+
+
+@settings(**_SETTINGS | {"max_examples": 6})
+@given(st.data())
+def test_transfer_log_mining_matches_dict_replay(spark, data):
+    """mine_job_stats equals the reference's per-table dict mutation on
+    RANDOM logs (teradata_transfer_run_log_dag.py:281-360 replays one
+    dict per table in log order): random job-record and error-Job
+    events per table, randomly interleaved across tables, with job ids
+    drawn from a pool that sorts differently by string order than by
+    arrival order — so any regression from last-writer-wins back to a
+    MAX/MIN aggregation fails here on structure, independent of the
+    fixture. The pure-Python replay below IS the reference semantics."""
+    from data_migration_tool_spark.orchestrate.transfer_logs import mine_job_stats
+
+    jid_pool = ["j1", "j10", "j2", "jx0"]  # string order != any arrival order
+    n_tables = data.draw(st.integers(1, 4), label="n_tables")
+    events = []  # (table, kind, payload)
+    for t in range(n_tables):
+        table = f"tbl{t}"
+        evs = data.draw(
+            st.lists(
+                st.one_of(
+                    st.tuples(
+                        st.just("records"),
+                        st.sampled_from(jid_pool),
+                        st.integers(0, 99999),
+                        st.integers(0, 9),
+                    ),
+                    st.tuples(
+                        st.just("err_job"),
+                        st.sampled_from(jid_pool),
+                        st.sampled_from(["quota exceeded", "Skipping source"]),
+                    ),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            label=f"events_{table}",
+        )
+        events.extend((table, *e) for e in evs)
+    order = data.draw(st.permutations(range(len(events))), label="order")
+
+    rows = []
+    for line_no, idx in enumerate(order):
+        ev = events[idx]
+        if ev[1] == "records":
+            table, _, jid, succ, errs = ev
+            rows.append(
+                (
+                    line_no,
+                    "INFO",
+                    f"Job {jid} (table {table}) completed. "
+                    f"Number of records: {succ}, errors: {errs}.",
+                )
+            )
+        else:
+            table, _, jid, why = ev
+            rows.append(
+                (
+                    line_no,
+                    "ERROR",
+                    f"Job {jid} (table {table}) failed with {why}.",
+                )
+            )
+
+    # the reference replay: one dict per table, mutated in log order
+    expect: dict[str, dict] = {}
+    for line_no, idx in [(ln, i) for ln, i in enumerate(order)]:
+        ev = events[idx]
+        table = ev[0]
+        d = expect.setdefault(
+            table,
+            {
+                "first_sev": "ERROR" if ev[1] == "err_job" else "INFO",
+                "bq_job_id": None,
+                "agent_id": None,
+                "success_records": None,
+                "error_records": None,
+                "errs": [],
+            },
+        )
+        if ev[1] == "records":
+            _, _, jid, succ, errs = ev
+            d["bq_job_id"], d["success_records"], d["error_records"] = jid, succ, errs
+        else:
+            _, _, jid, why = ev
+            d["agent_id"] = jid  # teradata err-Job writes the job id here
+            d["errs"].append(f"Job {jid} (table {table}) failed with {why}.")
+
+    logs = spark.createDataFrame(
+        rows, "line_no long, severity string, message_text string"
+    )
+    got = {
+        r.src_table_name: r
+        for r in mine_job_stats(logs, "u", "c", "r").collect()
+    }
+    assert set(got) == set(expect)
+    for table, d in expect.items():
+        r = got[table]
+        msg = " ".join(d["errs"])
+        assert r.bq_job_id == d["bq_job_id"], (table, r.bq_job_id, d["bq_job_id"])
+        assert r.agent_id == d["agent_id"]
+        assert r.success_records == d["success_records"]
+        assert r.error_records == d["error_records"]
+        assert r.message == msg
+        assert r.job_status == (
+            "FAILED" if d["first_sev"] == "ERROR" else "SUCCEEDED"
+        )
+        assert r.transfer_run_state == (
+            "SUCCEEDED" if msg == "" else ("SKIPPED" if "Skipping" in msg else "FAILED")
+        )
