@@ -158,6 +158,66 @@ def read_table(
     return reader.load()
 
 
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def read_table_incremental(
+    spark: SparkSession,
+    src: JdbcSource,
+    table: str,
+    watermark_column: str,
+    last_high_watermark=None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+):
+    """High-watermark incremental pull over JDBC: read only rows whose
+    ``watermark_column`` (a monotonically growing id or timestamp)
+    exceeds the last recorded high-water mark — the JDBC twin of the
+    file-landing incremental loader (``sources/incremental.py``, S6;
+    the reference tracks per-table incremental state in audit tables,
+    ``hive_inc_load_table_list``). Returns ``(df, new_high)``; the
+    caller persists ``new_high`` (audit sink) and passes it back on the
+    next pull — exactly-once at the slice grain as long as writers
+    only append rows with larger watermarks.
+
+    The slice predicate is part of the pushed-down subquery, so the
+    warehouse filters before any data moves AND the optional
+    partition-bound discovery (see ``read_table``) scans only the
+    slice. ``new_high`` comes from one pushed-down MAX over the same
+    predicate — no data pulled to answer it; when the slice is empty,
+    the old mark is returned unchanged."""
+    pred = (
+        f"{watermark_column} > {_sql_literal(last_high_watermark)}"
+        if last_high_watermark is not None
+        else "1=1"
+    )
+    hi = (
+        jdbc_reader(
+            spark,
+            src,
+            f"SELECT MAX({watermark_column}) AS hi FROM {table} WHERE {pred}",
+        )
+        .load()
+        .first()["hi"]
+    )
+    if hi is None:
+        return spark.createDataFrame([], read_table(spark, src, table).schema), (
+            last_high_watermark
+        )
+    slice_rel = f"(SELECT * FROM {table} WHERE {pred}) inc_slice"
+    df = read_table(
+        spark,
+        src,
+        slice_rel,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+    )
+    return df, hi
+
+
 def find_local_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
     """Locate a JDBC driver jar in the machine's local maven/coursier
     caches (standard repository layout — no network, no install). Used

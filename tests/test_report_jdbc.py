@@ -212,6 +212,27 @@ assert len(res) == 7 * 4, len(res)  # 7 groups x 4 aggregates
 bad = [r for r in res if r.validation_status != "success"]
 assert not bad, bad
 
+# ---- incremental high-watermark pulls: full slice, then exactly the
+# appended delta, then an empty slice returning the unchanged mark
+from data_migration_tool_spark.extract.jdbc import read_table_incremental
+
+inc1, hi1 = read_table_incremental(
+    spark, src, "wh.facts", "id", partition_column="id", num_partitions=4
+)
+assert inc1.count() == 10000 and hi1 == 9999, (inc1.count(), hi1)
+conn3 = jvm.java.sql.DriverManager.getConnection("jdbc:duckdb:" + DB)
+st3 = conn3.createStatement()
+st3.execute(
+    "INSERT INTO wh.facts SELECT 10000 + i, (10000 + i) % 7, "
+    "((10000 + i) * 13) % 1000 FROM range(500) t(i)"
+)
+st3.close()
+conn3.close()
+inc2, hi2 = read_table_incremental(spark, src, "wh.facts", "id", hi1)
+assert inc2.count() == 500 and hi2 == 10499, (inc2.count(), hi2)
+inc3, hi3 = read_table_incremental(spark, src, "wh.facts", "id", hi2)
+assert inc3.count() == 0 and hi3 == hi2, (inc3.count(), hi3)
+
 print("LIVE_JDBC_OK")
 """
 
