@@ -522,3 +522,90 @@ def test_transfer_log_mining_matches_dict_replay(spark, data):
         assert r.transfer_run_state == (
             "SUCCEEDED" if msg == "" else ("SKIPPED" if "Skipping" in msg else "FAILED")
         )
+
+
+@settings(**_SETTINGS | {"max_examples": 6})
+@given(st.data())
+def test_redshift_log_mining_matches_dict_replay(spark, data):
+    """Same dict-replay property for the redshift dialect
+    (redshift_transfer_run_log_dag.py:250-330), whose attribution
+    differs in the one way that makes ordering HARDER: error-Job lines
+    write bq_job_id (not agent_id), so records and err_job lines are
+    competing writers of the SAME field and the mined value depends on
+    cross-class line order — unpinnable by any per-class aggregate."""
+    from data_migration_tool_spark.orchestrate.transfer_logs import mine_job_stats
+
+    jid_pool = ["j1", "j10", "j2", "jx0"]
+    n_tables = data.draw(st.integers(1, 3), label="n_tables")
+    events = []
+    for t in range(n_tables):
+        table = f"tbl{t}"
+        evs = data.draw(
+            st.lists(
+                st.one_of(
+                    st.tuples(
+                        st.just("records"),
+                        st.sampled_from(jid_pool),
+                        st.integers(0, 99999),
+                        st.integers(0, 9),
+                    ),
+                    st.tuples(
+                        st.just("err_job"),
+                        st.sampled_from(jid_pool),
+                        st.sampled_from(["capacity", "Skipping slice"]),
+                    ),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            label=f"events_{table}",
+        )
+        events.extend((table, *e) for e in evs)
+    order = data.draw(st.permutations(range(len(events))), label="order")
+
+    rows, expect = [], {}
+    for line_no, idx in enumerate(order):
+        ev = events[idx]
+        table = ev[0]
+        d = expect.setdefault(
+            table,
+            {
+                "first_sev": "ERROR" if ev[1] == "err_job" else "INFO",
+                "bq_job_id": None,
+                "success_records": None,
+                "error_records": None,
+                "errs": [],
+            },
+        )
+        if ev[1] == "records":
+            _, _, jid, succ, errs = ev
+            rows.append((line_no, "INFO",
+                         f"Job {jid} (table {table}) completed. "
+                         f"Number of records: {succ}, errors: {errs}."))
+            d["bq_job_id"], d["success_records"], d["error_records"] = jid, succ, errs
+        else:
+            _, _, jid, why = ev
+            msg = f"Job {jid} (table {table}) failed with {why}."
+            rows.append((line_no, "ERROR", msg))
+            d["bq_job_id"] = jid  # redshift: err-Job writes bq_job_id
+            d["errs"].append(msg)
+
+    logs = spark.createDataFrame(
+        rows, "line_no long, severity string, message_text string"
+    )
+    got = {
+        r.src_table_name: r
+        for r in mine_job_stats(logs, "u", "c", "r", variant="redshift").collect()
+    }
+    assert set(got) == set(expect)
+    for table, d in expect.items():
+        r = got[table]
+        msg = " ".join(d["errs"])
+        assert r.bq_job_id == d["bq_job_id"], (table, r.bq_job_id, d["bq_job_id"])
+        assert r.agent_id is None  # no agent writers in this dialect
+        assert r.success_records == d["success_records"]
+        assert r.error_records == d["error_records"]
+        assert r.message == msg
+        assert r.job_status == (
+            "FAILED" if d["first_sev"] == "ERROR" else "SUCCEEDED"
+        )
