@@ -149,6 +149,13 @@ def read_table(
             )
             lower_bound = bounds["lo"] if lower_bound is None else lower_bound
             upper_bound = bounds["hi"] if upper_bound is None else upper_bound
+        if lower_bound is None or upper_bound is None:
+            # Empty table (or all-NULL partition column): MIN/MAX came
+            # back NULL. Stringifying None into lowerBound/upperBound
+            # fails deep inside Spark's JDBC option parsing, so fall
+            # back to the single-connection unpartitioned read — it
+            # returns the same (empty) result with a sane plan.
+            return reader.load()
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -159,9 +166,28 @@ def read_table(
 
 
 def _sql_literal(v) -> str:
+    """Render a watermark value as a SQL literal. Strings and temporal
+    values quote (a datetime stringifies to ``WHERE ts > 2026-08-15
+    10:00:00`` otherwise — a syntax error on every dialect); numerics
+    and bools render bare; anything else is an error rather than a
+    silently-broken predicate."""
+    import datetime
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    return str(v)
+    if isinstance(v, datetime.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, datetime.date):
+        return "'" + v.isoformat() + "'"
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return str(v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    raise TypeError(
+        f"unsupported watermark literal type {type(v).__name__!r}: {v!r}"
+    )
 
 
 def read_table_incremental(
@@ -183,13 +209,24 @@ def read_table_incremental(
     next pull — exactly-once at the slice grain as long as writers
     only append rows with larger watermarks.
 
-    The slice predicate is part of the pushed-down subquery, so the
+    The slice is bounded on BOTH sides: ``wm > last AND wm <= hi``,
+    where ``hi`` is probed first via one pushed-down MAX. The upper
+    bound matters under concurrent appends — the slice read is lazy
+    and may execute long after the probe, so rows landing in between
+    carry ``wm > hi``; without the bound they'd be delivered in this
+    pull AND again next pull (whose predicate starts at ``> hi``).
+    With it, every pull reads exactly the half-open window
+    ``(last, hi]`` that the persisted mark describes — the windowed
+    consumption contract of the reference's incremental loader
+    (``hive_bq_load_utils_inc.py:60-79``, ``constants.py:84-90``).
+
+    The predicate is part of the pushed-down subquery, so the
     warehouse filters before any data moves AND the optional
     partition-bound discovery (see ``read_table``) scans only the
-    slice. ``new_high`` comes from one pushed-down MAX over the same
-    predicate — no data pulled to answer it; when the slice is empty,
-    the old mark is returned unchanged."""
-    pred = (
+    slice. ``new_high`` comes from a MAX over the same lower bound —
+    no data pulled to answer it; when the slice is empty, the old
+    mark is returned unchanged."""
+    lower_pred = (
         f"{watermark_column} > {_sql_literal(last_high_watermark)}"
         if last_high_watermark is not None
         else "1=1"
@@ -198,7 +235,8 @@ def read_table_incremental(
         jdbc_reader(
             spark,
             src,
-            f"SELECT MAX({watermark_column}) AS hi FROM {table} WHERE {pred}",
+            f"SELECT MAX({watermark_column}) AS hi FROM {table} "
+            f"WHERE {lower_pred}",
         )
         .load()
         .first()["hi"]
@@ -207,6 +245,7 @@ def read_table_incremental(
         return spark.createDataFrame([], read_table(spark, src, table).schema), (
             last_high_watermark
         )
+    pred = f"{lower_pred} AND {watermark_column} <= {_sql_literal(hi)}"
     slice_rel = f"(SELECT * FROM {table} WHERE {pred}) inc_slice"
     df = read_table(
         spark,

@@ -93,6 +93,64 @@ def test_jdbc_reader_options_and_graceful_failure(spark):
         read_catalog(spark, src, "teradata", "db")
 
 
+def test_sql_literal_types():
+    import datetime
+    import decimal
+
+    from data_migration_tool_spark.extract.jdbc import _sql_literal
+
+    assert _sql_literal("o'brien") == "'o''brien'"
+    assert _sql_literal(42) == "42"
+    assert _sql_literal(decimal.Decimal("10.50")) == "10.50"
+    # temporal marks must QUOTE — an unquoted datetime repr is a SQL
+    # syntax error on every dialect (ADVICE r8 medium)
+    assert (
+        _sql_literal(datetime.datetime(2026, 8, 15, 10, 0, 0))
+        == "'2026-08-15 10:00:00'"
+    )
+    assert _sql_literal(datetime.date(2026, 8, 15)) == "'2026-08-15'"
+    with pytest.raises(TypeError, match="watermark literal"):
+        _sql_literal(["not", "a", "literal"])
+
+
+def test_incremental_slice_bounded_both_sides(spark, monkeypatch):
+    """The exactly-once contract (VERDICT r8 #1): the slice predicate
+    must read exactly the half-open window (last, hi] — bounded above
+    by the probed mark so rows appended between the MAX probe and the
+    lazy slice read are deferred to the next pull, never delivered in
+    two pulls. Asserted on the generated subquery text; the live
+    concurrent-append run is in the e2e script below."""
+    import data_migration_tool_spark.extract.jdbc as J
+
+    captured = {}
+
+    class _Probe:
+        def load(self):
+            return self
+
+        def first(self):
+            return {"hi": 4200}
+
+    def fake_jdbc_reader(spark_, src_, query):
+        captured["max_query"] = query
+        return _Probe()
+
+    def fake_read_table(spark_, src_, table, **kw):
+        captured["slice_rel"] = table
+        return "DF"
+
+    monkeypatch.setattr(J, "jdbc_reader", fake_jdbc_reader)
+    monkeypatch.setattr(J, "read_table", fake_read_table)
+    src = JdbcSource(url="jdbc:duckdb:x", user="", password="")
+    df, hi = J.read_table_incremental(spark, src, "wh.facts", "wm", 100)
+    assert df == "DF" and hi == 4200
+    assert "wm > 100" in captured["max_query"]
+    assert "wm > 100 AND wm <= 4200" in captured["slice_rel"]
+    # first pull (no prior mark): still upper-bounded
+    J.read_table_incremental(spark, src, "wh.facts", "wm")
+    assert "1=1 AND wm <= 4200" in captured["slice_rel"]
+
+
 _LIVE_JDBC_SCRIPT = """
 import sys
 sys.path.insert(0, REPO)
@@ -232,6 +290,46 @@ inc2, hi2 = read_table_incremental(spark, src, "wh.facts", "id", hi1)
 assert inc2.count() == 500 and hi2 == 10499, (inc2.count(), hi2)
 inc3, hi3 = read_table_incremental(spark, src, "wh.facts", "id", hi2)
 assert inc3.count() == 0 and hi3 == hi2, (inc3.count(), hi3)
+
+
+# ---- double-delivery guard under CONCURRENT appends (VERDICT r8 ask
+# #1): the slice DataFrame is lazy, so rows appended after the MAX
+# probe but before the read execute carry wm > hi. Without the upper
+# bound they'd land in this pull AND in the next (whose predicate
+# starts at > hi). The protocol must deliver each row exactly once.
+def _append(n_from, n):
+    c = jvm.java.sql.DriverManager.getConnection("jdbc:duckdb:" + DB)
+    s = c.createStatement()
+    s.execute(
+        f"INSERT INTO wh.facts SELECT {n_from} + i, ({n_from} + i) % 7, "
+        f"(({n_from} + i) * 13) % 1000 FROM range({n}) t(i)"
+    )
+    s.close()
+    c.close()
+
+
+_append(10500, 300)  # rows 10500..10799 exist before the probe
+inc4, hi4 = read_table_incremental(spark, src, "wh.facts", "id", hi2)
+assert hi4 == 10799, hi4
+_append(10800, 200)  # concurrent append BEFORE the lazy slice runs
+seen4 = sorted(r.id for r in inc4.collect())
+assert len(seen4) == 300 and seen4[-1] == 10799, (len(seen4), seen4[-1:])
+inc5, hi5 = read_table_incremental(spark, src, "wh.facts", "id", hi4)
+seen5 = sorted(r.id for r in inc5.collect())
+assert len(seen5) == 200 and seen5[0] == 10800, (len(seen5), seen5[:1])
+assert not set(seen4) & set(seen5)  # no row delivered twice
+
+# ---- empty-table partitioned read (ADVICE r8 low): NULL MIN/MAX
+# bounds must fall back to the unpartitioned read, not stringify None
+conn4 = jvm.java.sql.DriverManager.getConnection("jdbc:duckdb:" + DB)
+st4 = conn4.createStatement()
+st4.execute("CREATE TABLE wh.empty_facts (id INT, v INT)")
+st4.close()
+conn4.close()
+ef = read_table(
+    spark, src, "wh.empty_facts", partition_column="id", num_partitions=4
+)
+assert ef.count() == 0
 
 print("LIVE_JDBC_OK")
 """
