@@ -41,14 +41,35 @@ MAX_BROADCAST_VECTORS = 262_144  # ~128 MB at 64 float64 dims
 
 
 def _collect_matrix(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    audit=None,
+    guard: str = "collect_matrix_broadcast_cap",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(ids, matrix, norms) for the SMALL side of a pairwise op. The
     collect is the deliberate broadcast of the small operand (queries /
     centroids), not a driver-side loop over the data — guarded so a
-    corpus passed by mistake fails LOUD instead of OOMing the driver."""
+    corpus passed by mistake fails LOUD instead of OOMing the driver.
+    With ``audit`` the refusal also writes a ``dmt_guard_events`` row
+    (same sink as the dedup/valve guards, ``audit/log.py:guard_event``)
+    so guard engagements are queryable, not just log lines."""
     rows = df.select(id_col, vec_col).limit(MAX_BROADCAST_VECTORS + 1).collect()
     if len(rows) > MAX_BROADCAST_VECTORS:
+        if audit is not None:
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard=guard,
+                action="refuse",
+                subject=f"{id_col}/{vec_col} broadcast side",
+                implied_cost=len(rows),
+                cap=MAX_BROADCAST_VECTORS,
+                detail="broadcast operand exceeds the driver cap; use "
+                "embedding_near_dup_pairs (block-pair) or "
+                "embedding_near_dup_pairs_ivf (cell-bucketed)",
+            )
         raise RuntimeError(
             f"_collect_matrix: >{MAX_BROADCAST_VECTORS:,} vectors on the "
             "broadcast side — this operand must be the SMALL side "
@@ -83,12 +104,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    audit=None,
 ) -> DataFrame:
     """Exact top-k by cosine. Queries (small) broadcast as a matrix;
     corpus streams once; per-batch local top-k then exact global top-k
     (top-k of per-partition top-ks). Output (query_id, neighbor_id,
     rank), ties broken by neighbor id."""
-    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    q_ids, q_mat, q_norms = _collect_matrix(
+        queries, id_col, vec_col, audit=audit, guard="brute_force_topk"
+    )
 
     def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for c_ids, c_mat, c_norms in _batches(pdfs):
@@ -135,6 +159,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    audit=None,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` max-cosine centroids (the
     IVF cells), ties broken by cell id; one output row per (vector,
@@ -143,7 +168,9 @@ def ivf_assign(
     IVF recall knob). Centroid matrix broadcast; corpus streams once.
     At scale, repartition the output by cell so each cell is
     co-located."""
-    cent_ids, cent_mat, cent_norms = _collect_matrix(centroids, id_col, vec_col)
+    cent_ids, cent_mat, cent_norms = _collect_matrix(
+        centroids, id_col, vec_col, audit=audit, guard="ivf_assign"
+    )
     # stable tie-break: order centroid columns by cell id
     order = np.argsort(cent_ids, kind="stable")
     cent_ids, cent_mat, cent_norms = cent_ids[order], cent_mat[order], cent_norms[order]
@@ -185,6 +212,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    audit=None,
 ) -> DataFrame:
     """ANN: route each query to its ``nprobe`` nearest cells, search
     only those. Approximate (recall < 1 when true neighbors live
@@ -193,13 +221,29 @@ def ivf_topk(
     and broadcast; the assigned corpus streams once, each batch scoring
     only the cells it contains. A (query, neighbor) pair is scored at
     most once because each corpus row lives in exactly one cell."""
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    q_assigned = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, audit=audit
+    )
     # Deliberate broadcast of the small (query) side — same house guard
     # as _collect_matrix, on queries × nprobe (nprobe replicates each
     # query row), so a corpus passed as `queries` fails LOUD instead of
     # OOMing the driver.
     rows = q_assigned.limit(MAX_BROADCAST_VECTORS + 1).collect()
     if len(rows) > MAX_BROADCAST_VECTORS:
+        if audit is not None:
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard="ivf_topk",
+                action="refuse",
+                subject=f"{id_col}/{vec_col} queries × nprobe broadcast",
+                implied_cost=len(rows),
+                cap=MAX_BROADCAST_VECTORS,
+                detail="query operand exceeds the driver broadcast cap; "
+                "use embedding_near_dup_pairs (block-pair) or "
+                "embedding_near_dup_pairs_ivf (cell-bucketed)",
+            )
         raise RuntimeError(
             f"ivf_topk: queries × nprobe exceeds {MAX_BROADCAST_VECTORS:,} "
             "broadcast rows — the query operand must be the SMALL side. "
@@ -477,12 +521,33 @@ def quantize_vec(vec_col) -> F.Column:
     the exact k-means lane. The +2 offset keeps every value
     non-negative so truncating and flooring division agree across
     engines; distances are translation-invariant, so the offset never
-    affects an argmin."""
+    affects an argmin.
+
+    The lane's int64 contract holds only on the quantization DOMAIN
+    [-2, 2]: below it q goes negative (trunc and floor division
+    disagree → cross-engine divergence), far above it squared diffs
+    wrap int64. Enforced per coordinate with ``assert_true`` — an
+    expression inside the same codegen stage, so the guard costs two
+    comparisons per value and NO extra scan; an out-of-domain
+    embedding fails the job loudly instead of corrupting the exact
+    lane (VERDICT r8 ask #6, the k-means analogue of the PCA scatter
+    guard)."""
     return F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: F.floor(
             (x.cast("double") + F.lit(_KMEANS_OFFSET)) * F.lit(_KMEANS_SCALE)
-        ).cast("long"),
+        ).cast("long")
+        + F.coalesce(
+            F.assert_true(
+                (x >= F.lit(-_KMEANS_OFFSET)) & (x <= F.lit(_KMEANS_OFFSET)),
+                F.lit(
+                    "quantize_vec: coordinate outside [-2, 2] — the "
+                    "fixed-point lane's int64/trunc==floor contract "
+                    "breaks; rescale the embedding or widen the offset"
+                ),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ),
     )
 
 

@@ -1263,6 +1263,32 @@ def _tdiv(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
+def _pca_int64_guard(n: int, qmax: int, query: str) -> None:
+    """Refuse the fixed-point scatter build when its int64 contract
+    would silently break (VERDICT r8 ask #6: the docstring's
+    "n ≤ ~2e5" bound, priced as a runtime check DERIVED from the
+    corpus stats, not a static row cap). The binding term is the
+    centered scatter entry ``n·G_ij − s_i·s_j``: each factor is
+    bounded by n·qmax², so |entry| ≤ 2·n²·qmax². Past 2^63 the Spark
+    gram sum (``sum(qi*qj)`` under non-ANSI semantics) can WRAP
+    silently and the DuckDB twin's BIGINT lane diverges — both sides
+    of the cross-engine contract die, so the operator must refuse
+    loudly and name the escape hatch (lift the scatter matrix into
+    decimal(38,0) on both engines, the same lift the drift numerators
+    already use). The rank-2 query's extra projection-dot bound
+    (crosses at n ≈ 3.7e5 after the /4S pre-scale) is strictly looser
+    than this one, so one guard covers both queries."""
+    implied = 2 * n * n * qmax * qmax
+    if implied >= 2**63:
+        raise RuntimeError(
+            f"{query}: fixed-point scatter entry bound 2·n²·qmax² = "
+            f"{implied:.3e} exceeds int64 (n={n:,}, qmax={qmax:,}) — "
+            "the exact lane's cross-engine contract would silently "
+            "break. Lift the scatter matrix to decimal(38,0) on both "
+            "engines, or reduce the quantization scale."
+        )
+
+
 def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by FIXED-POINT power iteration — PCA's
     entry into the exact-hash lane (same move that made k-means and
@@ -1287,7 +1313,10 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is one broadcast join + one vec_id groupBy.
     int64 headroom: |M| <= n^2 * q_max^2 needs n <= ~2e5 at these
     scales — past that, lift the scatter matrix into decimal(38,0)
-    (both engines) exactly as the drift numerators do."""
+    (both engines) exactly as the drift numerators do. The bound is
+    ENFORCED at runtime (``_pca_int64_guard`` over the corpus-derived
+    n and max|q|), so crossing it refuses loudly instead of silently
+    wrapping."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
@@ -1301,12 +1330,20 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = emb.count()
-    s = {
-        r["pos"]: r["s"]
-        for r in ex.groupBy("pos")
-        .agg(F.sum("q").cast("long").alias("s"))
+    _stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.max(F.abs(F.col("q"))).alias("qm"),
+        )
         .collect()
-    }
+    )
+    s = {r["pos"]: r["s"] for r in _stats}
+    _pca_int64_guard(
+        n,
+        max((r["qm"] for r in _stats), default=0),
+        "embedding_pca_power_exact family",
+    )
     a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
     b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
     g = {
@@ -1419,12 +1456,20 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = emb.count()
-    s = {
-        r["pos"]: r["s"]
-        for r in ex.groupBy("pos")
-        .agg(F.sum("q").cast("long").alias("s"))
+    _stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.max(F.abs(F.col("q"))).alias("qm"),
+        )
         .collect()
-    }
+    )
+    s = {r["pos"]: r["s"] for r in _stats}
+    _pca_int64_guard(
+        n,
+        max((r["qm"] for r in _stats), default=0),
+        "embedding_pca_power_exact family",
+    )
     a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
     b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
     g = {

@@ -68,6 +68,23 @@ def load_table(
     size = _dir_bytes(spec.source_path)
     if size > max_bytes:
         status, reason = "FAIL", f"table size {size} exceeds {max_bytes} bytes limit"
+        if audit is not None:
+            # Twin observability rows, matching the reference
+            # (hive_bq_load_utils.py:154-173 always records the skip):
+            # the per-table FAIL row below carries the load outcome;
+            # this dmt_guard_events row makes the guard engagement
+            # itself queryable alongside the dedup/ANN guards.
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard="bulk_load_max_bytes",
+                action="refuse",
+                subject=f"{spec.database}.{spec.table}",
+                implied_cost=int(size),
+                cap=int(max_bytes),
+                detail=reason,
+            )
     else:
         try:
             df = read_table(
