@@ -609,3 +609,308 @@ def test_redshift_log_mining_matches_dict_replay(spark, data):
         assert r.job_status == (
             "FAILED" if d["first_sev"] == "ERROR" else "SUCCEEDED"
         )
+
+
+# --------------------------------------------------------------- transpiler
+# Dict-replay for DDL (VERDICT r8 ask #5): generate random CREATE TABLE
+# statements from the GRAMMAR of the reference's conformance corpora
+# (tests/end_to_end/input/ddl/teradata/ppl_data_types.sql:8-30 is the
+# attribute lattice: SET/MULTISET × FALLBACK/JOURNAL/CHECKSUM × per-
+# column CHARACTER SET / CASESPECIFIC / FORMAT / TITLE / COMPRESS /
+# DEFAULT × DECIMAL(p,s)/NUMBER/TIMESTAMP(n) [WITH TIME ZONE] × PRIMARY
+# INDEX), with the EXPECTED Spark schema computed by the generator
+# itself — an independent from-scratch model, not the transpiler's own
+# rules. Each example then proves the transpiled DDL is real on both
+# engines: Spark's SQL parser accepts spark_sql() and the schema_ddl()
+# string round-trips to the expected types; DuckDB creates the same
+# relation and its information_schema agrees column-for-column.
+
+from data_migration_tool_spark.translate.transpiler import transpile_ddl  # noqa: E402
+
+_DUCK_TYPE = {
+    "INT": "INTEGER",
+    "STRING": "VARCHAR",
+    "BINARY": "BLOB",
+    "TIMESTAMP_NTZ": "TIMESTAMP",  # DuckDB TIMESTAMP is tz-naive
+    "TIMESTAMP": "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def _assert_transpiled(spark, ddl, dialect, expected, *, type_overrides=None,
+                       head_warn=(), cluster=None, partition=None, db="srcdb"):
+    """Shared oracle for all four lattices. ``expected`` = list of
+    (name, spark_type, nullable) the GENERATOR intended."""
+    import duckdb
+
+    t = transpile_ddl(
+        ddl,
+        dialect=dialect,
+        name_mapping={db: "lake_" + db},
+        type_overrides=type_overrides,
+    )
+    assert t.database == "lake_" + db
+    assert [(c.name, c.spark_type, c.nullable) for c in t.columns] == expected
+    assert not any(
+        "unparsed" in w or "unmapped" in w for w in t.warnings
+    ), t.warnings  # everything generated is in-corpus
+    for opt in head_warn:
+        assert any(opt in w for w in t.warnings), (opt, t.warnings)
+    if cluster is not None:
+        assert t.cluster_by == cluster
+    if partition is not None:
+        assert t.partition_by == partition
+
+    # Spark accepts the emitted DDL (parse only — no catalog writes)
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(t.spark_sql())
+    # and the schema string round-trips to the intended types
+    schema = spark.createDataFrame([], t.schema_ddl()).schema
+    got = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    assert got == [(n, ty.lower()) for n, ty, _ in expected]
+
+    # DuckDB expresses the same relation with agreeing column types
+    con = duckdb.connect()
+    cols = ", ".join(
+        f'"{c.name}" {_DUCK_TYPE.get(c.spark_type.split("(")[0], c.spark_type)}'
+        if "(" not in c.spark_type
+        else f'"{c.name}" {c.spark_type}'
+        for c in t.columns
+    )
+    con.execute(f"CREATE TABLE rt ({cols})")
+    info = con.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name='rt' ORDER BY ordinal_position"
+    ).fetchall()
+    for (name, duck_ty), (en, ety, _) in zip(info, expected):
+        want = ety if "(" in ety else _DUCK_TYPE.get(ety, ety)
+        assert name == en and duck_ty == want, (name, duck_ty, want)
+    con.close()
+
+
+@st.composite
+def _ident(draw, i):
+    return f"c{i}_" + draw(st.from_regex(r"[a-z][a-z0-9_]{0,5}", fullmatch=True))
+
+
+@st.composite
+def _td_type(draw):
+    kind = draw(st.sampled_from(
+        ["simple", "decimal", "number", "char", "varchar", "ts", "json", "varbyte"]
+    ))
+    if kind == "decimal":
+        p = draw(st.integers(1, 38)); s = draw(st.integers(0, p))
+        return f"DECIMAL({p},{s})", f"DECIMAL({p},{s})"
+    if kind == "number":
+        which = draw(st.integers(0, 2))
+        if which == 0:
+            return "NUMBER", "DECIMAL(38,0)"
+        p = draw(st.integers(1, 38))
+        if which == 1:
+            return f"NUMBER({p})", f"DECIMAL({p},0)"
+        s = draw(st.integers(0, p))
+        return f"NUMBER({p},{s})", f"DECIMAL({p},{s})"
+    if kind == "char":
+        return f"CHAR({draw(st.integers(1, 2048))})", "STRING"
+    if kind == "varchar":
+        return f"VARCHAR({draw(st.integers(1, 16000))})", "STRING"
+    if kind == "ts":
+        n = draw(st.integers(0, 6))
+        if draw(st.booleans()):
+            return f"TIMESTAMP({n}) WITH TIME ZONE", "TIMESTAMP"
+        return f"TIMESTAMP({n})", "TIMESTAMP_NTZ"
+    if kind == "json":
+        return f"JSON({draw(st.integers(1, 5000))})", "STRING"
+    if kind == "varbyte":
+        return f"VARBYTE({draw(st.integers(1, 1024))})", "BINARY"
+    return draw(st.sampled_from([
+        ("BYTEINT", "TINYINT"), ("SMALLINT", "SMALLINT"), ("INTEGER", "INT"),
+        ("BIGINT", "BIGINT"), ("FLOAT", "DOUBLE"), ("DATE", "DATE"),
+    ]))
+
+
+_TD_ATTRS = st.lists(
+    st.sampled_from([
+        "CHARACTER SET LATIN", "CHARACTER SET UNICODE", "NOT CASESPECIFIC",
+        "CASESPECIFIC", "FORMAT 'YYYY-MM-DD'", "TITLE 'freight, class'",
+        "COMPRESS", "COMPRESS 0", "DEFAULT NULL", "WITH DEFAULT",
+    ]),
+    max_size=3,
+    unique=True,
+)
+
+_TD_HEAD = st.lists(
+    st.sampled_from([
+        ("FALLBACK", ",FALLBACK"),
+        ("JOURNAL", ",\n NO BEFORE JOURNAL,\n NO AFTER JOURNAL"),
+        ("CHECKSUM", ",\n CHECKSUM = DEFAULT"),
+        ("MERGEBLOCKRATIO", ",\n DEFAULT MERGEBLOCKRATIO"),
+        ("MAP", ",\n MAP = TD_MAP1"),
+    ]),
+    max_size=5,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_transpile_teradata_lattice(spark, data):
+    ncols = data.draw(st.integers(1, 6))
+    cols, defs = [], []
+    for i in range(ncols):
+        name = data.draw(_ident(i))
+        src, spark_ty = data.draw(_td_type())
+        attrs = data.draw(_TD_ATTRS)
+        notnull = data.draw(st.booleans())
+        toks = list(attrs) + (["NOT NULL"] if notnull else [])
+        # NOT NULL may appear anywhere among the attributes (the corpus
+        # shows both "... LATIN NOT CASESPECIFIC NOT NULL" and
+        # "DECIMAL(13,13) DEFAULT NULL") — order must not matter
+        if notnull and toks:
+            pos = data.draw(st.integers(0, len(toks) - 1))
+            toks.remove("NOT NULL")
+            toks.insert(pos, "NOT NULL")
+        defs.append(f"{name} {src} {' '.join(toks)}".strip())
+        cols.append((name, spark_ty, not notnull))
+    head = data.draw(_TD_HEAD)
+    setm = data.draw(st.sampled_from(["SET ", "MULTISET ", ""]))
+    pidx = data.draw(st.one_of(st.none(), st.integers(1, ncols)))
+    tail = ""
+    cluster = []
+    if pidx:
+        cluster = [c[0] for c in cols[:pidx]]
+        uniq = "UNIQUE " if data.draw(st.booleans()) else ""
+        tail = f"\n{uniq}PRIMARY INDEX ( {' ,'.join(cluster)} )"
+    comment = "-- corpus header\n" if data.draw(st.booleans()) else ""
+    body = ",\n      ".join(defs)
+    heads = "".join(h[1] for h in head)
+    ddl = (
+        f"{comment}CREATE {setm}TABLE srcdb.t_prop {heads}\n"
+        f"     (\n      {body})\n{tail};"
+    )
+    _assert_transpiled(
+        spark, ddl, "teradata", cols,
+        head_warn=[h[0] for h in head], cluster=cluster,
+    )
+
+
+@st.composite
+def _ora_type(draw):
+    kind = draw(st.sampled_from(["varchar2", "number", "char", "clob", "date", "ts", "float"]))
+    if kind == "varchar2":
+        return f"VARCHAR2({draw(st.integers(1, 4000))})", "STRING"
+    if kind == "number":
+        which = draw(st.integers(0, 2))
+        if which == 0:
+            return "NUMBER", "DECIMAL(38,0)"
+        p = draw(st.integers(1, 38))
+        if which == 1:
+            return f"NUMBER({p})", f"DECIMAL({p},0)"
+        s = draw(st.integers(0, p))
+        return f"NUMBER({p},{s})", f"DECIMAL({p},{s})"
+    if kind == "char":
+        return f"CHAR({draw(st.integers(1, 255))})", "STRING"
+    if kind == "clob":
+        return "CLOB", "STRING"
+    if kind == "date":
+        return "DATE", "DATE"
+    if kind == "ts":
+        return f"TIMESTAMP({draw(st.integers(0, 9))})", "TIMESTAMP_NTZ"
+    return "FLOAT", "DOUBLE"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_transpile_oracle_lattice(spark, data):
+    ncols = data.draw(st.integers(1, 6))
+    cols, defs = [], []
+    for i in range(ncols):
+        name = data.draw(_ident(i))
+        src, spark_ty = data.draw(_ora_type())
+        notnull = data.draw(st.booleans())
+        named = data.draw(st.booleans())  # inline named constraint form
+        default = data.draw(st.sampled_from(["", " DEFAULT 'abc'", " DEFAULT 0"]))
+        nn = (
+            f" CONSTRAINT {name}_nn NOT NULL" if notnull and named
+            else (" NOT NULL" if notnull else "")
+        )
+        defs.append(f"{name} {src}{default}{nn}")
+        cols.append((name, spark_ty, not notnull))
+    body = ",\n  ".join(defs)
+    ddl = f"CREATE TABLE srcdb.ora_prop (\n  {body}\n);"
+    _assert_transpiled(spark, ddl, "oracle", cols)
+
+
+@st.composite
+def _rs_type(draw):
+    return draw(st.sampled_from([
+        ("character varying(256)", "STRING"), ("INTEGER", "INT"),
+        ("BIGINT", "BIGINT"), ("DOUBLE PRECISION", "DOUBLE"),
+        ("BOOLEAN", "BOOLEAN"), ("TIMESTAMP", "TIMESTAMP_NTZ"),
+        ("DATE", "DATE"),
+    ]) | st.builds(
+        lambda p, s: (f"DECIMAL({p},{min(s, p)})", f"DECIMAL({p},{min(s, p)})"),
+        st.integers(1, 38), st.integers(0, 38),
+    ))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_transpile_redshift_lattice(spark, data):
+    ncols = data.draw(st.integers(1, 6))
+    cols, defs = [], []
+    for i in range(ncols):
+        name = data.draw(_ident(i))
+        src, spark_ty = data.draw(_rs_type())
+        attrs = data.draw(st.lists(
+            st.sampled_from(["ENCODE lzo", "ENCODE az64", "IDENTITY(1,1)", "DISTKEY"]),
+            max_size=2, unique=True,
+        ))
+        notnull = data.draw(st.booleans())
+        toks = list(attrs) + (["NOT NULL"] if notnull else [])
+        defs.append(f"{name} {src} {' '.join(toks)}".strip())
+        cols.append((name, spark_ty, not notnull))
+    nsort = data.draw(st.one_of(st.none(), st.integers(1, ncols)))
+    sort_cols = [c[0] for c in cols[:nsort]] if nsort else []
+    tail = f"\nDISTSTYLE KEY\nCOMPOUND SORTKEY({', '.join(sort_cols)})" if nsort else ""
+    body = ",\n  ".join(defs)
+    ddl = f"CREATE TABLE srcdb.rs_prop (\n  {body}\n){tail};"
+    _assert_transpiled(
+        spark, ddl, "redshift", cols,
+        head_warn=["DISTSTYLE"] if nsort else (), cluster=sort_cols,
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_transpile_hive_lattice(spark, data):
+    ncols = data.draw(st.integers(1, 6))
+    cols, defs = [], []
+    for i in range(ncols):
+        name = data.draw(_ident(i))
+        src, spark_ty = data.draw(st.sampled_from([
+            ("STRING", "STRING"), ("DOUBLE", "DOUBLE"), ("INT", "INT"),
+            ("BIGINT", "BIGINT"), ("BOOLEAN", "BOOLEAN"),
+            ("datetime", "TIMESTAMP"),  # global_typeconvert override
+            ("DECIMAL(12,2)", "DECIMAL(12,2)"),
+        ]))
+        tick = data.draw(st.booleans())
+        defs.append(f"`{name}` {src}" if tick else f"{name} {src}")
+        cols.append((name, spark_ty, True))
+    part = data.draw(st.booleans())
+    tail = ""
+    if part:
+        tail += "\nPARTITIONED BY (ds STRING, hr INT)"
+    tail += "\nSTORED AS PARQUET\nLOCATION '/lake/t_hive'"
+    if data.draw(st.booleans()):
+        tail += "\nTBLPROPERTIES ('orc.compress'='SNAPPY')"
+    body = ",\n  ".join(defs)
+    ddl = f"CREATE TABLE `srcdb`.`hive_prop` (\n  {body}\n){tail};"
+    _assert_transpiled(
+        spark, ddl, "hive", cols,
+        type_overrides={"datetime": "TIMESTAMP"},
+        head_warn=["STORED AS", "LOCATION"],
+        partition=["ds", "hr"] if part else [],
+    )
