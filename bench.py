@@ -65,7 +65,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
 
-    timings: dict[str, float | None] = {}
+    # Per-query timing SAMPLES, each tagged with the canary segment it
+    # ran inside: samples[name] = [(seconds or None, segment), ...].
+    # Segment k spans the interval between canary samples k and k+1.
+    samples: dict[str, list[tuple[float | None, int]]] = {}
     errors: dict[str, str] = {}
     canary: list[float] = []
 
@@ -78,12 +81,56 @@ def main() -> None:
         artifact could prove it; a canary sample far above the artifact
         family's historical band (idle ≈ 0.2-0.4 s warm on this
         32-thread box) adjudicates that without a re-run. Keep the job
-        literal frozen — comparability across rounds is the point."""
+        literal frozen — comparability across rounds is the point.
+
+        Since r9 the canary ACTS instead of just recording (VERDICT r8
+        ask #2): samples bracket ~35-query segments, a segment whose
+        bracketing samples exceed 2× the run's floor is CONTENDED, and
+        a query whose every timing landed in contended segments gets
+        re-run in a remediation pass — or, failing that, a
+        ``"suspect"`` flag in the payload so no inflated number is ever
+        published as clean again."""
         t0 = time.time()
         spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
         canary.append(round(time.time() - t0, 3))
 
+    CANARY_EVERY = 35  # queries per segment; ~0.3 s sample cost each
+
+    def _floor() -> float:
+        return min(canary) if canary else 0.3
+
+    def _clean_segments() -> set[int]:
+        """Segments whose bracketing canary samples are both within 2×
+        the run's observed floor. The floor is the min over ALL samples
+        (post-hoc), so late-run idleness retroactively tightens the
+        judgment of early segments too."""
+        thr = 2.0 * max(_floor(), 0.15)
+        return {
+            k
+            for k in range(len(canary) - 1)
+            if canary[k] <= thr and canary[k + 1] <= thr
+        }
+
+    def _resolve() -> tuple[dict[str, float | None], list[str]]:
+        """Collapse samples to per-query timings + the suspect list.
+        The recorded value is min over all samples (contention only
+        inflates, so the min is the best estimate either way); a query
+        is SUSPECT when none of its samples ran in a clean segment —
+        its min is still possibly inflated."""
+        clean = _clean_segments()
+        timings: dict[str, float | None] = {}
+        suspect: list[str] = []
+        for name, ss in samples.items():
+            vals = [t for t, _ in ss if t is not None]
+            timings[name] = min(vals) if vals else None
+            if vals and not any(
+                seg in clean for t, seg in ss if t is not None
+            ):
+                suspect.append(name)
+        return timings, sorted(suspect)
+
     def _payload() -> str:
+        timings, suspect = _resolve()
         total = round(sum(v for v in timings.values() if v is not None), 3)
         body = {
             "metric": "headline_queries_total_wall",
@@ -94,34 +141,39 @@ def main() -> None:
             "canary": {
                 "job": "range(200e6) sum(id % 97), local[$SPARK_GRAFT_CPUS]",
                 "samples": canary,
-                "min": min(canary) if canary else None,
+                "min": _floor() if canary else None,
+                "threshold": round(2.0 * max(_floor(), 0.15), 3)
+                if canary
+                else None,
             },
         }
+        if suspect:
+            body["suspect"] = suspect
         if errors:
             body["errors"] = errors
         return json.dumps(body)
 
-    # warm the canary's own codegen (first execution costs ~3 s of
-    # one-time compile that would mask the contention signal), then
-    # sample the JVM-warm contention floor
-    spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
-    _canary_sample()
-    for _pass in range(2):
-        for name, qdef in QUERIES.items():
+    def _run_pass(names: list[str]) -> None:
+        """Time one pass over ``names``, sampling the canary every
+        CANARY_EVERY queries so contention is attributed at segment
+        grain, not pass grain (a load spike mid-pass taints ~35
+        queries, not ~172)."""
+        since_canary = 0
+        for name in names:
+            qdef = QUERIES[name]
+            seg = len(canary) - 1  # current open segment
             t0 = time.time()
             try:
                 df = qdef.builder(spark, sf_dir)
                 df.count()
             except Exception as exc:  # noqa: BLE001 — record, keep going
-                if timings.get(name) is None:
-                    timings[name] = None
+                samples.setdefault(name, []).append((None, seg))
+                if not any(t is not None for t, _ in samples[name]):
                     errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             else:
                 elapsed = round(time.time() - t0, 3)
-                prev = timings.get(name)
-                if prev is None or elapsed < prev:
-                    timings[name] = elapsed
-                    errors.pop(name, None)
+                samples.setdefault(name, []).append((elapsed, seg))
+                errors.pop(name, None)
             # Iterative queries leave localCheckpoint blocks behind;
             # their JVM-side cleanup (ContextCleaner) only fires once
             # the Python references are collected. Without this, block
@@ -131,8 +183,31 @@ def main() -> None:
             gc.collect()
             with open(sidecar, "w") as fh:
                 fh.write(_payload() + "\n")
+            since_canary += 1
+            if since_canary >= CANARY_EVERY:
+                _canary_sample()
+                since_canary = 0
         spark._jvm.System.gc()
-        _canary_sample()  # end of each pass: contention drift check
+        _canary_sample()  # close the pass's last segment
+
+    # warm the canary's own codegen (first execution costs ~3 s of
+    # one-time compile that would mask the contention signal), then
+    # sample the JVM-warm contention floor
+    spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
+    _canary_sample()
+    all_names = list(QUERIES)
+    for _pass in range(2):
+        _run_pass(all_names)
+
+    # Remediation: re-run queries that never got a clean-segment sample
+    # (up to 2 extra passes — bounded so a persistently-loaded box still
+    # terminates; whatever remains carries the suspect flag).
+    for _retry in range(2):
+        _, suspect = _resolve()
+        suspect = [n for n in suspect if n in QUERIES]
+        if not suspect:
+            break
+        _run_pass(suspect)
 
     payload = _payload()
     with open(sidecar, "w") as fh:
