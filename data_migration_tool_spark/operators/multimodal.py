@@ -1,13 +1,16 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-Image (BMP 24-bit), audio (WAV PCM16), and video (uncompressed RIFF AVI
-with raw BGR24 '00db' frames) decoding is REAL: the parsers below read
-the container headers and pixel/sample/frame payloads with struct+numpy
-— no codec library needed. Compressed video codecs (H.264 etc.) remain
-out of scope in this environment (no ffmpeg): such blobs fall through
-to null decoded fields plus content hash/byte length, and swapping in a
-codec library changes only ``decode_media``'s fallback branch.
+Image (BMP 24-bit AND baseline JPEG — the pure-numpy codec in
+``operators/jpeg.py``, r9), audio (WAV PCM16), and video (uncompressed
+RIFF AVI with raw BGR24 '00db' frames) decoding is REAL: the parsers
+read the container headers and pixel/sample/frame payloads with
+struct+numpy — no codec library needed, including the JPEG entropy
+decode. Remaining compressed codecs (MP3, H.264, progressive JPEG)
+stay out of scope in this environment (no ffmpeg): such blobs fall
+through to null decoded fields plus content hash/byte length, and
+swapping in a codec library changes only ``decode_media``'s fallback
+branch.
 
 Scale: mapInPandas streams Arrow record batches, so executors hold one
 batch of media blobs at a time; set
@@ -291,12 +294,42 @@ def _decode_avi(content: bytes) -> dict | None:
     return out
 
 
+def _decode_jpeg(content: bytes) -> dict | None:
+    """Baseline JPEG via the pure-numpy codec (``operators/jpeg.py``,
+    r9 — the first COMPRESSED container with a real decode lane).
+    ``mean_luma`` is the Rec.601 luma mean of the decoded pixels (for
+    the repo's grayscale BMPs, identical to the all-channel mean the
+    BMP parser reports). Progressive/arithmetic/12-bit streams return
+    None → the disclosed null branch below, as before."""
+    if len(content) < 3 or content[:3] != b"\xff\xd8\xff":
+        return None
+    from data_migration_tool_spark.operators.jpeg import decode_jpeg
+
+    px = decode_jpeg(content)
+    if px is None:
+        return None
+    if px.ndim == 2:
+        luma = px.astype(np.float64)
+        nch = 1
+    else:
+        rgb = px.astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        nch = 3
+    out = dict(_NULL_DECODE)
+    out.update(
+        width=int(px.shape[1]), height=int(px.shape[0]),
+        n_channels=nch, mean_luma=float(luma.mean()),
+    )
+    return out
+
+
 def decode_media(content: bytes) -> dict:
-    """Dispatch on magic bytes (BMP / WAV / uncompressed AVI); unknown
-    containers (compressed codecs — no ffmpeg in this env) fall through
-    to all-null decoded fields — the disclosed stub branch."""
+    """Dispatch on magic bytes (BMP / WAV / uncompressed AVI / baseline
+    JPEG); remaining unknown containers (MP3, H.264 — no ffmpeg in this
+    env) fall through to all-null decoded fields — the disclosed stub
+    branch."""
     content = content or b""
-    for parser in (_decode_bmp, _decode_wav, _decode_avi):
+    for parser in (_decode_bmp, _decode_wav, _decode_avi, _decode_jpeg):
         out = parser(content)
         if out is not None:
             return out

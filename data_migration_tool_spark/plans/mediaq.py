@@ -284,3 +284,77 @@ SELECT doc_id AS media_id,
                   / CAST(len(s) AS DOUBLE)), 6) AS rms
 FROM vals
 """
+
+
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container decode under the exact-hash gate (r9).
+
+    Every document becomes a real baseline JPEG (the pure-numpy codec,
+    ``operators/jpeg.py``): 32×16 grayscale, quality 100, one constant
+    value per 8×8 tile, v(bx,by) = (doc_id·37 + bx·11 + by·29) % 256.
+    At unit quantization a constant tile is DC-only and round-trips
+    BIT-EXACTLY (the 4×2 tile grid still exercises differential-DC
+    prediction, Huffman coding, and byte stuffing; every 5th image adds
+    DRI/RST resync, which is lossless by construction), so the DuckDB
+    oracle can predict the DECODED mean luma analytically: Σv/8, exact
+    in double (denominator a power of two). Encoder, entropy decoder,
+    and oracle are three independent code paths — a hash PASS certifies
+    a genuine JPEG parse, not a shared stub. The lossy general case
+    (gradients, noise, 4:2:0, low quality) is bounded in
+    tests/test_jpeg.py; THIS query pins the exact lane officially.
+
+    Scale shape: same as media_feature_extract — encode and decode are
+    Arrow-batched mapInPandas stages; dedup-before-decode keys on the
+    content hash so duplicate blobs decode once."""
+    from data_migration_tool_spark.operators.jpeg import encode_jpeg
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tiles = np.fromfunction(
+                    lambda by, bx: (i * 37 + bx * 11 + by * 29) % 256, (2, 4)
+                )
+                px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                blobs.append(
+                    encode_jpeg(
+                        px.astype(np.uint8),
+                        quality=100,
+                        restart_interval=1 if i % 5 == 0 else 0,
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
+            )
+
+    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+    )
+
+
+MEDIA_JPEG_DECODE_SQL = """
+WITH tiles AS (
+  SELECT doc_id,
+         (doc_id * 37 + bx * 11 + by * 29) % 256 AS v
+  FROM documents, unnest(range(4)) AS tx(bx), unnest(range(2)) AS ty(by)
+)
+SELECT doc_id AS media_id,
+       CAST(32 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / 8 AS mean_luma
+FROM tiles
+GROUP BY doc_id
+"""

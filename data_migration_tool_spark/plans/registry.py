@@ -429,6 +429,12 @@ _DEFS: list[QueryDef] = [
         "media_frame_luma", MQ.media_frame_luma, MQ.MEDIA_FRAME_LUMA_SQL, ("media",)
     ),
     QueryDef(
+        "media_jpeg_decode",
+        MQ.media_jpeg_decode,
+        MQ.MEDIA_JPEG_DECODE_SQL,
+        ("media", "jpeg", "codec"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -816,17 +822,19 @@ _DEFS: list[QueryDef] = [
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
 # fails unless every pending query holds a scored slot (this round:
-# none — every oracle-backed query has a green official row);
+# only the new media_jpeg_decode — the JPEG codec's exact lane);
 # (b) oldest-official-row-first: all 24 queries whose latest row is r5
 # (the cohort deferred from r8 per the ledger, media_frame_luma
-# included), then the first-listed 26 of the 49 r6-row queries (the
-# other 23 re-seat in r10); (c) no rows-only query occupies a scored
-# slot. The exact-lane overflow guards added this round
+# included), then the first-listed 25 of the 49 r6-row queries (the
+# other 24, doc_filter_funnel now among them, re-seat in r10); (c) no
+# rows-only query occupies a scored slot. The exact-lane overflow guards added this round
 # (_pca_int64_guard, quantize_vec domain assert) are value-identity at
 # gate scale, but embedding_pca_power_exact/power2/ivf_trained_topk are
 # deliberately NOT re-seated on their strength alone — the guards don't
 # change plan output; their boundary behavior is pytest-pinned instead.
 _PRIORITY: tuple[str, ...] = (
+    # -- never-officially-checked: pending leads --
+    "media_jpeg_decode",
     # -- latest official row r5 (all 24 owed, r8's deferred cohort) --
     "bpe_merges_train",
     "corpus_bigram_topk",
@@ -852,7 +860,7 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_topk",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r6: first 26 of 49 (rest re-seat in r10) --
+    # -- latest official row r6: first 25 of 49 (rest re-seat in r10) --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -878,7 +886,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_stream_user_quota",
     "events_stream_view_purchase_join",
     "emb_dup_clusters",
-    "doc_filter_funnel",
+    # doc_filter_funnel yielded its slot to the new media_jpeg_decode;
+    # it re-seats in r10 with the other 24 r6-row queries
 )
 
 
