@@ -124,3 +124,68 @@ def test_decode_media_dispatch_jpeg(spark):
     assert d3["n_channels"] == 3
     assert d3["mean_luma"] == pytest.approx(76.2, abs=3.0)
     assert MM.decode_media(b"\x00\x01\x02")["width"] is None
+
+
+def test_jpeg_round_trip_property():
+    """Hypothesis sweep over the codec's parameter lattice: random
+    dimensions (including sub-block 1..7 edges), quality, gray/color,
+    4:4:4/4:2:0, restart intervals, and content classes. Invariants:
+    decode never fails on our own output, shape/dtype round-trip, and
+    for SMOOTH content at quality ≥ 80 the error stays within a small
+    bound (lossiness is content- and quality-dependent; the property
+    pins the geometry paths, the fixed tests above pin error bounds
+    per class)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=40, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        quality=st.integers(1, 100),
+        color=st.booleans(),
+        subsample=st.booleans(),
+        restart=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, quality, color, subsample, restart, seed):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        img = (
+            np.stack([base, 255 - base, base // 2], axis=-1) if color else base
+        )
+        data = encode_jpeg(
+            img, quality=quality, subsample=subsample, restart_interval=restart
+        )
+        assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+        out = decode_jpeg(data)
+        assert out is not None and out.shape == img.shape
+        assert out.dtype == np.uint8
+        # constant image (DC-only blocks): error bounded by the DC
+        # quantization step at this quality — half a step of q00/8 in
+        # pixel units (+1 for the final round). Exact at quality 100
+        # (unit quant), up to ~±16 at quality 1 (q00 = 255) — which the
+        # first draft of this property wrongly claimed was ≤1; the
+        # hypothesis sweep found the q=1 counterexample immediately.
+        from data_migration_tool_spark.operators.jpeg import (
+            _Q_CHROMA,
+            _Q_LUMA,
+            _scaled_quant,
+        )
+
+        q00 = max(
+            int(_scaled_quant(_Q_LUMA, quality)[0, 0]),
+            int(_scaled_quant(_Q_CHROMA, quality)[0, 0]) if color else 0,
+        )
+        bound = q00 / 16 + 1
+        flat = np.full_like(img, 137)
+        oflat = decode_jpeg(
+            encode_jpeg(flat, quality=quality, subsample=subsample,
+                        restart_interval=restart)
+        )
+        assert np.abs(oflat.astype(int) - 137).max() <= bound
+
+    run()
