@@ -323,13 +323,41 @@ def _decode_jpeg(content: bytes) -> dict | None:
     return out
 
 
+def _decode_png(content: bytes) -> dict | None:
+    """PNG via the stdlib-zlib codec (``operators/png.py``, r9 — the
+    lossless compressed lane). Same ``mean_luma`` convention as the
+    JPEG parser: Rec.601 over decoded pixels, identical to the plain
+    mean for grayscale. Palette/alpha/16-bit/interlaced return None →
+    the disclosed null branch."""
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    from data_migration_tool_spark.operators.png import decode_png
+
+    px = decode_png(content)
+    if px is None:
+        return None
+    if px.ndim == 2:
+        luma = px.astype(np.float64)
+        nch = 1
+    else:
+        rgb = px.astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        nch = 3
+    out = dict(_NULL_DECODE)
+    out.update(
+        width=int(px.shape[1]), height=int(px.shape[0]),
+        n_channels=nch, mean_luma=float(luma.mean()),
+    )
+    return out
+
+
 def decode_media(content: bytes) -> dict:
     """Dispatch on magic bytes (BMP / WAV / uncompressed AVI / baseline
-    JPEG); remaining unknown containers (MP3, H.264 — no ffmpeg in this
-    env) fall through to all-null decoded fields — the disclosed stub
-    branch."""
+    JPEG / PNG); remaining unknown containers (MP3, H.264 — no ffmpeg
+    in this env) fall through to all-null decoded fields — the
+    disclosed stub branch."""
     content = content or b""
-    for parser in (_decode_bmp, _decode_wav, _decode_avi, _decode_jpeg):
+    for parser in (_decode_bmp, _decode_wav, _decode_avi, _decode_jpeg, _decode_png):
         out = parser(content)
         if out is not None:
             return out

@@ -358,3 +358,66 @@ SELECT doc_id AS media_id,
 FROM tiles
 GROUP BY doc_id
 """
+
+
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS compressed-container decode under the exact-hash gate
+    (r9, the stronger sibling of ``media_jpeg_decode``): every document
+    becomes a real PNG (``operators/png.py`` — zlib inflate, chunk CRC
+    verification, all five row filters in play via the encoder's
+    min-SAD heuristic) of 24×16 grayscale pixels
+    v(x,y) = (doc_id·31 + x·7 + y·13) % 256 — ARBITRARY per-pixel
+    content, not constant tiles, because PNG round-trips bit-exactly by
+    definition. The DuckDB oracle recomputes the decoded mean
+    analytically: Σv / 384, one correctly-rounded double division of an
+    exact integer sum on both engines. Grayscale deliberately: an RGB
+    mean would fold Rec.601 float products in engine-specific order
+    (the house float-aggregation rule); the RGB lane is pytest-pinned
+    instead (tests/test_png.py).
+
+    Scale shape: identical to the other media queries — Arrow-batched
+    encode and decode stages, dedup-before-decode on content hash."""
+    from data_migration_tool_spark.operators.png import encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                y, x = np.mgrid[0:16, 0:24]
+                px = ((i * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+                blobs.append(encode_png(px))
+                ids.append(i)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
+            )
+
+    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+    )
+
+
+MEDIA_PNG_DECODE_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+  FROM documents, unnest(range(24)) AS tx(x), unnest(range(16)) AS ty(y)
+)
+SELECT doc_id AS media_id,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / 384 AS mean_luma
+FROM px
+GROUP BY doc_id
+"""

@@ -435,6 +435,12 @@ _DEFS: list[QueryDef] = [
         ("media", "jpeg", "codec"),
     ),
     QueryDef(
+        "media_png_decode",
+        MQ.media_png_decode,
+        MQ.MEDIA_PNG_DECODE_SQL,
+        ("media", "png", "codec"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -822,11 +828,13 @@ _DEFS: list[QueryDef] = [
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
 # fails unless every pending query holds a scored slot (this round:
-# only the new media_jpeg_decode — the JPEG codec's exact lane);
+# the new media_jpeg_decode and media_png_decode — the two codec
+# exact lanes);
 # (b) oldest-official-row-first: all 24 queries whose latest row is r5
 # (the cohort deferred from r8 per the ledger, media_frame_luma
-# included), then the first-listed 25 of the 49 r6-row queries (the
-# other 24, doc_filter_funnel now among them, re-seat in r10); (c) no
+# included), then the first-listed 24 of the 49 r6-row queries (the
+# other 25, emb_dup_clusters and doc_filter_funnel now among them,
+# re-seat in r10); (c) no
 # rows-only query occupies a scored slot. The exact-lane overflow guards added this round
 # (_pca_int64_guard, quantize_vec domain assert) are value-identity at
 # gate scale, but embedding_pca_power_exact/power2/ivf_trained_topk are
@@ -835,6 +843,7 @@ _DEFS: list[QueryDef] = [
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "media_jpeg_decode",
+    "media_png_decode",
     # -- latest official row r5 (all 24 owed, r8's deferred cohort) --
     "bpe_merges_train",
     "corpus_bigram_topk",
@@ -885,9 +894,9 @@ _PRIORITY: tuple[str, ...] = (
     "dvt_labels_rollup",
     "events_stream_user_quota",
     "events_stream_view_purchase_join",
-    "emb_dup_clusters",
-    # doc_filter_funnel yielded its slot to the new media_jpeg_decode;
-    # it re-seats in r10 with the other 24 r6-row queries
+    # emb_dup_clusters and doc_filter_funnel yielded their slots to the
+    # two new codec queries (media_jpeg_decode / media_png_decode);
+    # they re-seat in r10 with the other 23 r6-row queries
 )
 
 

@@ -1,0 +1,98 @@
+"""PNG codec (operators/png.py, r9): lossless, so round trips assert
+EXACT equality — the strongest contract in the multimodal lane. The
+encoder's min-SAD filter heuristic and the decoder's five unfilter
+paths are independent code; CRC verification is checked by corruption.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from data_migration_tool_spark.operators.png import decode_png, encode_png
+
+
+def test_exact_round_trip_property():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        h=st.integers(1, 48),
+        w=st.integers(1, 48),
+        color=st.booleans(),
+        smooth=st.booleans(),
+        level=st.integers(0, 9),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, color, smooth, level, seed):
+        rng = np.random.default_rng(seed)
+        if smooth:  # gradient content drives Sub/Up/Avg/Paeth filters
+            y, x = np.mgrid[0:h, 0:w]
+            base = ((x * 3 + y * 5 + seed) % 256).astype(np.uint8)
+        else:  # noise content drives the None filter
+            base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        img = np.stack([base, 255 - base, base // 2], axis=-1) if color else base
+        out = decode_png(encode_png(img, level=level))
+        assert np.array_equal(out, img)  # LOSSLESS: bit-exact, no bounds
+
+    run()
+
+
+def test_filter_diversity_and_crc():
+    """The encoder's heuristic must actually use more than one filter
+    type on mixed content, and one flipped payload byte must fail the
+    chunk CRC (decode → None, never garbage pixels)."""
+    y, x = np.mgrid[0:30, 0:40]
+    smooth = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    rng = np.random.default_rng(0)
+    mixed = smooth.copy()
+    mixed[15:] = rng.integers(0, 256, (15, 40), dtype=np.uint8)
+    data = encode_png(mixed)
+    pos, idat = 8, b""
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    filters = {raw[i * 41] for i in range(30)}
+    assert len(filters) >= 2, filters
+    assert np.array_equal(decode_png(data), mixed)
+    bad = bytearray(data)
+    bad[40] ^= 0x5A
+    assert decode_png(bytes(bad)) is None
+
+
+def test_rejects_unsupported_forms():
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # magic only
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_png(img))
+    # rebrand IHDR as 16-bit depth: must refuse (CRC re-stamped so the
+    # depth check itself is what rejects it)
+    ihdr_at = 8 + 8
+    payload = bytearray(data[ihdr_at : ihdr_at + 13])
+    payload[8] = 16
+    crc = zlib.crc32(b"IHDR" + bytes(payload)) & 0xFFFFFFFF
+    data[ihdr_at : ihdr_at + 13] = payload
+    struct.pack_into(">I", data, ihdr_at + 13, crc)
+    assert decode_png(bytes(data)) is None
+
+
+def test_decode_media_dispatch_png(spark):
+    from data_migration_tool_spark.operators import multimodal as MM
+
+    gray = np.full((10, 12), 200, dtype=np.uint8)
+    d = MM.decode_media(encode_png(gray))
+    assert (d["width"], d["height"], d["n_channels"]) == (12, 10, 1)
+    assert d["mean_luma"] == pytest.approx(200.0)  # lossless: exact
+    rgb = np.zeros((6, 6, 3), dtype=np.uint8)
+    rgb[..., 2] = 255  # pure blue: Rec.601 luma 29.07
+    d3 = MM.decode_media(encode_png(rgb))
+    assert d3["n_channels"] == 3
+    assert d3["mean_luma"] == pytest.approx(0.114 * 255)
