@@ -96,6 +96,12 @@ def main() -> None:
 
     CANARY_EVERY = 35  # queries per segment; ~0.3 s sample cost each
 
+    IDLE_FLOOR = 0.25  # this box's idle warm canary band is 0.2-0.4 s
+    # at local[32]; a single unusually fast sample must not set a
+    # threshold below the band's natural ceiling (observed: floor
+    # 0.147 → threshold 0.29 < typical idle 0.35 → every segment
+    # "contended" on a genuinely idle machine — mass false suspects)
+
     def _floor() -> float:
         return min(canary) if canary else 0.3
 
@@ -104,7 +110,7 @@ def main() -> None:
         the run's observed floor. The floor is the min over ALL samples
         (post-hoc), so late-run idleness retroactively tightens the
         judgment of early segments too."""
-        thr = 2.0 * max(_floor(), 0.15)
+        thr = 2.0 * max(_floor(), IDLE_FLOOR)
         return {
             k
             for k in range(len(canary) - 1)
@@ -142,7 +148,7 @@ def main() -> None:
                 "job": "range(200e6) sum(id % 97), local[$SPARK_GRAFT_CPUS]",
                 "samples": canary,
                 "min": _floor() if canary else None,
-                "threshold": round(2.0 * max(_floor(), 0.15), 3)
+                "threshold": round(2.0 * max(_floor(), IDLE_FLOOR), 3)
                 if canary
                 else None,
             },
