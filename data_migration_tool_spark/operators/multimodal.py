@@ -604,6 +604,130 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def decode_image_array(content: bytes) -> np.ndarray | None:
+    """Pixel array ((H, W) gray or (H, W, 3) RGB uint8, logical
+    top-down orientation) from any image container this lane decodes —
+    BMP 24-bit, baseline JPEG, PNG. ``None`` for everything else. The
+    format-bridging primitive under :func:`transcode_images`."""
+    content = content or b""
+    if len(content) >= 54 and content[:2] == b"BM":
+        offset = struct.unpack_from("<I", content, 10)[0]
+        w = struct.unpack_from("<i", content, 18)[0]
+        h = struct.unpack_from("<i", content, 22)[0]
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        comp = struct.unpack_from("<I", content, 30)[0]
+        n_rows = abs(h)
+        row_size = (3 * w + 3) // 4 * 4
+        if (
+            bpp != 24 or comp != 0 or w <= 0 or h == 0
+            or offset + row_size * n_rows > len(content)
+        ):
+            return None
+        arr = np.frombuffer(
+            content, np.uint8, count=row_size * n_rows, offset=offset
+        ).reshape(n_rows, row_size)
+        px = arr[:, : 3 * w].reshape(n_rows, w, 3)
+        logical = px[::-1] if h > 0 else px  # undo bottom-up storage
+        return logical[:, :, ::-1].copy()  # BGR → RGB
+    if content[:3] == b"\xff\xd8\xff":
+        from data_migration_tool_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from data_migration_tool_spark.operators.png import decode_png
+
+        return decode_png(content)
+    return None
+
+
+def _block_mean(px: np.ndarray, factor: int) -> np.ndarray:
+    """factor×factor block mean with FLOOR division (exact integer
+    arithmetic — no float accumulation), edge-replicated to a multiple
+    of ``factor`` first so border pixels keep their weight."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    pad_h, pad_w = -h % factor, -w % factor
+    px = np.pad(px, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    hh, ww = px.shape[0] // factor, px.shape[1] // factor
+    sums = (
+        px.astype(np.int64)
+        .reshape(hh, factor, ww, factor, c)
+        .sum(axis=(1, 3))
+    )
+    out = (sums // (factor * factor)).astype(np.uint8)
+    return out[:, :, 0] if c == 1 else out
+
+
+def transcode_images(
+    media: DataFrame, factor: int = 2, out_format: str = "png"
+) -> DataFrame:
+    """Format-bridging image preprocessing: decode ANY supported
+    container (BMP/JPEG/PNG), downscale by ``factor`` with exact
+    integer block means, re-encode as ``out_format`` ("png" lossless,
+    or "jpeg") — the normalize-the-corpus stage of a vision-data
+    pipeline (mixed crawl formats → one training format at thumbnail
+    resolution). Undecodable blobs pass through with null outputs
+    (disclosed, filterable) rather than failing the batch.
+
+    Output per media row: ``content_sha``, input dims, output dims,
+    ``out_bytes``, and the transcoded blob itself (binary). Same
+    dedup-before-decode shape as the rest of the lane: distinct blobs
+    transcode once, results broadcast-join back by content hash. At
+    100 TB the recompression cost is per DISTINCT image and
+    embarrassingly parallel; Arrow batches bound executor memory."""
+    if out_format not in ("png", "jpeg"):
+        raise ValueError(f"unsupported out_format {out_format!r}")
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
+        ["content_sha"]
+    )
+
+    def _one(content: bytes) -> tuple:
+        px = decode_image_array(content)
+        if px is None:
+            return (None, None, None, None, None, None)
+        down = _block_mean(px, factor)
+        if out_format == "png":
+            from data_migration_tool_spark.operators.png import encode_png
+
+            blob = encode_png(down)
+        else:
+            from data_migration_tool_spark.operators.jpeg import encode_jpeg
+
+            blob = encode_jpeg(down)
+        return (
+            int(px.shape[1]), int(px.shape[0]),
+            int(down.shape[1]), int(down.shape[0]),
+            len(blob), blob,
+        )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "content_sha": pdf["content_sha"].values,
+                    "in_w": pd.array([r[0] for r in recs], dtype="Int32"),
+                    "in_h": pd.array([r[1] for r in recs], dtype="Int32"),
+                    "out_w": pd.array([r[2] for r in recs], dtype="Int32"),
+                    "out_h": pd.array([r[3] for r in recs], dtype="Int32"),
+                    "out_bytes": pd.array([r[4] for r in recs], dtype="Int64"),
+                    "out_content": [r[5] for r in recs],
+                }
+            )
+
+    done = distinct_blobs.mapInPandas(
+        dec,
+        "content_sha string, in_w int, in_h int, out_w int, out_h int, "
+        "out_bytes long, out_content binary",
+    )
+    # Plain (shuffled) join, like the rest of the lane: the transcoded
+    # side carries blob payloads and is corpus-sized — broadcasting it
+    # would ship every output image to every executor.
+    return hashed.select("media_id", "content_sha").join(done, "content_sha")
+
+
 def frame_audio(media: DataFrame, frame_size: int = 8) -> DataFrame:
     """Frame the PCM payload of WAV blobs into fixed-size windows and
     report per-frame energy — the framing primitive under VAD /

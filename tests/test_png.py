@@ -96,3 +96,58 @@ def test_decode_media_dispatch_png(spark):
     d3 = MM.decode_media(encode_png(rgb))
     assert d3["n_channels"] == 3
     assert d3["mean_luma"] == pytest.approx(0.114 * 255)
+
+
+def test_transcode_images_bridges_formats(spark):
+    """transcode_images normalizes a mixed-format image corpus
+    (BMP + JPEG + PNG) to downscaled PNGs: exact block-mean pixels for
+    the lossless inputs, bounded error for JPEG, nulls (not failures)
+    for undecodable blobs, and duplicate blobs transcoded once."""
+    from data_migration_tool_spark.operators import multimodal as MM
+    from data_migration_tool_spark.operators.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:12, 0:16]
+    gray = ((x * 9 + y * 5) % 256).astype(np.uint8)
+    bmp = MM.encode_bmp(16, 12, lambda px_, py_: (px_ * 9 + py_ * 5) % 256)
+    jpg = encode_jpeg(gray, quality=95)
+    png = encode_png(gray)
+    rows = [
+        (0, "image", bmp, None),
+        (1, "image", jpg, None),
+        (2, "image", png, None),
+        (3, "image", png, None),     # duplicate blob of 2
+        (4, "image", b"\x00garbage", None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in MM.transcode_images(media, factor=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    expected = MM._block_mean(gray, 2)
+    for mid in (0, 1, 2, 3):
+        r = out[mid]
+        assert (r.in_w, r.in_h, r.out_w, r.out_h) == (16, 12, 8, 6)
+        got = decode_png(bytes(r.out_content))
+        if mid == 1:  # JPEG input: bounded quantization error
+            assert got.shape == expected.shape
+            assert np.abs(got.astype(int) - expected.astype(int)).max() <= 4
+        elif mid == 0:
+            # BMP decodes to RGB (equal channels for gray content) →
+            # output is (H, W, 3) with each channel the exact block mean
+            assert got.shape == (6, 8, 3)
+            assert np.array_equal(got[..., 0], expected)
+        else:  # PNG in → lossless → exact
+            assert np.array_equal(got, expected)
+    # duplicates share one transcode: same sha, same output bytes
+    assert out[2].content_sha == out[3].content_sha
+    assert bytes(out[2].out_content) == bytes(out[3].out_content)
+    # garbage: nulls, not an exception
+    assert out[4].out_content is None and out[4].out_w is None
+
+
+def test_block_mean_exact_and_edge_pad():
+    from data_migration_tool_spark.operators.multimodal import _block_mean
+
+    px = np.array([[0, 10, 20], [30, 40, 50]], dtype=np.uint8)  # 2x3
+    out = _block_mean(px, 2)
+    # right column pads by edge replication: block {20,20,50,50} -> 35
+    assert out.tolist() == [[20, 35]]
+    assert out.dtype == np.uint8
