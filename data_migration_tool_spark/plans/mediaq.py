@@ -421,3 +421,78 @@ SELECT doc_id AS media_id,
 FROM px
 GROUP BY doc_id
 """
+
+
+def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL image-preprocessing chain under the exact-hash gate
+    (r9): encode PNG (24×16 grayscale, v(x,y) = (doc_id·23 + x·5 +
+    y·19) % 256) → ``transcode_images`` (decode, 2×2 exact-integer
+    block-mean downscale, re-encode PNG) → decode the TRANSCODED blob
+    via the standard feature pipeline. Every stage is lossless or
+    exact-integer (floor division), so the DuckDB oracle predicts the
+    final decoded values of the 12×8 output analytically: group source
+    pixels by (x div 2, y div 2), block value = SUM(v) // 4, mean =
+    Σblocks / 96 — one correctly-rounded double division on both
+    engines. A hash PASS certifies four real codec passes (encode,
+    decode, re-encode, re-decode) plus the resize arithmetic, end to
+    end.
+
+    Scale shape: three Arrow-batched mapInPandas stages with
+    dedup-before-work hash joins between them; per-distinct-blob cost,
+    embarrassingly parallel."""
+    from data_migration_tool_spark.operators.multimodal import (
+        transcode_images,
+    )
+    from data_migration_tool_spark.operators.png import encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                y, x = np.mgrid[0:16, 0:24]
+                px = ((i * 23 + x * 5 + y * 19) % 256).astype(np.uint8)
+                blobs.append(encode_png(px))
+                ids.append(i)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
+            )
+
+    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    thumbs = transcode_images(media, factor=2, out_format="png").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("out_content").alias("content"),
+    )
+    feats = extract_media_features(thumbs)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+    )
+
+
+MEDIA_TRANSCODE_CHAIN_SQL = """
+WITH px AS (
+  SELECT doc_id, x, y,
+         (doc_id * 23 + x * 5 + y * 19) % 256 AS v
+  FROM documents, unnest(range(24)) AS tx(x), unnest(range(16)) AS ty(y)
+),
+blocks AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS bv
+  FROM px GROUP BY doc_id, x // 2, y // 2
+)
+SELECT doc_id AS media_id,
+       CAST(12 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(CAST(SUM(bv) AS BIGINT) AS DOUBLE) / 96 AS mean_luma
+FROM blocks
+GROUP BY doc_id
+"""

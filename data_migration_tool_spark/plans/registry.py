@@ -441,6 +441,12 @@ _DEFS: list[QueryDef] = [
         ("media", "png", "codec"),
     ),
     QueryDef(
+        "media_transcode_chain",
+        MQ.media_transcode_chain,
+        MQ.MEDIA_TRANSCODE_CHAIN_SQL,
+        ("media", "codec", "resize"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -828,13 +834,12 @@ _DEFS: list[QueryDef] = [
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
 # fails unless every pending query holds a scored slot (this round:
-# the new media_jpeg_decode and media_png_decode — the two codec
-# exact lanes);
+# the new media_jpeg_decode / media_png_decode /
+# media_transcode_chain — the codec exact lanes);
 # (b) oldest-official-row-first: all 24 queries whose latest row is r5
 # (the cohort deferred from r8 per the ledger, media_frame_luma
-# included), then the first-listed 24 of the 49 r6-row queries (the
-# other 25, emb_dup_clusters and doc_filter_funnel now among them,
-# re-seat in r10); (c) no
+# included), then the first-listed 23 of the 49 r6-row queries (the
+# other 26 re-seat in r10); (c) no
 # rows-only query occupies a scored slot. The exact-lane overflow guards added this round
 # (_pca_int64_guard, quantize_vec domain assert) are value-identity at
 # gate scale, but embedding_pca_power_exact/power2/ivf_trained_topk are
@@ -844,6 +849,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "media_jpeg_decode",
     "media_png_decode",
+    "media_transcode_chain",
     # -- latest official row r5 (all 24 owed, r8's deferred cohort) --
     "bpe_merges_train",
     "corpus_bigram_topk",
@@ -893,10 +899,11 @@ _PRIORITY: tuple[str, ...] = (
     "dvt_custom_query_validation",
     "dvt_labels_rollup",
     "events_stream_user_quota",
-    "events_stream_view_purchase_join",
-    # emb_dup_clusters and doc_filter_funnel yielded their slots to the
-    # two new codec queries (media_jpeg_decode / media_png_decode);
-    # they re-seat in r10 with the other 23 r6-row queries
+    # events_stream_view_purchase_join, emb_dup_clusters, and
+    # doc_filter_funnel yielded their slots to the three new codec
+    # queries (media_jpeg_decode / media_png_decode /
+    # media_transcode_chain); they re-seat in r10 with the other 23
+    # r6-row queries
 )
 
 
