@@ -179,7 +179,17 @@ def _sql_literal(v) -> str:
         return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, datetime.date):
         return "'" + v.isoformat() + "'"
-    if isinstance(v, bool) or isinstance(v, (int, float)):
+    if isinstance(v, bool) or isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            # bare `nan`/`inf` is invalid or dialect-dependent SQL —
+            # keep the loud-TypeError promise instead of emitting it
+            raise TypeError(
+                f"non-finite float watermark literal is not portable SQL: {v!r}"
+            )
         return str(v)
     import decimal
 

@@ -462,8 +462,20 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
+            # legal streams may pad with repeated 0xFF fill bytes before
+            # the marker code (T.81 B.1.1.2) — skip them so seglen is
+            # read from the real segment, not a fill byte
+            while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(data):
+                return None
             marker = data[pos + 1]
             if marker == 0xD9:  # EOI before any scan
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                # length-less markers (TEM, RSTn, SOI) outside a scan:
+                # reading a 2-byte length here would walk to garbage —
+                # bail by design instead of parse-by-luck
                 return None
             seglen = struct.unpack_from(">H", data, pos + 2)[0]
             seg = data[pos + 4 : pos + 2 + seglen]

@@ -678,6 +678,11 @@ def transcode_images(
     embarrassingly parallel; Arrow batches bound executor memory."""
     if out_format not in ("png", "jpeg"):
         raise ValueError(f"unsupported out_format {out_format!r}")
+    if not isinstance(factor, int) or factor < 1:
+        # fail fast on the driver like the out_format check — a zero
+        # factor would otherwise surface as ZeroDivisionError deep in
+        # the executors' mapInPandas task
+        raise ValueError(f"factor must be a positive int, got {factor!r}")
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
         ["content_sha"]

@@ -38,6 +38,16 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+def _residual_sad(res: np.ndarray) -> int:
+    """Sum of mod-256 SIGNED residual magnitudes, min(r, 256-r) on the
+    unsigned byte. An ``abs(res.astype(int8))`` shortcut overflows at
+    -128 (abs(int8(-128)) == -128) and shaves 256 per occurrence off
+    that candidate's SAD — output stays decodable either way (every
+    filter choice is valid), but the pick can be suboptimal."""
+    r = (res & 0xFF).astype(np.int32)
+    return int(np.minimum(r, 256 - r).sum())
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Paeth predictor, vectorized over a row (int16/int32 inputs)."""
     p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
@@ -75,9 +85,7 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
             (3, row - ((left + prev) >> 1)),
             (4, row - _paeth(left, prev, upleft).astype(np.int16)),
         ]
-        ft, best = min(
-            cands, key=lambda c: int(np.abs(c[1].astype(np.int8)).sum())
-        )
+        ft, best = min(cands, key=lambda c: _residual_sad(c[1]))
         lines.append(bytes([ft]) + (best & 0xFF).astype(np.uint8).tobytes())
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)

@@ -875,7 +875,7 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_topk",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r6: first 25 of 49 (rest re-seat in r10) --
+    # -- latest official row r6: first 23 of 49 (the other 26 re-seat in r10) --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

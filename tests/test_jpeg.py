@@ -108,6 +108,25 @@ def test_rejects_non_baseline_and_garbage():
     decode_jpeg(bytes(encode_jpeg(rgb))[:40])
 
 
+def test_fill_bytes_and_lengthless_markers():
+    """Segment walker robustness (ADVICE r9): repeated 0xFF fill bytes
+    before a marker are legal padding (T.81 B.1.1.2) and must be
+    skipped — reading a 2-byte length at the fill position walks to a
+    wrong offset; length-less markers (TEM 0x01, stray RST/SOI) in the
+    header section must refuse BY DESIGN (return None), not by luck."""
+    gray = ((np.arange(16 * 16) * 7) % 256).astype(np.uint8).reshape(16, 16)
+    data = encode_jpeg(gray, quality=90)
+    baseline = decode_jpeg(data)
+    # inject two fill bytes between SOI and the first real marker
+    padded = data[:2] + b"\xff\xff" + data[2:]
+    out = decode_jpeg(padded)
+    assert out is not None and np.array_equal(out, baseline)
+    # TEM (length-less) before the scan → clean refusal
+    assert decode_jpeg(data[:2] + b"\xff\x01" + data[2:]) is None
+    # stray RST0 in the header section → clean refusal
+    assert decode_jpeg(data[:2] + b"\xff\xd0" + data[2:]) is None
+
+
 def test_decode_media_dispatch_jpeg(spark):
     """decode_media routes JPEG magic to the codec and reports the
     Rec.601 luma mean; non-media bytes still hit the null branch."""

@@ -143,6 +143,32 @@ def test_transcode_images_bridges_formats(spark):
     assert out[4].out_content is None and out[4].out_w is None
 
 
+def test_residual_sad_no_int8_overflow():
+    """Filter-selection metric (ADVICE r9): the mod-256 signed residual
+    magnitude of -128 is 128 — an int8-abs shortcut returns -128 and
+    silently subtracts 256 per occurrence from that candidate's SAD."""
+    from data_migration_tool_spark.operators.png import _residual_sad
+
+    res = np.array([-128, 128, 0, 1, -1, 255], dtype=np.int16)
+    # magnitudes: 128, 128, 0, 1, 1, 1 (255 ≡ -1 mod 256)
+    assert _residual_sad(res) == 259
+    buggy = int(np.abs(res.astype(np.int8)).sum())
+    assert buggy != 259  # the overflow the fix removes
+
+
+def test_transcode_images_validates_factor(spark):
+    """factor must fail fast on the driver (ADVICE r9) — factor=0 would
+    otherwise surface as ZeroDivisionError inside the executors."""
+    from data_migration_tool_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(0, "image", b"", None)], MM.MEDIA_SCHEMA
+    )
+    for bad in (0, -1, 2.0):
+        with pytest.raises(ValueError, match="factor"):
+            MM.transcode_images(media, factor=bad)
+
+
 def test_block_mean_exact_and_edge_pad():
     from data_migration_tool_spark.operators.multimodal import _block_mean
 

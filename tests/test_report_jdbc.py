@@ -111,6 +111,13 @@ def test_sql_literal_types():
     assert _sql_literal(datetime.date(2026, 8, 15)) == "'2026-08-15'"
     with pytest.raises(TypeError, match="watermark literal"):
         _sql_literal(["not", "a", "literal"])
+    # non-finite floats render as bare `nan`/`inf` — invalid or
+    # dialect-dependent SQL; the loud-TypeError promise must hold
+    # (ADVICE r9 low)
+    assert _sql_literal(2.5) == "2.5"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(TypeError, match="non-finite"):
+            _sql_literal(bad)
 
 
 def test_incremental_slice_bounded_both_sides(spark, monkeypatch):
