@@ -125,6 +125,7 @@ KNOWN_SCHEMAS: dict[str, T.StructType] = {
     # skipped table rather than failing silently)
     "dmt_guard_events": _schema(
         ("event_time", T.TimestampType()),
+        ("run_id", T.StringType()),
         ("guard", T.StringType()),
         ("action", T.StringType()),
         ("subject", T.StringType()),
@@ -158,9 +159,14 @@ class AuditLog:
     """``dmt_logs`` on parquet: ``insert_rows`` appends, ``table`` reads,
     ``view`` registers ``dmt_<name>`` temp views for audit SQL."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, run_id: str | None = None):
         self.spark = spark
         self.root = root
+        # Stamped into guard-event rows so audit queries can scope to
+        # the latest run (the reference's unique_id-per-run convention,
+        # constants.py:20-107 — every dmt_logs table carries a run key
+        # its audit queries filter on).
+        self.run_id = run_id
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -174,7 +180,11 @@ class AuditLog:
             df = self.spark.createDataFrame(data, schema)
         else:
             df = self.spark.createDataFrame(rows)
-        df.coalesce(1).write.mode("append").parquet(self.path(table))
+        # No coalesce(1): CoalesceExec over a LocalRelation defeats the
+        # local-table write fast path and costs ~3.5 s per 1-row append
+        # (measured; plain write is ~0.5 s). Empty partitions produce no
+        # files, so small appends still emit only 1-2 files each.
+        df.write.mode("append").parquet(self.path(table))
 
     def insert_df(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))
@@ -223,6 +233,7 @@ def guard_event(
         [
             {
                 "event_time": datetime.datetime.now(),
+                "run_id": getattr(audit, "run_id", None),
                 "guard": guard,
                 "action": action,
                 "subject": subject,

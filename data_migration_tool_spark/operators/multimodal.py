@@ -660,15 +660,20 @@ def _block_mean(px: np.ndarray, factor: int) -> np.ndarray:
 
 
 def transcode_images(
-    media: DataFrame, factor: int = 2, out_format: str = "png"
+    media: DataFrame,
+    factor: int = 2,
+    out_format: str = "png",
+    jpeg_quality: int = 85,
 ) -> DataFrame:
     """Format-bridging image preprocessing: decode ANY supported
     container (BMP/JPEG/PNG), downscale by ``factor`` with exact
     integer block means, re-encode as ``out_format`` ("png" lossless,
-    or "jpeg") — the normalize-the-corpus stage of a vision-data
-    pipeline (mixed crawl formats → one training format at thumbnail
-    resolution). Undecodable blobs pass through with null outputs
-    (disclosed, filterable) rather than failing the batch.
+    or "jpeg" at ``jpeg_quality`` — quality 100 is unit quantization,
+    bit-exact for constant 8×8 blocks, which is what the JPEG leg's
+    gate query exploits) — the normalize-the-corpus stage of a vision
+    -data pipeline (mixed crawl formats → one training format at
+    thumbnail resolution). Undecodable blobs pass through with null
+    outputs (disclosed, filterable) rather than failing the batch.
 
     Output per media row: ``content_sha``, input dims, output dims,
     ``out_bytes``, and the transcoded blob itself (binary). Same
@@ -700,7 +705,7 @@ def transcode_images(
         else:
             from data_migration_tool_spark.operators.jpeg import encode_jpeg
 
-            blob = encode_jpeg(down)
+            blob = encode_jpeg(down, quality=jpeg_quality)
         return (
             int(px.shape[1]), int(px.shape[0]),
             int(down.shape[1]), int(down.shape[0]),

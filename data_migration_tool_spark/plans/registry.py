@@ -447,6 +447,18 @@ _DEFS: list[QueryDef] = [
         ("media", "codec", "resize"),
     ),
     QueryDef(
+        "dmt_guard_audit",
+        V.dmt_guard_audit,
+        V.DMT_GUARD_AUDIT_SQL,
+        ("audit", "guard", "observability"),
+    ),
+    QueryDef(
+        "media_transcode_jpeg",
+        MQ.media_transcode_jpeg,
+        MQ.MEDIA_TRANSCODE_JPEG_SQL,
+        ("media", "codec", "jpeg", "resize"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,

@@ -976,3 +976,111 @@ SELECT 'u-tl' AS unique_id,
             ELSE '' END AS message
 FROM nation
 """
+
+
+def dmt_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit query over ``dmt_guard_events`` — the guard sink written
+    by every operator guard (valve, Jaccard caps, broadcast caps,
+    16 TB skip) is now QUERIED back, matching the reference's
+    audit-tables-are-queried convention (constants.py:20-107: every
+    ``dmt_logs`` table feeds an audit query; latest-run scoping is the
+    A3 scalar-MAX shape).
+
+    Seeding is deterministic through the REAL guard code paths, not
+    hand-inserted rows: an older run engages ``cap_bucket_size`` once
+    (doc_id % 3, cap 1); the LATEST run engages it twice (doc_id % 8
+    and doc_id % 4 — implied_cost is the genuine Σ n² hot-bucket pair
+    cost over the live corpus, so the oracle must reproduce the guard's
+    own arithmetic from ``documents``), then drives
+    ``ngram_jaccard_pairs`` on a planted 3-identical-doc corpus against
+    a static cap of 1 — once refusing (implied C(3,2)=3 pairs > 1,
+    RuntimeError swallowed; the row is the result) and once degrading
+    to the LSH-verify path. Output: per (guard, action) engagement
+    counts, summed implied cost, cap, and the implied_cost/cap ratio —
+    scoped to MAX(run_id) so the older run's row must be excluded.
+
+    Scale: the audit table is engagement-grain (rows = guard trips per
+    run, not data rows); every aggregate here is over that tiny frame.
+    The seeding scans are one bucket histogram per cap_bucket_size call
+    (map-side combined) and a 3-row shingle join."""
+    import tempfile
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+    from data_migration_tool_spark.operators import similarity as SIM
+
+    root = tempfile.mkdtemp(prefix="dmt_guardaudit_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    older = AuditLog(spark, root, run_id="run-001")
+    SIM.cap_bucket_size(
+        docs.select("doc_id", (F.col("doc_id") % 3).alias("bucket")),
+        "bucket", 1, audit=older, context="doc_id%3",
+    )
+
+    latest = AuditLog(spark, root, run_id="run-002")
+    for mod in (8, 4):
+        SIM.cap_bucket_size(
+            docs.select("doc_id", (F.col("doc_id") % mod).alias("bucket")),
+            "bucket", 1, audit=latest, context=f"doc_id%{mod}",
+        )
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    try:
+        DD.ngram_jaccard_pairs(tiny, max_join_pairs=1, audit=latest)
+    except RuntimeError:
+        pass  # the refusal IS the result — its guard row is the point
+    DD.ngram_jaccard_pairs(
+        tiny, max_join_pairs=1, auto_candidates=True, audit=latest
+    )
+
+    ev = AuditLog(spark, root).table("dmt_guard_events")
+    mx = ev.agg(F.max("run_id").alias("run_id"))
+    return (
+        ev.join(F.broadcast(mx), "run_id")
+        .groupBy("run_id", "guard", "action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("engagements"),
+            F.sum("implied_cost").cast("long").alias("implied_cost"),
+            F.max("cap").cast("long").alias("cap"),
+        )
+        .withColumn(
+            "cost_cap_ratio",
+            F.col("implied_cost").cast("double")
+            / F.col("cap").cast("double"),
+        )
+        .orderBy("guard", "action")
+    )
+
+
+DMT_GUARD_AUDIT_SQL = """
+WITH b8 AS (SELECT COUNT(*) AS n FROM documents GROUP BY doc_id % 8),
+b4 AS (SELECT COUNT(*) AS n FROM documents GROUP BY doc_id % 4),
+reroute AS (
+  SELECT (SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n * n END), 0) FROM b8)
+       + (SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n * n END), 0) FROM b4)
+       AS implied
+)
+SELECT 'run-002' AS run_id,
+       'cap_bucket_size' AS guard,
+       'reroute' AS action,
+       CAST(2 AS BIGINT) AS engagements,
+       CAST(implied AS BIGINT) AS implied_cost,
+       CAST(1 AS BIGINT) AS cap,
+       CAST(CAST(implied AS BIGINT) AS DOUBLE) / CAST(1 AS DOUBLE)
+           AS cost_cap_ratio
+FROM reroute
+UNION ALL
+SELECT 'run-002', 'ngram_jaccard_pairs', 'degrade',
+       CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(3 AS DOUBLE)
+UNION ALL
+SELECT 'run-002', 'ngram_jaccard_pairs', 'refuse',
+       CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(3 AS DOUBLE)
+"""

@@ -143,6 +143,47 @@ def test_transcode_images_bridges_formats(spark):
     assert out[4].out_content is None and out[4].out_w is None
 
 
+def test_transcode_images_jpeg_leg(spark):
+    """The JPEG re-encode leg (VERDICT r9's one untested branch):
+    out_format="jpeg" must produce decodable baseline JPEGs; at
+    quality 100 with 16×16-constant source tiles the downscaled 8×8
+    blocks are constant → DC-only at unit quantization → BIT-EXACT;
+    at default quality the output is bounded-error. Mixed formats in
+    one call share the single out_format."""
+    from data_migration_tool_spark.operators import multimodal as MM
+    from data_migration_tool_spark.operators.jpeg import decode_jpeg
+
+    tiles = np.array([[10, 200, 77], [130, 5, 251]], dtype=np.uint8)
+    px = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)  # 32x48
+    png = encode_png(px)
+    bmp = MM.encode_bmp(48, 32, lambda x, y: int(px[y, x]))
+    rows = [(0, "image", png, None), (1, "image", bmp, None),
+            (2, "image", b"junk", None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in MM.transcode_images(
+            media, factor=2, out_format="jpeg", jpeg_quality=100
+        ).collect()
+    }
+    expected = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 16x24
+    got = decode_jpeg(bytes(out[0].out_content))
+    assert got.shape == (16, 24)
+    assert np.array_equal(got, expected)  # q100 constant blocks: exact
+    got_bmp = decode_jpeg(bytes(out[1].out_content))
+    assert got_bmp.shape == (16, 24, 3)  # BMP decodes RGB → color JPEG
+    assert np.abs(got_bmp[..., 1].astype(int) - expected.astype(int)).max() <= 2
+    assert out[2].out_content is None  # undecodable → nulls
+    # default quality (85): decodable, bounded error
+    r85 = {
+        r.media_id: r
+        for r in MM.transcode_images(media, factor=2, out_format="jpeg").collect()
+    }
+    got85 = decode_jpeg(bytes(r85[0].out_content))
+    assert got85.shape == (16, 24)
+    assert np.abs(got85.astype(int) - expected.astype(int)).max() <= 12
+
+
 def test_residual_sad_no_int8_overflow():
     """Filter-selection metric (ADVICE r9): the mod-256 signed residual
     magnitude of -128 is 128 — an int8-abs shortcut returns -128 and

@@ -393,3 +393,60 @@ def test_reference_validation_params_corpus_parses():
         translation_type="data",
     )
     assert any("lineitem" in k for k in td)
+
+
+def test_guard_audit_latest_run_scope(spark):
+    """dmt_guard_audit (r10, VERDICT r9 #4): guard engagements seeded
+    through the real guard code paths come back as queryable audit
+    rows, scoped to the latest run_id — the older run's engagement must
+    be excluded, refuse and degrade counted separately."""
+    from data_migration_tool_spark.plans.validationq import dmt_guard_audit
+
+    rows = {
+        (r.guard, r.action): r
+        for r in dmt_guard_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {
+        ("cap_bucket_size", "reroute"),
+        ("ngram_jaccard_pairs", "refuse"),
+        ("ngram_jaccard_pairs", "degrade"),
+    }
+    assert all(r.run_id == "run-002" for r in rows.values())
+    rr = rows[("cap_bucket_size", "reroute")]
+    assert rr.engagements == 2  # %8 and %4 — the %3 run-001 row excluded
+    # 50 docs at sf0.001: %8 buckets sized {7x6, 1x8}? derive exactly:
+    # implied = sum n^2 over buckets with n > 1 for mod 8 plus mod 4
+    import collections
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id").collect()
+    ]
+    expect = 0
+    for mod in (8, 4):
+        c = collections.Counter(d % mod for d in doc_ids)
+        expect += sum(n * n for n in c.values() if n > 1)
+    assert rr.implied_cost == expect and rr.cap == 1
+    assert rr.cost_cap_ratio == float(expect)
+    for action in ("refuse", "degrade"):
+        g = rows[("ngram_jaccard_pairs", action)]
+        assert (g.engagements, g.implied_cost, g.cap) == (1, 3, 1)
+
+
+def test_guard_event_run_id_default_null(spark, tmp_path):
+    """guard_event stamps the AuditLog's run_id; logs constructed
+    without one write NULL (backward compatible with every existing
+    guard call site)."""
+    from data_migration_tool_spark.audit.log import AuditLog, guard_event
+
+    a = AuditLog(spark, str(tmp_path / "logs"))
+    guard_event(a, guard="g", action="refuse", subject="s",
+                implied_cost=5, cap=2, detail="d")
+    b = AuditLog(spark, str(tmp_path / "logs"), run_id="u-77")
+    guard_event(b, guard="g", action="refuse", subject="s",
+                implied_cost=6, cap=2, detail="d")
+    got = {r.implied_cost: r.run_id
+           for r in a.table("dmt_guard_events").collect()}
+    assert got == {5: None, 6: "u-77"}
