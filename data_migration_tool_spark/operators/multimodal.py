@@ -327,7 +327,8 @@ def _decode_png(content: bytes) -> dict | None:
     """PNG via the stdlib-zlib codec (``operators/png.py``, r9 — the
     lossless compressed lane). Same ``mean_luma`` convention as the
     JPEG parser: Rec.601 over decoded pixels, identical to the plain
-    mean for grayscale. Palette/alpha/16-bit/interlaced return None →
+    mean for grayscale; palette streams (r10) decode via the index→RGB
+    lookup. Alpha/16-bit/interlaced return None →
     the disclosed null branch."""
     if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None

@@ -11,9 +11,12 @@ CRCs, inflates, and reverses whichever filters the file actually used
 — shared code between the two directions is zero beyond the constants
 of the spec.
 
-Scope: bit depth 8, grayscale (color type 0) and truecolor RGB (2),
-non-interlaced. Palette/alpha/16-bit/Adam7 return ``None`` →
-``decode_media``'s disclosed null branch.
+Scope: bit depth 8, grayscale (color type 0), truecolor RGB (2), and
+indexed palette (3 — r10, the most common real-world variant after
+truecolor; pure index→RGB lookup, still lossless), non-interlaced.
+Alpha (incl. tRNS)/16-bit/sub-8-bit/Adam7 return ``None`` →
+``decode_media``'s disclosed null branch, permanently (the codec
+lane's declared endpoint — COVERAGE.md).
 
 Scale posture: identical to JPEG — per-distinct-blob Python inside the
 Arrow-batched ``mapInPandas`` decode stage; zlib does the heavy
@@ -72,9 +75,23 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
         raise ValueError("encode_png expects (H,W) gray or (H,W,3) RGB")
     h, w = px.shape[:2]
     raw = px.reshape(h, w * nch).astype(np.int16)
-    prev = np.zeros(w * nch, dtype=np.int16)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_filter_scanlines(raw, nch), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(raw: np.ndarray, nch: int) -> bytes:
+    """Serialize (H, stride) int16 scanlines with per-row min-SAD
+    filter selection over all five PNG filter types — shared by the
+    truecolor/gray and palette encoders (filters operate on BYTES, so
+    index scanlines filter exactly like 1-channel samples)."""
+    prev = np.zeros(raw.shape[1], dtype=np.int16)
     lines = []
-    for y in range(h):
+    for y in range(raw.shape[0]):
         row = raw[y]
         left = np.concatenate([np.zeros(nch, np.int16), row[:-nch]])
         upleft = np.concatenate([np.zeros(nch, np.int16), prev[:-nch]])
@@ -88,23 +105,50 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
         ft, best = min(cands, key=lambda c: _residual_sad(c[1]))
         lines.append(bytes([ft]) + (best & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(lines)
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, level: int = 6
+) -> bytes:
+    """Indexed-color PNG (color type 3, bit depth 8): ``indices`` is
+    (H, W) uint8 into ``palette`` (N×3 uint8 RGB, N ≤ 256). The
+    dominant real-world PNG variant after truecolor — icons, charts,
+    quantized thumbnails — and still fully lossless: the decoder's
+    index→RGB lookup must reproduce every pixel bit-exactly."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("encode_png_palette expects (H,W) index array")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (N,3) uint8 with 1 <= N <= 256")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     return (
         _MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(
+            b"IDAT",
+            zlib.compress(_filter_scanlines(idx.astype(np.int16), 1), level),
+        )
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png(content: bytes) -> np.ndarray | None:
     """(H, W) gray or (H, W, 3) RGB uint8, or ``None`` when the stream
-    is not a decodable 8-bit gray/RGB non-interlaced PNG (wrong magic,
-    palette, alpha, 16-bit, Adam7, bad CRC, truncated)."""
+    is not a decodable 8-bit gray/RGB/palette non-interlaced PNG (wrong
+    magic, alpha incl. tRNS, 16-bit, sub-8-bit palette, Adam7, bad CRC,
+    truncated). Palette streams (color type 3, r10) return the RGB
+    lookup — lossless like the other PNG forms."""
     if len(content) < 8 or content[:8] != _MAGIC:
         return None
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     try:
         while pos + 8 <= len(content):
@@ -119,9 +163,21 @@ def decode_png(content: bytes) -> np.ndarray | None:
                 w, h, depth, color_type, comp, filt, interlace = (
                     struct.unpack(">IIBBBBB", data)
                 )
-                if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+                if (
+                    depth != 8
+                    or color_type not in (0, 2, 3)
+                    or comp or filt or interlace
+                ):
                     return None
-                ihdr = (w, h, 1 if color_type == 0 else 3)
+                # palette scanlines carry 1 index byte per pixel; the
+                # RGB expansion happens after unfiltering
+                ihdr = (w, h, 1 if color_type in (0, 3) else 3, color_type)
+            elif tag == b"PLTE":
+                if length % 3 or not 3 <= length <= 768:
+                    return None
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif tag == b"tRNS":
+                return None  # alpha (even paletted) is out of scope
             elif tag == b"IDAT":
                 idat += data
             elif tag == b"IEND":
@@ -129,7 +185,9 @@ def decode_png(content: bytes) -> np.ndarray | None:
             pos += 12 + length
         if ihdr is None or not idat:
             return None
-        w, h, nch = ihdr
+        w, h, nch, color_type = ihdr
+        if color_type == 3 and plte is None:
+            return None
         raw = zlib.decompress(bytes(idat))
         stride = w * nch
         if len(raw) != h * (stride + 1):
@@ -171,6 +229,10 @@ def decode_png(content: bytes) -> np.ndarray | None:
             out[y] = cur.astype(np.uint8)
             prev = out[y]
         img = out.reshape(h, w, nch)
+        if color_type == 3:
+            if int(img.max(initial=0)) >= plte.shape[0]:
+                return None  # index beyond the palette: invalid stream
+            return plte[img[:, :, 0]]
         return img[:, :, 0] if nch == 1 else img
     except (struct.error, zlib.error, IndexError, ValueError):
         return None

@@ -478,6 +478,100 @@ def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-color (palette) PNG decode under the exact-hash gate
+    (r10 — the codec lane's declared final format, COVERAGE.md). Every
+    document becomes a color-type-3 PNG: 20×12 indices
+    i(x,y) = (doc_id·7 + x·3 + y·11) % 16 into a fixed 16-entry RGB
+    palette pal[i] = ((i·37+11)%256, (i·59+3)%256, (i·83+7)%256) —
+    distinct per-channel values so a decoder that ignored the PLTE
+    lookup (or swapped channels) cannot pass. The decode stage reports
+    EXACT integer per-channel sums over the decoded (H, W, 3) array;
+    the DuckDB oracle recomputes them from the index formula + palette
+    arithmetic — all-integer, so the gate is hash-exact with no float
+    convention at all (the Rec.601 RGB mean is deliberately NOT used
+    here: its per-pixel float fold is pytest-pinned, not oracle-pinned,
+    per the house float-aggregation rule).
+
+    Scale shape: two Arrow-batched mapInPandas stages (encode, decode)
+    — per-distinct-blob cost, embarrassingly parallel."""
+    from data_migration_tool_spark.operators.png import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = np.stack(
+            [
+                np.array([(i * 37 + 11) % 256 for i in range(16)]),
+                np.array([(i * 59 + 3) % 256 for i in range(16)]),
+                np.array([(i * 83 + 7) % 256 for i in range(16)]),
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                y, x = np.mgrid[0:12, 0:20]
+                idx = ((i * 7 + x * 3 + y * 11) % 16).astype(np.uint8)
+                blobs.append(encode_png_palette(idx, pal))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = decode_png(bytes(blob))
+                if px is None or px.ndim != 3:
+                    recs.append((int(mid), None, None, None, None, None))
+                    continue
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                recs.append(
+                    (
+                        int(mid), int(px.shape[1]), int(px.shape[0]),
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    media = d.mapInPandas(enc, "media_id long, content binary")
+    return media.mapInPandas(
+        dec,
+        "media_id long, width long, height long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+MEDIA_PNG_PALETTE_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 7 + x * 3 + y * 11) % 16 AS i
+  FROM documents, unnest(range(20)) AS tx(x), unnest(range(12)) AS ty(y)
+)
+SELECT doc_id AS media_id,
+       CAST(20 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       CAST(SUM((i * 37 + 11) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((i * 59 + 3) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((i * 83 + 7) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+
 def media_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JPEG re-encode leg of ``transcode_images`` under the
     exact-hash gate (r10 — VERDICT r9 named this the round's one

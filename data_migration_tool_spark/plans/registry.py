@@ -453,6 +453,12 @@ _DEFS: list[QueryDef] = [
         ("audit", "guard", "observability"),
     ),
     QueryDef(
+        "media_png_palette",
+        MQ.media_png_palette,
+        MQ.MEDIA_PNG_PALETTE_SQL,
+        ("media", "png", "codec"),
+    ),
+    QueryDef(
         "media_transcode_jpeg",
         MQ.media_transcode_jpeg,
         MQ.MEDIA_TRANSCODE_JPEG_SQL,

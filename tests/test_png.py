@@ -218,3 +218,46 @@ def test_block_mean_exact_and_edge_pad():
     # right column pads by edge replication: block {20,20,50,50} -> 35
     assert out.tolist() == [[20, 35]]
     assert out.dtype == np.uint8
+
+
+def test_palette_round_trip_and_rejects():
+    """Palette PNGs (color type 3, r10) decode to the exact RGB lookup;
+    tRNS (palette alpha), missing PLTE, and out-of-range indices refuse
+    cleanly; encoder validates its inputs."""
+    from data_migration_tool_spark.operators.png import (
+        _chunk, encode_png_palette,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 21), dtype=np.uint8)
+    data = encode_png_palette(idx, pal)
+    out = decode_png(data)
+    assert out.shape == (13, 21, 3)
+    assert np.array_equal(out, pal[idx])  # lossless lookup, bit-exact
+    # gradient indices drive non-None filters through the shared
+    # min-SAD selection — still exact
+    y, x = np.mgrid[0:9, 0:17]
+    grad = ((x + y) % 16).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png_palette(grad, pal)), pal[grad])
+    # tRNS → refuse (alpha out of scope)
+    iend = data.rindex(b"IEND") - 4
+    with_trns = data[:iend] + _chunk(b"tRNS", b"\x80") + data[iend:]
+    assert decode_png(with_trns) is None
+    # strip PLTE → refuse
+    plte_at = data.index(b"PLTE") - 4
+    plte_len = 12 + 48
+    assert decode_png(data[:plte_at] + data[plte_at + plte_len:]) is None
+    # index beyond palette → refuse (re-encode with a shrunk palette)
+    small = encode_png_palette(np.full((2, 2), 3, np.uint8), pal[:4])
+    plte_at = small.index(b"PLTE") - 4
+    shrunk = (
+        small[:plte_at]
+        + _chunk(b"PLTE", pal[:2].tobytes())
+        + small[plte_at + 12 + 12:]
+    )
+    assert decode_png(shrunk) is None
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(idx, pal[:0])
+    with pytest.raises(ValueError, match="index out of"):
+        encode_png_palette(np.full((2, 2), 16, np.uint8), pal)
