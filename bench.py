@@ -12,6 +12,13 @@ next to this script as a parse-proof sidecar.
 
 Timing = full query build + execution + collect (count for large
 results), after a warm-up pass of the session.
+
+Contention accounting (the canary) lives in module-level functions —
+``canary_floor`` / ``clean_segments`` / ``resolve`` / ``build_payload``
+— so its edge cases are unit-testable (tests/test_bench_canary.py;
+VERDICT r9 #3: this machinery decides what numbers every round
+publishes, and its edge cases fire exactly when the box is loaded,
+i.e. when nobody is watching).
 """
 
 from __future__ import annotations
@@ -25,11 +32,108 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_migration_tool_spark.session import get_spark  # noqa: E402
-from data_migration_tool_spark.plans.registry import QUERIES  # noqa: E402
+IDLE_FLOOR = 0.25  # this box's idle warm canary band is 0.2-0.4 s
+# at local[32]; a single unusually fast sample must not set a
+# threshold below the band's natural ceiling (observed: floor
+# 0.147 → threshold 0.29 < typical idle 0.35 → every segment
+# "contended" on a genuinely idle machine — mass false suspects)
+
+CANARY_EVERY = 35  # queries per segment; ~0.3 s sample cost each
+
+# samples[name] = [(seconds or None, segment), ...]; segment k spans
+# the interval between canary samples k and k+1.
+Samples = dict[str, list[tuple[float | None, int]]]
+
+
+def canary_floor(canary: list[float]) -> float:
+    """The run's observed contention floor: min over ALL canary
+    samples (post-hoc — late-run idleness retroactively tightens the
+    judgment of early segments too). 0.3 (mid idle band) when no
+    sample exists yet."""
+    return min(canary) if canary else 0.3
+
+
+def clean_threshold(canary: list[float], idle_floor: float = IDLE_FLOOR) -> float:
+    """A canary sample above this is contended: 2× the floor, clamped
+    so one unusually fast sample can't undercut the idle band."""
+    return 2.0 * max(canary_floor(canary), idle_floor)
+
+
+def clean_segments(
+    canary: list[float], idle_floor: float = IDLE_FLOOR
+) -> set[int]:
+    """Segments whose bracketing canary samples are BOTH within the
+    clean threshold. A segment is only as trustworthy as its worse
+    bracket: a load spike between samples k and k+1 shows up in at
+    least one of them."""
+    thr = clean_threshold(canary, idle_floor)
+    return {
+        k
+        for k in range(len(canary) - 1)
+        if canary[k] <= thr and canary[k + 1] <= thr
+    }
+
+def resolve(
+    samples: Samples,
+    canary: list[float],
+    idle_floor: float = IDLE_FLOOR,
+) -> tuple[dict[str, float | None], list[str]]:
+    """Collapse samples to per-query timings + the suspect list.
+    The recorded value is min over all samples (contention only
+    inflates, so the min is the best estimate either way); a query
+    is SUSPECT when none of its samples ran in a clean segment —
+    its min is still possibly inflated. Error-only queries record
+    None and are NOT suspect (there is no timing to inflate)."""
+    clean = clean_segments(canary, idle_floor)
+    timings: dict[str, float | None] = {}
+    suspect: list[str] = []
+    for name, ss in samples.items():
+        vals = [t for t, _ in ss if t is not None]
+        timings[name] = min(vals) if vals else None
+        if vals and not any(seg in clean for t, seg in ss if t is not None):
+            suspect.append(name)
+    return timings, sorted(suspect)
+
+
+def build_payload(
+    samples: Samples,
+    canary: list[float],
+    errors: dict[str, str],
+    sf: float,
+    idle_floor: float = IDLE_FLOOR,
+) -> str:
+    """The artifact line. Shape contract (pytest-pinned): always
+    ``metric/value/unit/queries/sf/canary``; ``suspect`` present IFF
+    non-empty (downstream readers — tools/plan_report.py, the round
+    ledger — key on its presence); ``errors`` present iff non-empty."""
+    timings, suspect = resolve(samples, canary, idle_floor)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    body = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary": {
+            "job": "range(200e6) sum(id % 97), local[$SPARK_GRAFT_CPUS]",
+            "samples": canary,
+            "min": canary_floor(canary) if canary else None,
+            "threshold": round(clean_threshold(canary, idle_floor), 3)
+            if canary
+            else None,
+        },
+    }
+    if suspect:
+        body["suspect"] = suspect
+    if errors:
+        body["errors"] = errors
+    return json.dumps(body)
 
 
 def main() -> None:
+    from data_migration_tool_spark.session import get_spark
+    from data_migration_tool_spark.plans.registry import QUERIES
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -65,10 +169,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
 
-    # Per-query timing SAMPLES, each tagged with the canary segment it
-    # ran inside: samples[name] = [(seconds or None, segment), ...].
-    # Segment k spans the interval between canary samples k and k+1.
-    samples: dict[str, list[tuple[float | None, int]]] = {}
+    samples: Samples = {}
     errors: dict[str, str] = {}
     canary: list[float] = []
 
@@ -85,7 +186,7 @@ def main() -> None:
 
         Since r9 the canary ACTS instead of just recording (VERDICT r8
         ask #2): samples bracket ~35-query segments, a segment whose
-        bracketing samples exceed 2× the run's floor is CONTENDED, and
+        bracketing samples exceed the clean threshold is CONTENDED, and
         a query whose every timing landed in contended segments gets
         re-run in a remediation pass — or, failing that, a
         ``"suspect"`` flag in the payload so no inflated number is ever
@@ -93,71 +194,6 @@ def main() -> None:
         t0 = time.time()
         spark.range(200_000_000).selectExpr("sum(id % 97) AS s").collect()
         canary.append(round(time.time() - t0, 3))
-
-    CANARY_EVERY = 35  # queries per segment; ~0.3 s sample cost each
-
-    IDLE_FLOOR = 0.25  # this box's idle warm canary band is 0.2-0.4 s
-    # at local[32]; a single unusually fast sample must not set a
-    # threshold below the band's natural ceiling (observed: floor
-    # 0.147 → threshold 0.29 < typical idle 0.35 → every segment
-    # "contended" on a genuinely idle machine — mass false suspects)
-
-    def _floor() -> float:
-        return min(canary) if canary else 0.3
-
-    def _clean_segments() -> set[int]:
-        """Segments whose bracketing canary samples are both within 2×
-        the run's observed floor. The floor is the min over ALL samples
-        (post-hoc), so late-run idleness retroactively tightens the
-        judgment of early segments too."""
-        thr = 2.0 * max(_floor(), IDLE_FLOOR)
-        return {
-            k
-            for k in range(len(canary) - 1)
-            if canary[k] <= thr and canary[k + 1] <= thr
-        }
-
-    def _resolve() -> tuple[dict[str, float | None], list[str]]:
-        """Collapse samples to per-query timings + the suspect list.
-        The recorded value is min over all samples (contention only
-        inflates, so the min is the best estimate either way); a query
-        is SUSPECT when none of its samples ran in a clean segment —
-        its min is still possibly inflated."""
-        clean = _clean_segments()
-        timings: dict[str, float | None] = {}
-        suspect: list[str] = []
-        for name, ss in samples.items():
-            vals = [t for t, _ in ss if t is not None]
-            timings[name] = min(vals) if vals else None
-            if vals and not any(
-                seg in clean for t, seg in ss if t is not None
-            ):
-                suspect.append(name)
-        return timings, sorted(suspect)
-
-    def _payload() -> str:
-        timings, suspect = _resolve()
-        total = round(sum(v for v in timings.values() if v is not None), 3)
-        body = {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "canary": {
-                "job": "range(200e6) sum(id % 97), local[$SPARK_GRAFT_CPUS]",
-                "samples": canary,
-                "min": _floor() if canary else None,
-                "threshold": round(2.0 * max(_floor(), IDLE_FLOOR), 3)
-                if canary
-                else None,
-            },
-        }
-        if suspect:
-            body["suspect"] = suspect
-        if errors:
-            body["errors"] = errors
-        return json.dumps(body)
 
     def _run_pass(names: list[str]) -> None:
         """Time one pass over ``names``, sampling the canary every
@@ -188,7 +224,7 @@ def main() -> None:
             # not their plan (observed 3-4× inflation).
             gc.collect()
             with open(sidecar, "w") as fh:
-                fh.write(_payload() + "\n")
+                fh.write(build_payload(samples, canary, errors, sf) + "\n")
             since_canary += 1
             if since_canary >= CANARY_EVERY:
                 _canary_sample()
@@ -209,15 +245,26 @@ def main() -> None:
     # (up to 2 extra passes — bounded so a persistently-loaded box still
     # terminates; whatever remains carries the suspect flag).
     for _retry in range(2):
-        _, suspect = _resolve()
+        _, suspect = resolve(samples, canary)
         suspect = [n for n in suspect if n in QUERIES]
         if not suspect:
             break
         _run_pass(suspect)
 
-    payload = _payload()
+    payload = build_payload(samples, canary, errors, sf)
     with open(sidecar, "w") as fh:
         fh.write(payload + "\n")
+    # Surface any surviving suspects LOUDLY on stderr (the artifact
+    # contract: a non-empty suspect list must never be silently
+    # ignored by downstream readers — tools/plan_report.py mirrors
+    # this line into PLANS.md).
+    _, final_suspect = resolve(samples, canary)
+    if final_suspect:
+        sys.stderr.write(
+            f"WARNING: {len(final_suspect)} timing(s) suspect "
+            f"(contention-inflated, see canary): "
+            f"{', '.join(final_suspect)}\n"
+        )
     # Restore the real stdout and emit the JSON as its only line.
     sys.stdout.flush()
     os.dup2(real_stdout, 1)
