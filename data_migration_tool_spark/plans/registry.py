@@ -847,81 +847,72 @@ _DEFS: list[QueryDef] = [
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-9 rotation policy (see COVERAGE.md rotation
+# iteration order. Round-10 rotation policy (see COVERAGE.md rotation
 # log): (a) never-officially-checked queries lead — derived, not
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
 # fails unless every pending query holds a scored slot (this round:
-# the new media_jpeg_decode / media_png_decode /
-# media_transcode_chain — the codec exact lanes);
-# (b) oldest-official-row-first: all 24 queries whose latest row is r5
-# (the cohort deferred from r8 per the ledger, media_frame_luma
-# included), then the first-listed 23 of the 49 r6-row queries (the
-# other 26 re-seat in r10); (c) no
-# rows-only query occupies a scored slot. The exact-lane overflow guards added this round
-# (_pca_int64_guard, quantize_vec domain assert) are value-identity at
-# gate scale, but embedding_pca_power_exact/power2/ivf_trained_topk are
-# deliberately NOT re-seated on their strength alone — the guards don't
-# change plan output; their boundary behavior is pytest-pinned instead.
+# media_transcode_jpeg — the JPEG re-encode leg, VERDICT r9 #2;
+# media_png_palette — the codec lane's declared final format; and
+# dmt_guard_audit — guard events queried back, VERDICT r9 #4);
+# (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
+# (the cohort the r9 window deferred, ledger-owed), then the first 21
+# (sorted) of the 48 r7-row queries — the other 27 re-seat in r11;
+# (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
-    "media_jpeg_decode",
-    "media_png_decode",
-    "media_transcode_chain",
-    # -- latest official row r5 (all 24 owed, r8's deferred cohort) --
-    "bpe_merges_train",
-    "corpus_bigram_topk",
-    "corpus_vocab_growth",
-    "doc_bpe_encoded_lengths",
-    "doc_bpe_token_counts",
-    "doc_chunk_overlap",
-    "doc_containment_pairs",
-    "doc_dup_clusters_star",
-    "doc_lm_fluency",
-    "doc_repetition_scores",
-    "doc_sequence_packing",
-    "doc_shingle_novelty",
-    "doc_stratified_sample",
-    "doc_tfidf_topk",
-    "doc_training_shards",
-    "doc_winnow_fingerprints",
-    "dup_cluster_canonical",
-    "embedding_pq_codes",
-    "media_frame_luma",
-    "part_pagerank",
-    "pq_adc_rerank",
-    "pq_adc_topk",
-    "sketch_hll_daily_rollup",
-    "token_countmin_sketch",
-    # -- latest official row r6: first 23 of 49 (the other 26 re-seat in r10) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "orders_upsert_merge",
-    "doc_split_ks_drift",
-    "orders_incremental_agg",
-    "customer_rolling_30d_spend",
-    "customer_order_chains_recursive",
-    "events_stream_incremental_rollup",
-    "doc_split_tv_drift",
-    "dvt_column_validation",
-    "dvt_row_validation",
-    "dvt_schema_validation",
-    "dvt_custom_query_validation",
-    "dvt_labels_rollup",
-    "events_stream_user_quota",
-    # events_stream_view_purchase_join, emb_dup_clusters, and
-    # doc_filter_funnel yielded their slots to the three new codec
-    # queries (media_jpeg_decode / media_png_decode /
-    # media_transcode_chain); they re-seat in r10 with the other 23
-    # r6-row queries
+    "media_png_palette",
+    "media_transcode_jpeg",
+    "dmt_guard_audit",
+    # -- latest official row r6 (all 26 owed, r9's deferred cohort) --
+    "corpus_budget_allocation",
+    "corpus_pmi_bigrams",
+    "corpus_stopword_filter",
+    "corpus_temperature_mix",
+    "doc_filter_funnel",
+    "doc_length_buckets",
+    "doc_lsh_incremental",
+    "doc_semantic_packing",
+    "doc_simhash_near_dups",
+    "doc_span_dedup_clean",
+    "emb_dup_clusters",
+    "embedding_centroid_dist",
+    "embedding_pca_power_exact",
+    "events_hourly_anomaly_flags",
+    "events_stream_view_purchase_join",
+    "events_stream_view_purchase_left",
+    "knn_label_vote",
+    "media_audio_frames",
+    "media_image_resize",
+    "minhash_recall_gate",
+    "nation_revenue_trend_slope",
+    "orders_monthly_trend",
+    "part_cooccurrence_topk",
+    "part_triangle_count",
+    "split_leakage_matrix",
+    "user_retention_cohorts",
+    # -- latest official row r7: first 21 sorted (27 more re-seat in r11) --
+    "customer_order_bookends",
+    "customer_retention_set_ops",
+    "customer_status_history",
+    "customer_value_quartiles",
+    "customers_without_orders",
+    "doc_bloom_decontaminate",
+    "doc_bm25_topk",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
+    "doc_language_id",
+    "doc_minhash_lsh_dedup",
+    "doc_pii_scrub",
+    "embedding_near_dups",
+    "embedding_pca_power2_exact",
+    "events_hourly_gapfill",
+    "events_stream_dedup",
+    "fully_open_customers",
+    "ivf_pq_topk",
+    "knn_brute_force",
+    "latest_event_per_user",
+    "nation_customer_roster",
 )
 
 

@@ -87,26 +87,51 @@ def _rotate_vec(vec: F.Column, rep: int, dim: int) -> F.Column:
     return F.concat(F.slice(vec, shift + 1, dim - shift), F.slice(vec, 1, shift))
 
 
-def upsample(spark: SparkSession, out_dir: str, reps: int) -> None:
+def upsample(
+    spark: SparkSession,
+    out_dir: str,
+    reps: int,
+    src_dir: str = SRC,
+    tables: list[str] | None = None,
+) -> None:
+    """``src_dir`` may be a previous upsample output (e.g. .scale/sf1 →
+    .scale/sf10): strides derive from max(key)+1 of whatever source is
+    given, so chained upsampling composes. ``tables`` restricts the
+    pass to the named KEYED tables (second-decade scale checks need
+    only the tables their queries read — a full 100× build of every
+    table is wasted disk)."""
     os.makedirs(out_dir, exist_ok=True)
     strides: dict[str, int] = {}
     cache: dict[str, DataFrame] = {}
+    wanted = set(tables) if tables else set(KEYED)
+    domains = {
+        dom
+        for tbl in wanted
+        for dom in KEYED[tbl].values()
+    }
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
+        if dom not in domains:
+            continue
         if tbl not in cache:
-            cache[tbl] = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+            cache[tbl] = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
         strides[dom] = cache[tbl].agg(F.max(col)).first()[0] + 1
 
-    for tbl in ("region", "nation"):
-        spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode("overwrite").parquet(
-            f"{out_dir}/{tbl}.parquet"
-        )
+    if tables is None:
+        for tbl in ("region", "nation"):
+            spark.read.parquet(
+                f"{src_dir}/{tbl}.parquet"
+            ).write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
 
-    emb_dim = len(
-        spark.read.parquet(f"{SRC}/embeddings.parquet").first()["embedding"]
+    emb_dim = (
+        len(spark.read.parquet(f"{src_dir}/embeddings.parquet").first()["embedding"])
+        if "embeddings" in wanted
+        else 0
     )
 
     for tbl, keycols in KEYED.items():
-        src = cache.get(tbl) or spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        if tbl not in wanted:
+            continue
+        src = cache.get(tbl) or spark.read.parquet(f"{src_dir}/{tbl}.parquet")
         parts = []
         for rep in range(reps):
             df = src
@@ -134,6 +159,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--out", default=".scale/sf1")
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated KEYED table subset (default: all + dims)",
+    )
     args = ap.parse_args()
     spark = (
         SparkSession.builder.master("local[32]")
@@ -142,4 +173,10 @@ if __name__ == "__main__":
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    upsample(spark, args.out, args.reps)
+    upsample(
+        spark,
+        args.out,
+        args.reps,
+        src_dir=args.src,
+        tables=args.tables.split(",") if args.tables else None,
+    )
