@@ -47,6 +47,15 @@ SF1 = os.path.join(
 
 
 def main() -> None:
+    # Optional SF-pair override for second-decade checks:
+    #   SCALE_LO=/path SCALE_HI=/path python tools/scale_bench.py q ...
+    # (e.g. lo=.scale/sf1, hi=.scale/sf10 — a hidden super-linear term
+    # shows up in the second decade, not the first). Labels follow the
+    # dir basenames so the JSON stays self-describing.
+    lo = os.environ.get("SCALE_LO", SF01)
+    hi = os.environ.get("SCALE_HI", SF1)
+    lo_label = os.path.basename(lo.rstrip("/"))
+    hi_label = os.path.basename(hi.rstrip("/"))
     names = sys.argv[1:] or DEFAULT
     spark = get_spark(app_name="dmt-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,7 +68,7 @@ def main() -> None:
     out: dict[str, dict] = {}
     for n in names:
         rec: dict = {}
-        for label, d in (("sf0.1", SF01), ("sf1", SF1)):
+        for label, d in ((lo_label, lo), (hi_label, hi)):
             best = None
             try:
                 for _ in range(2):
@@ -74,8 +83,8 @@ def main() -> None:
                 # guard pricing itself out at sf1) — record, keep going
                 rec[label] = None
                 rec[f"{label}_error"] = f"{type(exc).__name__}: {exc}"[:300]
-        if rec.get("sf0.1") and rec.get("sf1"):
-            rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        if rec.get(lo_label) and rec.get(hi_label):
+            rec["ratio"] = round(rec[hi_label] / rec[lo_label], 2)
             rec["exponent"] = round(math.log10(rec["ratio"]), 2)
         out[n] = rec
         print(json.dumps({n: rec}), file=sys.stderr, flush=True)
