@@ -112,6 +112,18 @@ def upsample(
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
         if dom not in domains:
             continue
+        if tbl not in cache and not os.path.exists(f"{src_dir}/{tbl}.parquet"):
+            # Subset runs (--tables) may omit a domain's defining table
+            # (e.g. lineitem without supplier): derive the stride from a
+            # present table's FK column instead. One stride per domain,
+            # computed once, so every wanted table sharing the domain
+            # still shifts consistently.
+            tbl, col = next(
+                (t, c)
+                for t in wanted
+                for c, d in KEYED[t].items()
+                if d == dom and os.path.exists(f"{src_dir}/{t}.parquet")
+            )
         if tbl not in cache:
             cache[tbl] = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
         strides[dom] = cache[tbl].agg(F.max(col)).first()[0] + 1
