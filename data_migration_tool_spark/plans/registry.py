@@ -718,6 +718,16 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "containment"),
     ),
     QueryDef(
+        # r10: the priced alternative the containment guard names — the
+        # same exact semantics on a deterministic 25% md5 doc slice
+        # (candidate volume shrinks by rate²; see SCALE.md r10 for the
+        # saturation term that motivates it)
+        "doc_containment_pairs_sampled",
+        TQ.doc_containment_pairs_sampled,
+        TQ.DOC_CONTAINMENT_SAMPLED_SQL,
+        ("text", "dedup", "containment", "sampled"),
+    ),
+    QueryDef(
         "part_pagerank",
         R.part_pagerank,
         R.PART_PAGERANK_SQL,  # exact fixed-point iteration — hash-checkable
@@ -854,16 +864,21 @@ _DEFS: list[QueryDef] = [
 # fails unless every pending query holds a scored slot (this round:
 # media_transcode_jpeg — the JPEG re-encode leg, VERDICT r9 #2;
 # media_png_palette — the codec lane's declared final format; and
-# dmt_guard_audit — guard events queried back, VERDICT r9 #4);
+# dmt_guard_audit — guard events queried back, VERDICT r9 #4; and
+# doc_containment_pairs_sampled — the r10 containment-guard's priced
+# alternative, added mid-round after the second-decade scale pass, so
+# the last r7 fill slot (nation_customer_roster) yielded to it and
+# rejoins the 28 now owed r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 21
-# (sorted) of the 48 r7-row queries — the other 27 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 20
+# (sorted) of the 48 r7-row queries — the other 28 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "media_png_palette",
     "media_transcode_jpeg",
     "dmt_guard_audit",
+    "doc_containment_pairs_sampled",
     # -- latest official row r6 (all 26 owed, r9's deferred cohort) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
@@ -891,7 +906,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 21 sorted (27 more re-seat in r11) --
+    # -- latest official row r7: first 20 sorted (28 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -912,7 +927,6 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_pq_topk",
     "knn_brute_force",
     "latest_event_per_user",
-    "nation_customer_roster",
 )
 
 

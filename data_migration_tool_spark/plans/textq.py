@@ -1663,84 +1663,68 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded verbatim in a much longer one scores near 1.0 here while
     its Jaccard stays low, so symmetric thresholds never catch it.
 
-    Scale path: PREFIX-FILTERED candidate generation (the PPJoin-family
-    bound). For containment ≥ t on |A|, a container B that misses ALL
-    of any chosen floor((1−t)·|A|)+1 shingles of A has
-    |A∩B| ≤ |A| − floor((1−t)·|A|) − 1 < t·|A| — so joining only each
-    doc's floor((1−t)|A|)+1 globally-RAREST shingles (rarest = shortest
-    posting lists = cheapest join) against the full inverted index
-    finds every qualifying pair, and an array-intersect verify on the
-    surviving candidates computes the exact coefficient. Output is
-    provably identical to the naive shared-shingle join (the r7 sf1
-    scale pass measured the naive join at exponent 1.35 — candidate
-    volume grows faster than the corpus; the prefix join prunes it back
-    to the qualifying-pair neighborhood). The DuckDB oracle keeps the
-    declarative full-join spec — same rows, so the gate pins the
-    equivalence. Both directions are reported
-    (contained_id, container_id)."""
+    Delegates to ``operators/dedup.containment_pairs`` — prefix-filtered
+    candidates (PPJoin bound), exact array-intersect verify, and the r10
+    corpus-derived cost guard: the implied candidate volume
+    Σ_s prefix_count(s)·df(s) is priced with one shingle-grain aggregate
+    before the join runs, refusing past 1024·n_docs. The second-decade
+    scale pass (SCALE.md r10) showed why: on a corpus whose shingle
+    domain saturates, posting lists grow linearly with the corpus and
+    the prefix filter's bound degrades to a constant factor — candidate
+    volume measured 0.2M → 27M → 3.0B across sf0.1→sf1→sf10. The
+    sampled twin below is the priced alternative past the guard. The
+    DuckDB oracle keeps the declarative full-join spec — same rows, so
+    the gate pins the prefix filter's losslessness. Both directions are
+    reported (contained_id, container_id)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.word_shingles("text"))).alias("shingle"),
+    return DD.containment_pairs(d)
+
+
+def doc_containment_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard's priced alternative: containment pairs over a
+    deterministic 25% document sample (md5 first hex digit < '4' — a
+    pure function of doc_id, so both engines and any rerun draw the
+    SAME slice). Candidate volume shrinks by rate² (~16×) while the
+    per-pair semantics stay exactly ``doc_containment_pairs``'s, the
+    same posture as ``minhash_recall_gate_sampled``: at corpus scales
+    where the exact join prices itself out, the monitoring question
+    ("how much verbatim containment is in this corpus?") is answered on
+    a sample with a quoted rate instead of not at all."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
     )
-    docsets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-        ),
-    )
-    # Prefix size in EXACT integer arithmetic — float (1-t) under-sizes
-    # it (1.0-0.9 = 0.0999…; floor(0.0999…·10)=0 missed a boundary pair
-    # at exactly 0.9). A filter-passing pair needs
-    # n_common ≥ ceil(9·n/10) = (9n+9) div 10, so a prefix of
-    # n − ceil(9n/10) + 1 shingles is complete; +1 more unit of slack
-    # covers the round(·,6) admission window for any document under
-    # ~4M distinct shingles (tens of MB of text — far past real docs).
-    prefix = (
-        ranked.join(docsets.select("doc_id", "n_sh"), "doc_id")
-        .filter(
-            F.col("rk")
-            <= F.col("n_sh")
-            - F.expr("(9 * n_sh + 9) div 10")
-            + F.lit(2)
-        )
-        .select(F.col("doc_id").alias("id_a"), "shingle")
-    )
-    cand = (
-        prefix.join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = docsets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sset").alias("sa"),
-        F.col("n_sh").alias("na"),
-    )
-    sb = docsets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            F.col("id_a").alias("contained_id"),
-            F.col("id_b").alias("container_id"),
-            F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.col("na").cast("double"),
-                6,
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= 0.9)
-    )
+    return DD.containment_pairs(d)
 
 
 DOC_CONTAINMENT_SQL = f"""
 WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a AS contained_id, id_b AS container_id,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS containment
+FROM common JOIN sizes na ON na.doc_id = id_a
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= 0.9
+"""
+
+# Sampled twin: identical spec over the deterministic 25% md5 slice —
+# the sample predicate is a pure function of doc_id, so both engines
+# (and the Spark plan's load-side filter) draw the same documents.
+DOC_CONTAINMENT_SAMPLED_SQL = f"""
+WITH sdocs AS (
+  SELECT * FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM sdocs),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks WHERE len(tk) >= 3
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

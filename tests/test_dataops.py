@@ -1874,6 +1874,54 @@ def test_jaccard_guard_refusal_audit_row(spark, tmp_path):
     assert actions == ["degrade", "refuse"]
 
 
+def test_containment_guard_prices_saturated_corpus(spark, tmp_path):
+    """The r10 containment cost guard: on a corpus whose shingle domain
+    saturates (tiny vocabulary → every posting list ~n), the implied
+    prefix-candidate volume Σ pc·df is quadratic and the operator must
+    refuse BEFORE the join, quoting both statistics and writing a
+    dmt_guard_events row; on an open-vocabulary corpus the same budget
+    stays silent and results are unchanged."""
+    import pytest as _pytest
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+
+    # saturated: 40 docs over a 3-word vocabulary — 27 possible
+    # shingles, mean posting length ~doc count, prefix filter powerless
+    sat = spark.createDataFrame(
+        [
+            (i, " ".join(["abc"[(i * 7 + j * 3) % 3] * 2 for j in range(12)]))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    with _pytest.raises(RuntimeError, match="saturated shingle domain"):
+        DD.containment_pairs(sat, linear_budget=4, audit=audit)
+    got = audit.table("dmt_guard_events").collect()
+    assert len(got) == 1 and got[0].action == "refuse"
+    assert got[0].guard == "containment_pairs"
+    assert got[0].implied_cost > got[0].cap == 4 * 40
+
+    # open vocabulary: every doc unique words + one doc contained in
+    # another — same budget, no refusal, the pair is found exactly
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)]
+    rows.append((100, rows[0][1] + " extra trailing words here now"))
+    opened = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.containment_pairs(opened, linear_budget=4, audit=audit)
+    pairs = {(r.contained_id, r.container_id) for r in out.collect()}
+    assert (0, 100) in pairs
+    assert audit.table("dmt_guard_events").count() == 1  # no new rows
+
+    # static-cap semantics and the opt-out
+    with _pytest.raises(RuntimeError, match="max_candidates=2"):
+        DD.containment_pairs(sat, max_candidates=2)
+    assert (
+        DD.containment_pairs(sat, max_candidates=None, threshold=0.9).count()
+        > 0
+    )  # quadratic opt-in still computes exact containment
+
+
 def test_broadcast_cap_guards_audit_rows(spark, tmp_path, monkeypatch):
     """The 262k-vector broadcast caps (VERDICT r8 ask #4) write
     dmt_guard_events refusal rows when an oversized operand lands on
