@@ -718,6 +718,15 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "containment"),
     ),
     QueryDef(
+        # r10: hybrid sparse+dense retrieval — BM25 arm + exact-cosine
+        # arm fused by integer-exact reciprocal-rank fusion (k=60); the
+        # RAG serving pattern on the engine's two audited retrieval lanes
+        "hybrid_rrf_retrieval",
+        TQ.hybrid_rrf_retrieval,
+        TQ.HYBRID_RRF_SQL,
+        ("retrieval", "fusion", "ann", "bm25"),
+    ),
+    QueryDef(
         # r10: the priced alternative the containment guard names — the
         # same exact semantics on a deterministic 25% md5 doc slice
         # (candidate volume shrinks by rate²; see SCALE.md r10 for the
@@ -866,12 +875,14 @@ _DEFS: list[QueryDef] = [
 # media_png_palette — the codec lane's declared final format; and
 # dmt_guard_audit — guard events queried back, VERDICT r9 #4; and
 # doc_containment_pairs_sampled — the r10 containment-guard's priced
-# alternative, added mid-round after the second-decade scale pass, so
-# the last r7 fill slot (nation_customer_roster) yielded to it and
-# rejoins the 28 now owed r11);
+# alternative, added mid-round after the second-decade scale pass; and
+# hybrid_rrf_retrieval — sparse+dense RRF fusion over the two audited
+# retrieval arms. The last two r7 fill slots (nation_customer_roster,
+# latest_event_per_user) yielded to them and rejoin the 29 now owed
+# r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 20
-# (sorted) of the 48 r7-row queries — the other 28 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 19
+# (sorted) of the 48 r7-row queries — the other 29 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
@@ -879,6 +890,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_transcode_jpeg",
     "dmt_guard_audit",
     "doc_containment_pairs_sampled",
+    "hybrid_rrf_retrieval",
     # -- latest official row r6 (all 26 owed, r9's deferred cohort) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
@@ -906,7 +918,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 20 sorted (28 more re-seat in r11) --
+    # -- latest official row r7: first 19 sorted (29 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -926,7 +938,6 @@ _PRIORITY: tuple[str, ...] = (
     "fully_open_customers",
     "ivf_pq_topk",
     "knn_brute_force",
-    "latest_event_per_user",
 )
 
 

@@ -2744,3 +2744,108 @@ ranked AS (
 SELECT query_id, doc_id, rk, bm25_micro, n_terms
 FROM ranked WHERE rk <= {_BM25_TOPK}
 """
+
+# Reciprocal-rank fusion constants: the standard k=60 damping, with each
+# arm's 1/(k+rank) kept EXACT as the integer floor(1e6/(k+rank)) — two
+# BIGINT floors and one BIGINT sum are bit-identical across engines,
+# where summing the raw doubles would not be order-guaranteed.
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion — the
+    standard RAG-pipeline serving pattern (Cormack et al.'s RRF): the
+    BM25 keyword arm (``doc_bm25_topk``, query ids 1-3 over
+    ``documents``) and the exact-cosine dense arm
+    (``brute_force_topk`` with each query id's own embedding — the
+    corpus aligns doc_id ≡ vec_id) each contribute
+    ``_RRF_SCALE div (60 + rank)``; a FULL OUTER join on
+    (query_id, doc_id) sums the arms (a doc missing from one arm
+    contributes 0 from it) and a per-query window re-ranks the fused
+    score. Ranks stay visible per arm so the output shows WHY a doc
+    won (keyword match, vector match, or both).
+
+    Scale: each arm keeps its own audited plan (BM25: one corpus pass,
+    vocabulary-pruned postings; dense: queries broadcast, corpus
+    streamed once through the Arrow scorer). The fusion itself joins
+    two ≤ k·|queries|-row frames — dust. At 100 TB nothing new
+    shuffles: fusion cost is bounded by the arms' top-k outputs, never
+    the corpus."""
+    from data_migration_tool_spark.operators import similarity as SIM
+
+    sparse = doc_bm25_topk(spark, sf_dir).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("rk").cast("long").alias("rk_sparse"),
+    )
+    qids = sorted({q for q, _ in _BM25_QUERIES})
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = SIM.brute_force_topk(
+        e.filter(F.col("vec_id").isin(qids)), e, k=_BM25_TOPK
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rk_dense"),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "rk_sparse",
+        "rk_dense",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rk_sparse)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rk_dense)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH sparse AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         CAST(rk AS BIGINT) AS rk_sparse
+  FROM ({DOC_BM25_SQL})
+),
+dense AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id AS doc_id,
+         CAST(rank AS BIGINT) AS rk_dense
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+               c.vec_id ASC
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id IN ({", ".join(str(q) for q in sorted({q for q, _ in _BM25_QUERIES}))})
+      AND q.vec_id <> c.vec_id
+  ) WHERE rank <= {_BM25_TOPK}
+),
+fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         s.rk_sparse, d.rk_dense,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + s.rk_sparse), 0)
+            + COALESCE({_RRF_SCALE} // ({_RRF_K} + d.rk_dense), 0)
+           AS BIGINT) AS rrf_micro
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rk_sparse, rk_dense, rrf_micro,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC
+       ) AS BIGINT) AS fused_rank
+FROM fused
+"""
