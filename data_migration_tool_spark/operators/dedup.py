@@ -617,25 +617,24 @@ def containment_pairs(
         ),
     )
     ceil_tn = f"({num} * n_sh + {den - 1}) div {den}"
+    # df rides the prefix projection so the guard can price the join
+    # with ONE aggregate over it: Σ df over (doc, shingle) prefix rows
+    # IS Σ_s prefix_count(s)·df(s), no pc-histogram join needed
     prefix = (
         ranked.join(docsets.select(id_col, "n_sh"), id_col)
         .filter(F.col("rk") <= F.col("n_sh") - F.expr(ceil_tn) + F.lit(2))
-        .select(F.col(id_col).alias("id_a"), "shingle")
+        .select(F.col(id_col).alias("id_a"), "shingle", "df")
     )
     if max_candidates is not None:
         # the guard aggregate and the candidate join both consume the
         # prefix — persist it so pricing doesn't recompute the window
         prefix = prefix.persist()
-        implied = (
-            prefix.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("pc"))
-            .join(dfreq, "shingle")
-            .agg(F.sum(F.col("pc") * F.col("df")).alias("v"))
-            .collect()[0]["v"]
-        ) or 0
+        g = prefix.agg(
+            F.sum("df").alias("v"), F.count_distinct("id_a").alias("n")
+        ).first()
+        implied = g["v"] or 0
         if max_candidates == "auto":
-            n_docs = docsets.count()
-            cap = linear_budget * max(n_docs, 1)
+            cap = linear_budget * max(g["n"], 1)
             why = f"{linear_budget}·n_docs = {cap:,}"
         else:
             cap = max_candidates
