@@ -79,12 +79,28 @@ def _shuffle_words(text: F.Column, doc_id: F.Column, rep: int) -> F.Column:
     return F.concat_ws(" ", F.transform(F.array_sort(keyed), lambda s: s.w))
 
 
-def _rotate_vec(vec: F.Column, rep: int, dim: int) -> F.Column:
-    """Circular rotation by rep positions (rep 0 = identity)."""
+def _rotate_vec(vec: F.Column, rep: int, dim: int, key: F.Column) -> F.Column:
+    """Circular rotation by rep positions + a sign-flip mask keyed by
+    the row's (already offset, globally unique) vec_id (rep 0 =
+    identity, untouched originals). The mask matters for CHAINED
+    upsampling (sf1 → sf10): pure rotations compose additively, so rep
+    chains with equal sums (0∘r = r∘0, 1+2 = 2+1) mint EXACT duplicate
+    vectors — measured 18k/200k before the mask — faking a
+    mass-duplication regime the near-dup exponents would then measure
+    instead of the algorithm. Keying the mask by the unique vec_id
+    makes every rep>0 copy's transform distinct across any chain;
+    norms and pairwise-unrelatedness are preserved (sign flips are
+    orthogonal)."""
     shift = rep % dim
     if shift == 0:
         return vec
-    return F.concat(F.slice(vec, shift + 1, dim - shift), F.slice(vec, 1, shift))
+    rot = F.concat(F.slice(vec, shift + 1, dim - shift), F.slice(vec, 1, shift))
+    return F.transform(
+        rot,
+        lambda x, i: F.when(
+            F.pmod(F.xxhash64(key, i), F.lit(2)) == 1, -x
+        ).otherwise(x),
+    )
 
 
 def upsample(
@@ -157,7 +173,8 @@ def upsample(
                 ).withColumn("n_chars", F.length("text"))
             if tbl == "embeddings" and rep > 0:
                 df = df.withColumn(
-                    "embedding", _rotate_vec(F.col("embedding"), rep, emb_dim)
+                    "embedding",
+                    _rotate_vec(F.col("embedding"), rep, emb_dim, F.col("vec_id")),
                 )
             parts.append(df)
         out = parts[0]
