@@ -1922,6 +1922,43 @@ def test_containment_guard_prices_saturated_corpus(spark, tmp_path):
     )  # quadratic opt-in still computes exact containment
 
 
+def test_containment_thresholds_match_bruteforce(spark):
+    """The operator's exact-rational prefix sizing generalizes past the
+    registry's t=0.9: at several thresholds the prefix-filtered result
+    must equal a brute-force all-pairs computation (losslessness of the
+    pigeonhole prefix is threshold-dependent — this is the test that
+    catches an off-by-one in ceil(t·n) for thresholds whose (1−t)
+    expansion is not a finite binary float, e.g. 0.8)."""
+    from data_migration_tool_spark.operators import dedup as DD
+
+    texts = {
+        1: "a b c d e f g h i j k l",          # 10 shingles
+        2: "a b c d e f g h i j k l m n o p",  # superset container
+        3: "x y z a b c d e f g h i j",        # partial overlap
+        4: "p q r s t u v w",                  # disjoint-ish
+        5: "a b c d e f g h i j k l",          # exact dup of 1
+    }
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    for thr in (0.5, 0.8, 0.9, 1.0):
+        expect = set()
+        for a in sets:
+            for b in sets:
+                if a != b and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= thr:
+                    expect.add((a, b))
+        got = {
+            (r.contained_id, r.container_id)
+            for r in DD.containment_pairs(df, threshold=thr).collect()
+        }
+        assert got == expect, f"threshold {thr}: {got ^ expect}"
+
+
 def test_broadcast_cap_guards_audit_rows(spark, tmp_path, monkeypatch):
     """The 262k-vector broadcast caps (VERDICT r8 ask #4) write
     dmt_guard_events refusal rows when an oversized operand lands on
