@@ -2788,6 +2788,17 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("rk_dense"),
     )
+    return rrf_fuse(sparse, dense)
+
+
+def rrf_fuse(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """Fuse two (query_id, doc_id, rk_*) rank frames by integer-exact
+    RRF. FULL OUTER on the pair key: a doc in both arms sums both
+    contributions; a doc in one arm contributes 0 from the other
+    (coalesce — div on the NULL rank is NULL). Unit-pinned on planted
+    overlapping frames (test_dataops.py) because the registry corpus's
+    arms happen not to overlap at gate SF, which would leave the
+    both-arms sum path data-untested."""
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

@@ -1959,6 +1959,30 @@ def test_containment_thresholds_match_bruteforce(spark):
         assert got == expect, f"threshold {thr}: {got ^ expect}"
 
 
+def test_rrf_fuse_overlapping_and_single_arm(spark):
+    """RRF fusion on planted frames where the arms OVERLAP (the gate
+    corpus's arms happen not to, so the both-arms sum path needs this
+    pin): a doc ranked 1 in both arms must score 2·(1e6 div 61) and
+    outrank single-arm docs; ties break by doc_id; single-arm docs get
+    exactly their own arm's floor contribution."""
+    from data_migration_tool_spark.plans.textq import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rk_sparse long"
+    )
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2)], "query_id long, doc_id long, rk_dense long"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse(sparse, dense).collect()}
+    both = 1_000_000 // 61
+    single2 = 1_000_000 // 62
+    assert rows[10].rrf_micro == 2 * both and rows[10].fused_rank == 1
+    assert rows[11].rrf_micro == single2 and rows[11].rk_dense is None
+    assert rows[12].rrf_micro == single2 and rows[12].rk_sparse is None
+    # equal fused scores -> doc_id ascending breaks the tie
+    assert (rows[11].fused_rank, rows[12].fused_rank) == (2, 3)
+
+
 def test_broadcast_cap_guards_audit_rows(spark, tmp_path, monkeypatch):
     """The 262k-vector broadcast caps (VERDICT r8 ask #4) write
     dmt_guard_events refusal rows when an oversized operand lands on
