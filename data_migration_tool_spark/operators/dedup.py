@@ -558,6 +558,7 @@ def containment_pairs(
     threshold: float = 0.9,
     max_candidates: int | str | None = "auto",
     linear_budget: int = 1024,
+    auto_sample: bool = False,
     audit=None,
 ) -> DataFrame:
     """Containment coefficient |A∩B| / |A| ≥ ``threshold`` over n-gram
@@ -589,11 +590,13 @@ def containment_pairs(
     one shingle-grain aggregate computes the implied candidate volume,
     and past ``linear_budget``·n_docs it refuses loudly, quoting both
     statistics and the saturation ratio, and names the priced
-    alternatives (a deterministic doc-sample slice — recall the
-    sampled-gate precedent, the ground-truth arm shrinks by rate² —
-    or an explicit ``max_candidates=None`` opt-in). An ``int`` keeps
-    static-cap semantics; ``None`` disables the guard. Refusals write a
-    ``dmt_guard_events`` row when ``audit`` is passed.
+    alternatives. With ``auto_sample=True`` it instead DEGRADES to a
+    deterministic md5 doc slice whose rate is derived from the measured
+    ratio (largest k/256 with implied·rate² ≤ cap — rate tracks
+    1/√growth, so no fixed constant for the n² term to outrun) and
+    recurses on the slice, which re-prices itself. An ``int`` keeps
+    static-cap semantics; ``None`` disables the guard. Refusals and
+    degrades write ``dmt_guard_events`` rows when ``audit`` is passed.
 
     Both directions are reported (contained_id, container_id).
     Reference basis: the reference has no similarity path; this extends
@@ -640,6 +643,55 @@ def containment_pairs(
             cap = max_candidates
             why = f"max_candidates={cap:,}"
         if implied > cap:
+            if auto_sample:
+                # Self-sizing degrade: candidate volume is ~quadratic in
+                # the doc count under saturation, so a deterministic
+                # md5 slice of rate r shrinks it ~r² — pick the largest
+                # two-hex-digit rate k/256 with implied·(k/256)² ≤ cap
+                # and recurse on the slice (the recursive call re-prices
+                # with its own aggregate, so an off estimate degrades
+                # again rather than running over budget). This is the
+                # SCALE.md r10 arithmetic as code: the rate tracks
+                # 1/√growth instead of being a fixed constant that the
+                # n² term outruns a decade later.
+                k = min(255, int((cap / implied) ** 0.5 * 256))
+                if k >= 1:
+                    cut = format(k, "02x")
+                    if audit is not None:
+                        from data_migration_tool_spark.audit.log import (
+                            guard_event,
+                        )
+
+                        guard_event(
+                            audit,
+                            guard="containment_pairs",
+                            action="degrade",
+                            subject=f"{id_col}/{text_col} prefix-filtered "
+                            "index join",
+                            implied_cost=int(implied),
+                            cap=int(cap),
+                            detail=f"degraded to deterministic md5 doc "
+                            f"sample rate {k}/256 (implied·rate² ≤ cap)",
+                        )
+                    sliced = df.filter(
+                        F.substring(
+                            F.md5(F.col(id_col).cast("string")), 1, 2
+                        )
+                        < cut
+                    )
+                    return containment_pairs(
+                        sliced,
+                        id_col=id_col,
+                        text_col=text_col,
+                        shingle_n=shingle_n,
+                        threshold=threshold,
+                        max_candidates=max_candidates,
+                        linear_budget=linear_budget,
+                        auto_sample=True,
+                        audit=audit,
+                    )
+                # rate would be < 1/256 — a sample that thin answers
+                # nothing; fall through to the loud refusal
             stats = dfreq.agg(
                 F.sum("df").alias("rows"), F.count(F.lit(1)).alias("dist")
             ).first()
@@ -663,9 +715,10 @@ def containment_pairs(
                 f"~{int(implied):,} candidates (> {why}; mean posting "
                 f"length {sat:.1f} — a saturated shingle domain makes the "
                 f"prefix filter a constant factor, not an asymptotic one). "
-                f"Run on a deterministic doc sample (ground-truth cost "
-                f"shrinks by rate²), raise linear_budget, or pass "
-                f"max_candidates=None to opt into the quadratic join."
+                f"Pass auto_sample=True to degrade to a self-sized "
+                f"deterministic doc sample (cost shrinks by rate²), raise "
+                f"linear_budget, or pass max_candidates=None to opt into "
+                f"the quadratic join."
             )
     cand = (
         prefix.join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")

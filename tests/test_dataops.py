@@ -1922,6 +1922,51 @@ def test_containment_guard_prices_saturated_corpus(spark, tmp_path):
     )  # quadratic opt-in still computes exact containment
 
 
+def test_containment_auto_sample_degrade(spark, tmp_path):
+    """auto_sample=True converts the refusal into a self-sized
+    deterministic sample: the degrade writes a dmt_guard_events row
+    naming the chosen k/256 rate, and the output equals running the
+    guard-free operator on the same manual md5 slice."""
+    import re
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+
+    sat = spark.createDataFrame(
+        [
+            (i, " ".join(["abc"[(i * 7 + j * 3) % 3] * 2 for j in range(12)]))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    out = DD.containment_pairs(
+        sat, linear_budget=4, auto_sample=True, audit=audit
+    ).collect()
+    events = audit.table("dmt_guard_events").collect()
+    assert {e.action for e in events} >= {"degrade"}
+    rate = re.search(r"rate (\d+)/256", events[0].detail)
+    assert rate, events[0].detail
+    cut = format(int(rate.group(1)), "02x")
+    manual = (
+        DD.containment_pairs(
+            sat.filter(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < cut
+            ),
+            max_candidates=None,
+        )
+        .collect()
+    )
+    key = lambda r: (r.contained_id, r.container_id, r.containment)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, manual))
+    # every returned id is inside the declared slice
+    for r in out:
+        for i in (r.contained_id, r.container_id):
+            import hashlib
+
+            assert hashlib.md5(str(i).encode()).hexdigest()[:2] < cut
+
+
 def test_containment_thresholds_match_bruteforce(spark):
     """The operator's exact-rational prefix sizing generalizes past the
     registry's t=0.9: at several thresholds the prefix-filtered result
