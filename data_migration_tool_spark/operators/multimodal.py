@@ -372,6 +372,22 @@ MEDIA_DECODE_FIELDS = (
 )
 
 
+def spread_for_cpu(df: DataFrame, key: str = "content_sha") -> DataFrame:
+    """Pin the partition count of a frame feeding a CPU-bound codec
+    stage to the cluster's parallelism. AQE coalesces post-shuffle
+    partitions by BYTE size, which misprices per-blob Python codec work
+    (a kilobyte blob can cost milliseconds of decode CPU): on a small
+    corpus every distinct blob lands in ONE coalesced partition and the
+    Arrow stage runs single-threaded. An exchange with an explicit
+    ``numPartitions`` is exempt from AQE coalescing, so one task per
+    core survives at any corpus size. Placed AFTER the dedup shuffle so
+    map-side partial dedup keeps shrinking the first exchange on
+    dup-heavy corpora; the extra exchange moves DISTINCT blobs only,
+    which the per-blob decode CPU dwarfs."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Real decode pipeline: content hashed, distinct blobs parsed ONCE
     (Arrow batches through :func:`decode_media`), scalar decoded fields
@@ -379,8 +395,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     :func:`extract_features` — at 100 TB duplicate media decode cost
     collapses to one per distinct blob."""
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
-        ["content_sha"]
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "content").dropDuplicates(
+            ["content_sha"]
+        )
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -459,8 +477,10 @@ def extract_features(
     downstream compares values bit-exactly — float32 narrowing rounds).
     """
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    distinct_blobs = hashed.select("content_sha", "kind", "content").dropDuplicates(
-        ["content_sha"]
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "kind", "content").dropDuplicates(
+            ["content_sha"]
+        )
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -545,8 +565,10 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     import struct as _struct
 
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
-        ["content_sha"]
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "content").dropDuplicates(
+            ["content_sha"]
+        )
     )
 
     def _resize_one(content: bytes) -> tuple:
@@ -690,8 +712,10 @@ def transcode_images(
         # the executors' mapInPandas task
         raise ValueError(f"factor must be a positive int, got {factor!r}")
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
-        ["content_sha"]
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "content").dropDuplicates(
+            ["content_sha"]
+        )
     )
 
     def _one(content: bytes) -> tuple:
@@ -750,8 +774,10 @@ def frame_audio(media: DataFrame, frame_size: int = 8) -> DataFrame:
     import struct as _struct
 
     hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    distinct_blobs = hashed.select("content_sha", "content").dropDuplicates(
-        ["content_sha"]
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "content").dropDuplicates(
+            ["content_sha"]
+        )
     )
 
     def _frames_of(content: bytes) -> list[tuple]:

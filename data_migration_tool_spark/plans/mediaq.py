@@ -35,6 +35,17 @@ from data_migration_tool_spark.operators.multimodal import (
 )
 from data_migration_tool_spark.tables import load_table
 
+def _spread_seed(d: DataFrame) -> DataFrame:
+    """Round-robin the generator seed frame across the cluster before a
+    CPU-bound Python encode stage. The seed is a tiny parquet (one
+    input split), so without an explicit exchange the per-doc blob
+    encode — and everything fused into its stage — runs on ONE core;
+    AQE can't help because it sizes partitions by bytes, not by the
+    codec CPU each row costs. An explicit numPartitions is exempt from
+    AQE coalescing; the shuffled payload is just doc ids."""
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+
 def _kind() -> F.Column:
     return (
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -47,7 +58,9 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media ingest: every document becomes one media blob
     (BMP / WAV / opaque) whose contents are a pure function of doc_id,
     encoded executor-side in Arrow batches (no driver materialization)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -308,7 +321,9 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash so duplicate blobs decode once."""
     from data_migration_tool_spark.operators.jpeg import encode_jpeg
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -379,7 +394,9 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode and decode stages, dedup-before-decode on content hash."""
     from data_migration_tool_spark.operators.png import encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -445,7 +462,9 @@ def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_migration_tool_spark.operators.png import encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -500,7 +519,9 @@ def media_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png_palette,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -598,7 +619,9 @@ def media_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_migration_tool_spark.operators.png import encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread_seed(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
