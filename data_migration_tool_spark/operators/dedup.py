@@ -560,6 +560,7 @@ def containment_pairs(
     linear_budget: int = 1024,
     auto_sample: bool = False,
     audit=None,
+    _rate_limit: int = 256,
 ) -> DataFrame:
     """Containment coefficient |A∩B| / |A| ≥ ``threshold`` over n-gram
     shingle sets — the asymmetric complement of Jaccard (a short doc
@@ -594,7 +595,13 @@ def containment_pairs(
     deterministic md5 doc slice whose rate is derived from the measured
     ratio (largest k/256 with implied·rate² ≤ cap — rate tracks
     1/√growth, so no fixed constant for the n² term to outrun) and
-    recurses on the slice, which re-prices itself. An ``int`` keeps
+    recurses on the slice, which re-prices itself. The recursion
+    carries the current ABSOLUTE cut (``_rate_limit``): docs in play
+    already satisfy md5 < prev_cut, so a new cut is only a real slice
+    if it is strictly below the previous one — each degrade level
+    lowers the cut by ≥ 1/256, so the recursion provably terminates
+    (it bottoms out in the loud refusal if even rate 1/256 cannot
+    meet the budget). An ``int`` keeps
     static-cap semantics; ``None`` disables the guard. Refusals and
     degrades write ``dmt_guard_events`` rows when ``audit`` is passed.
 
@@ -653,8 +660,14 @@ def containment_pairs(
                 # again rather than running over budget). This is the
                 # SCALE.md r10 arithmetic as code: the rate tracks
                 # 1/√growth instead of being a fixed constant that the
-                # n² term outruns a decade later.
-                k = min(255, int((cap / implied) ** 0.5 * 256))
+                # n² term outruns a decade later. The candidate rate is
+                # relative to the docs IN PLAY (md5 < _rate_limit/256
+                # already holds for all of them), so convert to an
+                # absolute cut and force strict progress — a cut ≥ the
+                # current limit filters nothing, and identical implied/
+                # cap would then recompute the identical k forever.
+                k = int((cap / implied) ** 0.5 * _rate_limit)
+                k = min(k, _rate_limit - 1)
                 if k >= 1:
                     cut = format(k, "02x")
                     if audit is not None:
@@ -689,6 +702,7 @@ def containment_pairs(
                         linear_budget=linear_budget,
                         auto_sample=True,
                         audit=audit,
+                        _rate_limit=k,
                     )
                 # rate would be < 1/256 — a sample that thin answers
                 # nothing; fall through to the loud refusal

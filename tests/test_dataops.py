@@ -1945,9 +1945,22 @@ def test_containment_auto_sample_degrade(spark, tmp_path):
     ).collect()
     events = audit.table("dmt_guard_events").collect()
     assert {e.action for e in events} >= {"degrade"}
-    rate = re.search(r"rate (\d+)/256", events[0].detail)
-    assert rate, events[0].detail
-    cut = format(int(rate.group(1)), "02x")
+    # each degrade level re-prices the slice and may degrade again with
+    # a strictly lower absolute cut; the OUTPUT corresponds to the
+    # final (smallest) rate across the recorded degrade rows
+    rates = [
+        int(m.group(1))
+        for e in events
+        if e.action == "degrade"
+        for m in [re.search(r"rate (\d+)/256", e.detail)]
+        if m
+    ]
+    assert rates, [e.detail for e in events]
+    # strict progress: every degrade level records a DISTINCT absolute
+    # cut (the audit sink doesn't guarantee read order, so distinctness
+    # is the order-free form of "strictly decreasing")
+    assert len(set(rates)) == len(rates), rates
+    cut = format(min(rates), "02x")
     manual = (
         DD.containment_pairs(
             sat.filter(
