@@ -919,18 +919,61 @@ def simhash_near_dups(
     never a text compare. Hot buckets (boilerplate-heavy corpora) are
     AQE-skew-split; raise ``bits`` to sparsify buckets at corpus scale.
     """
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    return hamming_near_dup_pairs(
+        sig,
+        id_col=id_col,
+        sig_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Band-blocked Hamming near-dup pairs over ANY integer signature
+    column — the blocking engine shared by :func:`simhash_near_dups`
+    (32-bit text SimHash) and the image perceptual-hash lane (64-bit
+    dHash, ``operators/multimodal.dhash_images``). With ``bands``
+    bit-bands and ``max_hamming < bands``, blocking is EXACT by
+    pigeonhole: at most ``max_hamming`` differing bits touch at most
+    ``max_hamming`` bands, so every qualifying pair shares one intact
+    band and is generated — no recall loss. Output (id_a, id_b,
+    hamming), id_a < id_b.
+
+    Scale shape: candidates come from a self-join on (band_idx,
+    band_value) — bucket sizes bounded by 2^(bits/bands) spreading, the
+    verify step is a constant-time bit_count on the joined signatures.
+    Band extraction is arithmetic-shift + mask, so bit-(bits−1)
+    signatures (negative longs) band identically across engines."""
     assert bits % bands == 0 and max_hamming < bands
     width = bits // bands
-    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    # NOTE: both sides of the self-join re-derive this frame, so Spark
+    # recomputes the signature pipeline twice. Deliberately NOT
+    # persisted here: the operator is called from property tests and
+    # bench loops hundreds of times per session, and un-unpersistable
+    # cache entries accumulate until execution memory thrashes
+    # (measured: a full-suite stall in evictBlocksToFreeSpace). At lake
+    # scale, the CALLER should materialize the signature frame once
+    # (persist/checkpoint — it is bands rows × ~32 bytes per item,
+    # never the blobs) and pass that in; the expensive decode then runs
+    # once regardless of this join's shape.
     banded = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(*[F.lit(b) for b in range(bands)])
         ).alias("band_idx"),
     ).withColumn(
         "band_val",
-        F.expr(f"(simhash >> (band_idx * {width})) & {(1 << width) - 1}"),
+        F.expr(f"(_sig >> (band_idx * {width})) & {(1 << width) - 1}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -943,8 +986,8 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
         )
         .distinct()
     )

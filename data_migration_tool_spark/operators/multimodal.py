@@ -682,6 +682,152 @@ def _block_mean(px: np.ndarray, factor: int) -> np.ndarray:
     return out[:, :, 0] if c == 1 else out
 
 
+def scene_changes(media: DataFrame, threshold: int = 1000) -> DataFrame:
+    """Shot-cut detection over uncompressed AVI blobs: exact integer
+    sum of absolute differences (SAD) between consecutive frames' full
+    BGR payloads, flagged as a cut where ``sad > threshold`` — the
+    standard pre-sampling step of a video training pipeline (sample
+    densely around cuts, sparsely inside still shots). Consecutive
+    frames live inside ONE blob, so the differencing happens entirely
+    inside the decode's Arrow pass: frame-grain rows come out, but no
+    shuffle ever carries pixels, and the operator is embarrassingly
+    parallel per blob. Output (media_id, frame_idx, sad, is_cut) for
+    frames 1..n_frames-1; non-AVI blobs are skipped (disclosed null
+    branch, same contract as :func:`sample_frames`)."""
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sads = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                decoded = _avi_frame_arrays(bytes(c) if c is not None else b"")
+                if decoded is None:
+                    continue
+                _usf, _w, _h, mats = decoded
+                prev = None
+                for fi, arr in enumerate(mats):
+                    cur = arr.astype(np.int64)
+                    if prev is not None:
+                        ids.append(int(mid))
+                        idxs.append(fi)
+                        sads.append(int(np.abs(cur - prev).sum()))
+                    prev = cur
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "sad": sads}
+            )
+
+    framed = vids.mapInPandas(dec, "media_id long, frame_idx int, sad long")
+    return framed.withColumn("is_cut", F.col("sad") > F.lit(threshold))
+
+
+def vad_segments(
+    frames: DataFrame, energy_num: int = 400_000, energy_den: int = 1
+) -> DataFrame:
+    """Voice-activity segments from framed audio energy (the output of
+    :func:`frame_audio`): a frame is ACTIVE iff its mean square power
+    exceeds ``energy_num / energy_den`` — evaluated as the exact
+    integer cross-multiplication ``sq_sum · energy_den > n_samples ·
+    energy_num`` (no float division, engine-portable) — and runs of
+    consecutive active frames collapse to one segment row via
+    gaps-and-islands (frame_idx − row_number is constant within a
+    run). Output per segment: (media_id, seg_start, seg_end, n_frames,
+    total_sq).
+
+    Scale shape: one media_id-keyed exchange serves the row_number
+    window; the segment aggregation is partial-agg'd map-side on
+    (media_id, island). State is frame-grain, never samples."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    active = frames.filter(
+        F.col("sq_sum") * F.lit(energy_den)
+        > F.col("n_samples").cast("long") * F.lit(energy_num)
+    )
+    islands = active.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("media_id", "island")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("sq_sum").cast("long").alias("total_sq"),
+        )
+        .drop("island")
+    )
+
+
+def dhash_bits(px: np.ndarray, grid_w: int = 8, grid_h: int = 8) -> int | None:
+    """Difference-hash of a decoded pixel array: exact integer tile
+    means down to a (grid_h, grid_w+1) grid, then one bit per
+    horizontally-adjacent pair (1 iff left mean > right mean) —
+    ``grid_w·grid_h`` bits, row-major, returned as a two's-complement
+    int64 (bit 63 set ⇒ negative, banding uses arithmetic-shift+mask so
+    the sign never matters). RGB inputs collapse to gray by exact
+    floor((r+g+b)/3) BEFORE tiling; dims must tile evenly into the
+    (grid_w+1)×grid_h lattice, else None (disclosed — a production lane
+    resizes first; the exact gate keeps arithmetic integer-only)."""
+    if px is None:
+        return None
+    if px.ndim == 3:
+        px = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    h, w = px.shape
+    cols, rows = grid_w + 1, grid_h
+    if w % cols or h % rows:
+        return None
+    tw, th = w // cols, h // rows
+    sums = px.astype(np.int64).reshape(rows, th, cols, tw).sum(axis=(1, 3))
+    grid = sums // (tw * th)
+    bits = 0
+    for by in range(rows):
+        for bx in range(grid_w):
+            if grid[by, bx] > grid[by, bx + 1]:
+                bits |= 1 << (by * grid_w + bx)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def dhash_images(
+    media: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Per-image perceptual hash (dHash) over binary image columns:
+    decode any supported container (BMP/JPEG/PNG), exact integer tile
+    means, adjacent-mean comparison bits — (media_id, dhash long). The
+    fingerprint half of image near-dup dedup; feed the output to
+    ``operators/dedup.hamming_near_dup_pairs(bits=64, bands=4)`` for
+    the band-blocked pair join. Same dedup-before-decode shape as the
+    rest of the lane: distinct blobs hash once, results join back by
+    content hash — at 100 TB the decode+hash cost is per DISTINCT
+    image and embarrassingly parallel."""
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    distinct_blobs = spread_for_cpu(
+        hashed.select("content_sha", "content").dropDuplicates(
+            ["content_sha"]
+        )
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, sigs = [], []
+            for sha, c in zip(pdf["content_sha"], pdf["content"]):
+                px = decode_image_array(bytes(c) if c is not None else b"")
+                sigs.append(dhash_bits(px, grid_w, grid_h))
+                shas.append(sha)
+            yield pd.DataFrame(
+                {
+                    "content_sha": shas,
+                    "dhash": pd.array(sigs, dtype="Int64"),
+                }
+            )
+
+    sigs = distinct_blobs.mapInPandas(dec, "content_sha string, dhash long")
+    return hashed.join(sigs, "content_sha").select("media_id", "dhash")
+
+
 def transcode_images(
     media: DataFrame,
     factor: int = 2,

@@ -692,3 +692,228 @@ SELECT doc_id AS media_id,
 FROM blocks
 GROUP BY doc_id
 """
+
+
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs — the codec lane composed
+    with the dedup lane (r10). Every document becomes a real 36×16 BMP
+    whose pixels are constant over 4×2 tiles, keyed by a GROUP id
+    g = doc_id % 100 (so each group's members are near-identical
+    images) with a one-tile perturbation on odd doc_ids (so intra-group
+    pairs land at Hamming 0 or 1, never more — the fixture formula's
+    separation was checked exhaustively at 100 and 1000 groups: zero
+    and ~1e-4 cross-group template collision rate respectively; cross
+    hits are LEGITIMATE near-dups both engines derive identically).
+    The group count derives from the corpus (≈5 docs per group at
+    every SF, one metadata-grain count), so planted-pair volume stays
+    LINEAR in corpus size. The pipeline is the REAL one a vision
+    corpus would run: decode container → exact integer tile means →
+    64-bit dHash (``operators/multimodal.dhash_images``) → band-blocked
+    Hamming pair join (``operators/dedup.hamming_near_dup_pairs``,
+    4×16-bit bands, pigeonhole-exact at max_hamming=1). The DuckDB
+    oracle recomputes the dHash analytically from the tile formula
+    (blocks are constant, so tile mean = tile value) and replicates the
+    banding arithmetic — encoder, decoder+hasher, and oracle are three
+    independent code paths.
+
+    Scale shape: per-DISTINCT-image decode+hash (Arrow-batched,
+    dedup-before-decode), then the banded self-join carries 8-byte
+    signatures only — Σ bucket² bounded by 2^16 band spreading; the
+    hot-bucket valve pattern applies unchanged if a real corpus plants
+    a boilerplate image."""
+    from data_migration_tool_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from data_migration_tool_spark.operators.multimodal import dhash_images
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_groups = max(base.count() // 5, 1)
+    d = _spread_seed(base)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g = i % n_groups
+
+                def fn(x: int, y: int, i: int = i, g: int = g) -> int:
+                    bx, by = x // 4, y // 2
+                    v = (
+                        g * 177
+                        + bx * bx * (g % 13 + 7)
+                        + bx * by * (g % 5 + 3)
+                        + by * (g % 23 + 29)
+                    ) % 256
+                    if i % 2 == 1 and bx == 0 and by == 0:
+                        v = (v + 100) % 256
+                    return v
+
+                blobs.append(encode_bmp(36, 16, fn))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = d.mapInPandas(enc, "media_id long, content binary")
+    sigs = dhash_images(media, grid_w=8, grid_h=8)
+    return hamming_near_dup_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=64,
+        bands=4,
+        max_hamming=1,
+    )
+
+
+MEDIA_PHASH_NEAR_DUPS_SQL = """
+WITH n AS (
+  SELECT GREATEST(COUNT(*) // 5, 1) AS ng FROM documents
+),
+grid AS (
+  SELECT doc_id, bx, by,
+         ((doc_id % ng) * 177
+          + bx * bx * ((doc_id % ng) % 13 + 7)
+          + bx * by * ((doc_id % ng) % 5 + 3)
+          + by * ((doc_id % ng) % 23 + 29)
+          + CASE WHEN doc_id % 2 = 1 AND bx = 0 AND by = 0
+                 THEN 100 ELSE 0 END
+         ) % 256 AS v
+  FROM documents, n, unnest(range(9)) AS tx(bx), unnest(range(8)) AS ty(by)
+),
+bits AS (
+  SELECT l.doc_id, l.by * 8 + l.bx AS k,
+         CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+  FROM grid l
+  JOIN grid r ON l.doc_id = r.doc_id AND l.by = r.by AND r.bx = l.bx + 1
+  WHERE l.bx < 8
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 63 THEN bit * (1::BIGINT << k)
+                       ELSE 0 END) AS BIGINT)
+         + CASE WHEN MAX(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                ELSE 0 END AS dhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, dhash, bi, (dhash >> (bi * 16)) & 65535 AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.dhash AS sa, b.dhash AS sb
+  FROM banded a
+  JOIN banded b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 1
+"""
+
+
+def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-cut detection over the REAL AVI corpus (r10): consecutive-
+    frame integer SAD computed inside the decode's Arrow pass
+    (``operators/multimodal.scene_changes`` — frame pairs never leave
+    the blob's task, zero pixel shuffles), flagged against a fixed
+    threshold. The oracle predicts every SAD arithmetically from the
+    frame pixel formula (per-pixel |Δ| is 5 or 251 depending on the
+    mod-256 wrap), so a hash PASS pins the payload walk, the
+    consecutive-frame pairing, AND the cut flag."""
+    from data_migration_tool_spark.operators.multimodal import (
+        scene_changes,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    return scene_changes(media, threshold=1000).select(
+        "media_id",
+        "frame_idx",
+        "sad",
+        "is_cut",
+    )
+
+
+MEDIA_SCENE_CHANGES_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, w, h, f
+  FROM dims, unnest(range(1, nf)) AS u(f)
+),
+sad AS (
+  SELECT doc_id, f,
+         3 * list_sum(list_transform(range(w * h),
+             i -> abs(((doc_id + (i % w) + 3 * (i // w) + 5 * f) % 256)
+                    - ((doc_id + (i % w) + 3 * (i // w) + 5 * (f - 1)) % 256)
+             ))) AS s
+  FROM fr
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(s AS BIGINT) AS sad,
+       s > 1000 AS is_cut
+FROM sad
+"""
+
+
+def media_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the REAL WAV corpus (r10):
+    framed energies (``frame_audio``, 8-sample windows, exact integer
+    sum-of-squares) thresholded by exact cross-multiplication and
+    collapsed to segments by gaps-and-islands
+    (``operators/multimodal.vad_segments``). The oracle regenerates
+    the synthetic PCM stream, the same integer threshold, and the same
+    islands arithmetic — window function against window function, all
+    integers, so segment bounds, frame counts, and summed energies all
+    hash-match."""
+    from data_migration_tool_spark.operators.multimodal import (
+        frame_audio,
+        vad_segments,
+    )
+
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "audio"
+    )
+    frames = frame_audio(media, frame_size=8)
+    return vad_segments(frames, energy_num=400_000, energy_den=1)
+
+
+MEDIA_VAD_SEGMENTS_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 33 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT doc_id, n, f
+  FROM dims, unnest(range((n + 7) // 8)) AS u(f)
+),
+vals AS (
+  SELECT doc_id, f,
+         list_transform(range(f * 8, least(f * 8 + 8, n)),
+           j -> CAST(((doc_id * 131 + j * 17) % 2001) - 1000 AS BIGINT)) AS s
+  FROM fr
+),
+energy AS (
+  SELECT doc_id, f,
+         len(s) AS n_samples,
+         CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sq_sum
+  FROM vals
+),
+active AS (
+  SELECT doc_id, f, sq_sum,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS island
+  FROM energy
+  WHERE sq_sum * 1 > n_samples * 400000
+)
+SELECT doc_id AS media_id,
+       CAST(MIN(f) AS INT) AS seg_start,
+       CAST(MAX(f) AS INT) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(sq_sum) AS BIGINT) AS total_sq
+FROM active
+GROUP BY doc_id, island
+"""

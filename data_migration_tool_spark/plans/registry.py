@@ -465,6 +465,24 @@ _DEFS: list[QueryDef] = [
         ("media", "codec", "jpeg", "resize"),
     ),
     QueryDef(
+        "media_phash_near_dups",
+        MQ.media_phash_near_dups,
+        MQ.MEDIA_PHASH_NEAR_DUPS_SQL,
+        ("media", "dedup", "phash"),
+    ),
+    QueryDef(
+        "media_scene_changes",
+        MQ.media_scene_changes,
+        MQ.MEDIA_SCENE_CHANGES_SQL,
+        ("media", "video", "frames"),
+    ),
+    QueryDef(
+        "media_vad_segments",
+        MQ.media_vad_segments,
+        MQ.MEDIA_VAD_SEGMENTS_SQL,
+        ("media", "audio", "segmentation"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -877,17 +895,25 @@ _DEFS: list[QueryDef] = [
 # doc_containment_pairs_sampled — the r10 containment-guard's priced
 # alternative, added mid-round after the second-decade scale pass; and
 # hybrid_rrf_retrieval — sparse+dense RRF fusion over the two audited
-# retrieval arms. The last two r7 fill slots (nation_customer_roster,
-# latest_event_per_user) yielded to them and rejoin the 29 now owed
-# r11);
+# retrieval arms; media_phash_near_dups — image dHash near-dup
+# pairs, the codec lane composed with the dedup lane; and
+# media_scene_changes / media_vad_segments — video shot-cut SAD and
+# audio voice-activity segmentation, the frame/sample-grain
+# preprocessing pair. The last five r7 fill slots
+# (nation_customer_roster, latest_event_per_user, knn_brute_force,
+# ivf_pq_topk, fully_open_customers) yielded to them and rejoin the
+# 32 now owed r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 19
-# (sorted) of the 48 r7-row queries — the other 29 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 16
+# (sorted) of the 48 r7-row queries — the other 32 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "media_png_palette",
     "media_transcode_jpeg",
+    "media_phash_near_dups",
+    "media_scene_changes",
+    "media_vad_segments",
     "dmt_guard_audit",
     "doc_containment_pairs_sampled",
     "hybrid_rrf_retrieval",
@@ -918,7 +944,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 19 sorted (29 more re-seat in r11) --
+    # -- latest official row r7: first 16 sorted (32 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -935,9 +961,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pca_power2_exact",
     "events_hourly_gapfill",
     "events_stream_dedup",
-    "fully_open_customers",
-    "ivf_pq_topk",
-    "knn_brute_force",
 )
 
 

@@ -2176,3 +2176,127 @@ def test_quantize_vec_domain_guard(spark):
     ).select(SIM.quantize_vec("embedding").alias("q"))
     with _pytest.raises((SparkRuntimeException, Exception), match="outside \\[-2, 2\\]"):
         bad.collect()
+
+
+def test_dhash_bits_reference_and_edges():
+    import numpy as np
+
+    # 16x18 gray image, 2x2 tiles -> 8 rows x 9 cols grid; brute-force
+    # the expected signature from the same tile means
+    px = np.array(
+        [[(3 * x * x + 7 * y + (x * y) % 5) % 256 for x in range(18)]
+         for y in range(16)],
+        dtype=np.uint8,
+    )
+    got = MM.dhash_bits(px, grid_w=8, grid_h=8)
+    grid = px.astype(np.int64).reshape(8, 2, 9, 2).sum(axis=(1, 3)) // 4
+    want = 0
+    for by in range(8):
+        for bx in range(8):
+            if grid[by, bx] > grid[by, bx + 1]:
+                want |= 1 << (by * 8 + bx)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+
+    # RGB collapses by exact floor channel mean BEFORE tiling
+    rgb = np.stack([px, px, px], axis=2)
+    assert MM.dhash_bits(rgb) == got
+
+    # bit 63 forces the two's-complement negative branch: row-major bit
+    # 63 is (by=7, bx=7), i.e. grid[7][7] > grid[7][8]
+    hi = np.zeros((16, 18), dtype=np.uint8)
+    hi[14:, 14:16] = 255  # tile (7,7) bright, (7,8) zero
+    sig = MM.dhash_bits(hi)
+    assert sig < 0 and (sig >> 63) & 1 == -1 & 1
+
+    # dims that don't tile into the (grid_w+1) x grid_h lattice -> None
+    assert MM.dhash_bits(np.zeros((15, 18), dtype=np.uint8)) is None
+    assert MM.dhash_bits(None) is None
+
+
+def test_hamming_near_dup_pairs_vs_brute_force(spark):
+    import itertools
+
+    from data_migration_tool_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    # planted 64-bit signatures incl. a negative one (bit 63 set) and
+    # pairs at hamming 0 / 1 / 2 / far
+    sigs = [
+        (1, 0x8123456789ABCDEF - (1 << 64)),  # negative long (bit 63)
+        (2, 0x8123456789ABCDEF - (1 << 64)),  # ham 0 with id 1
+        (3, (0x8123456789ABCDEF ^ 1) - (1 << 64)),  # ham 1 with 1,2
+        (4, (0x8123456789ABCDEF ^ 3) - (1 << 64)),  # ham 2 with 1,2
+        (5, 0x00000000000000FF),
+        (6, 0x00000000000000FE),  # ham 1 with 5
+        (7, 0x7FFFFFFFFFFFFFFF),
+    ]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            df, id_col="id", sig_col="sig", bits=64, bands=4, max_hamming=2
+        ).collect()
+    }
+    def pc(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b, pc(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+        if pc(sa, sb) <= 2
+    }
+    assert got == want
+
+
+def test_scene_changes_sad_and_flags(spark):
+    # one AVI whose frame pixels are known; SAD brute-forced per pair
+    w, h, nf = 5, 4, 4
+
+    def fn(x, y, f):
+        return (3 + 2 * x + 7 * y + 90 * f) % 256
+
+    avi = MM.encode_avi(w, h, nf, 5, fn)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "video", bytearray(b"junk"))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in MM.scene_changes(media, threshold=1000).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # junk blob skipped, frame 0 has no prev
+    for f in (1, 2, 3):
+        want = 3 * sum(
+            abs(fn(x, y, f) - fn(x, y, f - 1))
+            for x in range(w) for y in range(h)
+        )
+        assert rows[f]["sad"] == want
+        assert rows[f]["is_cut"] == (want > 1000)
+
+
+def test_vad_segments_islands(spark):
+    # active pattern per media 7: frames 0,1 active; 3 active; 2,4 quiet
+    frames = spark.createDataFrame(
+        [
+            (7, 0, 8, 9_000_000),
+            (7, 1, 8, 5_000_000),
+            (7, 2, 8, 10),          # quiet
+            (7, 3, 8, 4_000_000),
+            (7, 4, 4, 100),         # quiet
+            (8, 0, 8, 1),           # all quiet -> no segment
+        ],
+        "media_id long, frame_idx int, n_samples int, sq_sum long",
+    )
+    segs = {
+        (r["media_id"], r["seg_start"]): r
+        for r in MM.vad_segments(
+            frames, energy_num=400_000, energy_den=1
+        ).collect()
+    }
+    assert set(segs) == {(7, 0), (7, 3)}
+    a = segs[(7, 0)]
+    assert (a["seg_end"], a["n_frames"], a["total_sq"]) == (1, 2, 14_000_000)
+    b = segs[(7, 3)]
+    assert (b["seg_end"], b["n_frames"], b["total_sq"]) == (3, 1, 4_000_000)
