@@ -914,3 +914,50 @@ def test_transpile_hive_lattice(spark, data):
         head_warn=["STORED AS", "LOCATION"],
         partition=["ds", "hr"] if part else [],
     )
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_bits_matches_pure_python(seed, tw, th, rgb):
+    """dhash_bits (numpy tile means + bit assembly + two's-complement
+    fold) against an independent per-pixel pure-Python reference, over
+    random images whose dims tile the 9x8 grid exactly."""
+    import numpy as np
+
+    from data_migration_tool_spark.operators.multimodal import dhash_bits
+
+    rng = np.random.default_rng(seed)
+    h, w = 8 * th, 9 * tw
+    px = rng.integers(0, 256, size=(h, w, 3) if rgb else (h, w)).astype(
+        np.uint8
+    )
+
+    # reference: plain loops, ints only
+    def gray(y, x):
+        if rgb:
+            return (int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])) // 3
+        return int(px[y, x])
+
+    # NOTE: the operator collapses RGB->gray BEFORE tiling (floor mean
+    # per pixel), so the reference must too
+    grid = [[0] * 9 for _ in range(8)]
+    for by in range(8):
+        for bx in range(9):
+            s = 0
+            for dy in range(th):
+                for dx in range(tw):
+                    s += gray(by * th + dy, bx * tw + dx)
+            grid[by][bx] = s // (tw * th)
+    want = 0
+    for by in range(8):
+        for bx in range(8):
+            if grid[by][bx] > grid[by][bx + 1]:
+                want |= 1 << (by * 8 + bx)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert dhash_bits(px) == want
