@@ -917,3 +917,71 @@ SELECT doc_id AS media_id,
 FROM active
 GROUP BY doc_id, island
 """
+
+
+def media_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest under the exact-hash gate (r10):
+    the media corpus lands as parquet blob files and a Structured
+    Streaming query decodes it micro-batch by micro-batch —
+    ``readStream(maxFilesPerTrigger=1)`` → ``foreachBatch``
+    (``extract_media_features`` → the replay-idempotent exactly-once
+    append sink, ``streaming/txn_sink.py``) — the continuous-crawl
+    ingest shape of a vision/audio data pipeline. Three staged files
+    force three real micro-batches, so per-batch dedup-before-decode
+    and the batch_id-partitioned idempotent append are exercised, and
+    the drained union must equal the BATCH decode oracle
+    (``MEDIA_FEATURES_SQL``) value-exactly.
+
+    At 100 TB: the file source lists incrementally (only new blob
+    files per batch), decode state is ZERO (stateless foreachBatch —
+    each batch decodes and appends, nothing carries over), the sink
+    converges to exactly-once on a plain filesystem under replay, and
+    the per-batch decode inherits the lane's dedup-before-decode and
+    pinned-parallelism shape."""
+    import os
+    import tempfile
+
+    from data_migration_tool_spark.streaming.txn_sink import (
+        append_batch_idempotent,
+        read_appended,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="dmt_media_stream_")
+    landing = os.path.join(work, "landing")
+    media.repartition(3).write.parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = os.path.join(work, "out")
+
+    def _decode(batch_df: DataFrame, batch_id: int) -> None:
+        feats = extract_media_features(batch_df).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_channels").cast("long").alias("n_channels"),
+            F.round("mean_luma", 6).alias("mean_luma"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.round("duration_ms", 6).alias("duration_ms"),
+            F.round("rms", 6).alias("rms"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("fps").cast("long").alias("fps"),
+        )
+        append_batch_idempotent(feats, batch_id, out)
+
+    q = (
+        stream.writeStream.foreachBatch(_decode)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return read_appended(spark, out).drop("batch_id")

@@ -483,6 +483,12 @@ _DEFS: list[QueryDef] = [
         ("media", "audio", "segmentation"),
     ),
     QueryDef(
+        "media_stream_decode",
+        MQ.media_stream_decode,
+        MQ.MEDIA_FEATURES_SQL,
+        ("media", "streaming", "exactly-once"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -896,16 +902,18 @@ _DEFS: list[QueryDef] = [
 # alternative, added mid-round after the second-decade scale pass; and
 # hybrid_rrf_retrieval — sparse+dense RRF fusion over the two audited
 # retrieval arms; media_phash_near_dups — image dHash near-dup
-# pairs, the codec lane composed with the dedup lane; and
+# pairs, the codec lane composed with the dedup lane;
 # media_scene_changes / media_vad_segments — video shot-cut SAD and
 # audio voice-activity segmentation, the frame/sample-grain
-# preprocessing pair. The last five r7 fill slots
+# preprocessing pair; and media_stream_decode — streaming multimodal
+# ingest through the exactly-once foreachBatch sink, gated against
+# the batch decode oracle. The last six r7 fill slots
 # (nation_customer_roster, latest_event_per_user, knn_brute_force,
-# ivf_pq_topk, fully_open_customers) yielded to them and rejoin the
-# 32 now owed r11);
+# ivf_pq_topk, fully_open_customers, events_stream_dedup) yielded to
+# them and rejoin the 33 now owed r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 16
-# (sorted) of the 48 r7-row queries — the other 32 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 15
+# (sorted) of the 48 r7-row queries — the other 33 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
@@ -914,6 +922,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_phash_near_dups",
     "media_scene_changes",
     "media_vad_segments",
+    "media_stream_decode",
     "dmt_guard_audit",
     "doc_containment_pairs_sampled",
     "hybrid_rrf_retrieval",
@@ -944,7 +953,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 16 sorted (32 more re-seat in r11) --
+    # -- latest official row r7: first 15 sorted (33 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -960,7 +969,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_near_dups",
     "embedding_pca_power2_exact",
     "events_hourly_gapfill",
-    "events_stream_dedup",
 )
 
 
