@@ -700,13 +700,17 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose pixels are constant over 4×2 tiles, keyed by a GROUP id
     g = doc_id % 100 (so each group's members are near-identical
     images) with a one-tile perturbation on odd doc_ids (so intra-group
-    pairs land at Hamming 0 or 1, never more — the fixture formula's
-    separation was checked exhaustively at 100 and 1000 groups: zero
-    and ~1e-4 cross-group template collision rate respectively; cross
-    hits are LEGITIMATE near-dups both engines derive identically).
-    The group count derives from the corpus (≈5 docs per group at
-    every SF, one metadata-grain count), so planted-pair volume stays
-    LINEAR in corpus size. The pipeline is the REAL one a vision
+    pairs land at Hamming 0 or 1, never more). Tile values are
+    md5-mixed — v = first byte of md5("g-bx-by") — so group signatures
+    are uniform over the 64-bit dHash space and cross-group Hamming-≤1
+    collisions are ~2^-58-rare at ANY group count (an earlier
+    polynomial-formula fixture saturated: its smooth-gradient dHash
+    patterns collided across groups once G reached ~10^4, inflating
+    the sf1 pair count 3.5× over the planted volume — md5 mixing
+    removed every cross pair). The group count derives from the corpus
+    (≈5 docs per group at every SF, one metadata-grain count), so
+    planted-pair volume stays LINEAR in corpus size by construction.
+    The pipeline is the REAL one a vision
     corpus would run: decode container → exact integer tile means →
     64-bit dHash (``operators/multimodal.dhash_images``) → band-blocked
     Hamming pair join (``operators/dedup.hamming_near_dup_pairs``,
@@ -731,23 +735,28 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread_seed(base)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             ids, blobs = [], []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 g = i % n_groups
+                tile = {}
+                for by in range(8):
+                    for bx in range(9):
+                        v = int(
+                            hashlib.md5(
+                                f"{g}-{bx}-{by}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        if i % 2 == 1 and bx == 0 and by == 0:
+                            v = (v + 100) % 256
+                        tile[(bx, by)] = v
 
-                def fn(x: int, y: int, i: int = i, g: int = g) -> int:
-                    bx, by = x // 4, y // 2
-                    v = (
-                        g * 177
-                        + bx * bx * (g % 13 + 7)
-                        + bx * by * (g % 5 + 3)
-                        + by * (g % 23 + 29)
-                    ) % 256
-                    if i % 2 == 1 and bx == 0 and by == 0:
-                        v = (v + 100) % 256
-                    return v
+                def fn(x: int, y: int, tile: dict = tile) -> int:
+                    return tile[(x // 4, y // 2)]
 
                 blobs.append(encode_bmp(36, 16, fn))
                 ids.append(i)
@@ -771,10 +780,8 @@ WITH n AS (
 ),
 grid AS (
   SELECT doc_id, bx, by,
-         ((doc_id % ng) * 177
-          + bx * bx * ((doc_id % ng) % 13 + 7)
-          + bx * by * ((doc_id % ng) % 5 + 3)
-          + by * ((doc_id % ng) % 23 + 29)
+         (CAST(concat('0x', substr(
+            md5(concat(doc_id % ng, '-', bx, '-', by)), 1, 2)) AS INTEGER)
           + CASE WHEN doc_id % 2 = 1 AND bx = 0 AND by = 0
                  THEN 100 ELSE 0 END
          ) % 256 AS v
