@@ -998,6 +998,106 @@ def hamming_near_dup_pairs(
     )
 
 
+def hamming_index(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """The storable band index of a Hamming-signature corpus:
+    (id, _sig, band_idx, band_val) — ``bands`` rows of ~32 bytes per
+    item, the state a 100 TB image/text pipeline persists between
+    ingest batches. Unlike the MinHash index (``lsh_index``), the full
+    signature rides IN the index, so incremental verification needs
+    zero re-reads of the standing corpus — not even one scan."""
+    assert bits % bands == 0
+    width = bits // bands
+    return sig.select(
+        F.col(id_col),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(bands)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(_sig >> (band_idx * {width})) & {(1 << width) - 1}"),
+    )
+
+
+def hamming_near_dups_incremental(
+    new_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental Hamming near-dup pairs TOUCHING the new batch,
+    computed against a stored :func:`hamming_index` instead of the
+    whole corpus — the signature-space twin of
+    :func:`minhash_lsh_incremental`, and the production shape of
+    continuous image dedup (dHash signatures via
+    ``multimodal.dhash_images``).
+
+    Exactness contract (tested): band values are pure per-item
+    functions, so (new × index) ∪ (new × new) candidates are EXACTLY
+    the full-corpus candidate set restricted to pairs with a new
+    member; with ``max_hamming < bands`` the pigeonhole bound makes
+    blocking lossless, so the output equals the full run restricted to
+    batch-touching pairs.
+
+    Scale shape: signature hashing — and any upstream blob DECODE —
+    runs on the batch only; the standing corpus participates solely as
+    its stored 8-byte-signature band index (images never re-read);
+    the verify step is a constant-time bit_count on the two indexed
+    signatures, zero re-decode, zero corpus scan. Union the batch's
+    bands into the index afterwards and the state is ready for the
+    next batch. Caller contract: batch ids are disjoint from index
+    ids."""
+    assert bits % bands == 0 and max_hamming < bands
+    nb = hamming_index(new_sigs, id_col, sig_col, bits, bands)
+    a = nb.select(
+        F.col(id_col).alias("nid"),
+        F.col("_sig").alias("nsig"),
+        "band_idx",
+        "band_val",
+    )
+    ib = index_bands.select(
+        F.col(id_col).alias("iid"),
+        F.col("_sig").alias("isig"),
+        "band_idx",
+        "band_val",
+    )
+    bb = nb.select(
+        F.col(id_col).alias("iid"),
+        F.col("_sig").alias("isig"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(ib.unionByName(bb), ["band_idx", "band_val"])
+        .filter(F.col("nid") != F.col("iid"))
+        .select(
+            F.least("nid", "iid").alias("id_a"),
+            F.greatest("nid", "iid").alias("id_b"),
+            F.when(F.col("nid") < F.col("iid"), F.col("nsig"))
+            .otherwise(F.col("isig"))
+            .alias("sig_a"),
+            F.when(F.col("nid") < F.col("iid"), F.col("isig"))
+            .otherwise(F.col("nsig"))
+            .alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def lsh_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -730,6 +730,23 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_migration_tool_spark.operators.multimodal import dhash_images
 
+    media = _phash_corpus(spark, sf_dir)
+    sigs = dhash_images(media, grid_w=8, grid_h=8)
+    return hamming_near_dup_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=64,
+        bands=4,
+        max_hamming=1,
+    )
+
+
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted near-dup image corpus shared by the phash gate
+    queries: one 36×16 BMP per document, pixels constant over 4×2
+    tiles, tile values md5-mixed per (group, bx, by) with the odd-doc
+    one-tile perturbation (see ``media_phash_near_dups``)."""
     base = load_table(spark, sf_dir, "documents").select("doc_id")
     n_groups = max(base.count() // 5, 1)
     d = _spread_seed(base)
@@ -762,10 +779,39 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(i)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    media = d.mapInPandas(enc, "media_id long, content binary")
-    sigs = dhash_images(media, grid_w=8, grid_h=8)
-    return hamming_near_dup_pairs(
-        sigs,
+    return d.mapInPandas(enc, "media_id long, content binary")
+
+
+def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image dedup (r10): near-dup pairs for "today's
+    batch" of images (media_id % 5 == 0) against the standing corpus's
+    STORED dHash band index — decode and hashing run on the batch
+    only; the standing corpus participates solely as its persisted
+    8-byte-signature index and its images are never re-read (the
+    signature rides IN the index, so even verification needs zero
+    corpus scans — stronger than the MinHash twin
+    ``doc_lsh_incremental``, whose Jaccard verify re-shingles
+    candidate-touched documents). Provably equal to the full-corpus
+    phash run restricted to pairs touching the batch (band values are
+    per-image pure functions + pigeonhole-lossless blocking), which is
+    exactly what the oracle computes. See
+    ``operators/dedup.hamming_near_dups_incremental``."""
+    from data_migration_tool_spark.operators import dedup as DD
+    from data_migration_tool_spark.operators.multimodal import dhash_images
+
+    media = _phash_corpus(spark, sf_dir)
+    batch = media.filter(F.col("media_id") % 7 == 0)
+    standing = media.filter(F.col("media_id") % 7 != 0)
+    idx = DD.hamming_index(
+        dhash_images(standing),
+        id_col="media_id",
+        sig_col="dhash",
+        bits=64,
+        bands=4,
+    )
+    return DD.hamming_near_dups_incremental(
+        dhash_images(batch),
+        idx,
         id_col="media_id",
         sig_col="dhash",
         bits=64,
@@ -817,6 +863,13 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sa, sb)) <= 1
 """
+
+
+# same pair derivation, restricted to pairs touching "today's batch" —
+# the exactness contract of the incremental index path
+MEDIA_PHASH_INCREMENTAL_SQL = (
+    MEDIA_PHASH_NEAR_DUPS_SQL + "  AND (id_a % 7 = 0 OR id_b % 7 = 0)\n"
+)
 
 
 def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:

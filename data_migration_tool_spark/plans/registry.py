@@ -489,6 +489,12 @@ _DEFS: list[QueryDef] = [
         ("media", "streaming", "exactly-once"),
     ),
     QueryDef(
+        "media_phash_incremental",
+        MQ.media_phash_incremental,
+        MQ.MEDIA_PHASH_INCREMENTAL_SQL,
+        ("media", "dedup", "incremental", "phash"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -905,15 +911,18 @@ _DEFS: list[QueryDef] = [
 # pairs, the codec lane composed with the dedup lane;
 # media_scene_changes / media_vad_segments — video shot-cut SAD and
 # audio voice-activity segmentation, the frame/sample-grain
-# preprocessing pair; and media_stream_decode — streaming multimodal
+# preprocessing pair; media_stream_decode — streaming multimodal
 # ingest through the exactly-once foreachBatch sink, gated against
-# the batch decode oracle. The last six r7 fill slots
-# (nation_customer_roster, latest_event_per_user, knn_brute_force,
-# ivf_pq_topk, fully_open_customers, events_stream_dedup) yielded to
-# them and rejoin the 33 now owed r11);
+# the batch decode oracle; and media_phash_incremental — incremental
+# image dedup against the stored dHash band index, gated against the
+# full run restricted to batch-touching pairs. The last seven r7 fill
+# slots (nation_customer_roster, latest_event_per_user,
+# knn_brute_force, ivf_pq_topk, fully_open_customers,
+# events_stream_dedup, events_hourly_gapfill) yielded to them and
+# rejoin the 34 now owed r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 15
-# (sorted) of the 48 r7-row queries — the other 33 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 14
+# (sorted) of the 48 r7-row queries — the other 34 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
@@ -923,6 +932,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_scene_changes",
     "media_vad_segments",
     "media_stream_decode",
+    "media_phash_incremental",
     "dmt_guard_audit",
     "doc_containment_pairs_sampled",
     "hybrid_rrf_retrieval",
@@ -953,7 +963,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 15 sorted (33 more re-seat in r11) --
+    # -- latest official row r7: first 14 sorted (34 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -968,7 +978,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_pii_scrub",
     "embedding_near_dups",
     "embedding_pca_power2_exact",
-    "events_hourly_gapfill",
 )
 
 

@@ -2300,3 +2300,45 @@ def test_vad_segments_islands(spark):
     assert (a["seg_end"], a["n_frames"], a["total_sq"]) == (1, 2, 14_000_000)
     b = segs[(7, 3)]
     assert (b["seg_end"], b["n_frames"], b["total_sq"]) == (3, 1, 4_000_000)
+
+
+def test_hamming_incremental_equals_full_restricted(spark):
+    """hamming_near_dups_incremental == full hamming_near_dup_pairs
+    restricted to batch-touching pairs, on planted 64-bit signatures
+    with pairs inside the batch, inside the standing set (must be
+    EXCLUDED), and across the split."""
+    from data_migration_tool_spark.operators.dedup import (
+        hamming_index,
+        hamming_near_dup_pairs,
+        hamming_near_dups_incremental,
+    )
+
+    base = 0x4123456789ABCDEF
+    sigs = [
+        (1, base),            # batch
+        (2, base ^ 1),        # standing: cross pair with 1, 8
+        (3, base ^ (1 << 40) ^ (1 << 20) ^ (1 << 5)),  # standing, far
+        (4, 0x0F0F0F0F0F0F0F0F),   # standing
+        (5, 0x0F0F0F0F0F0F0F0E),   # standing: standing-only pair w/ 4
+        (8, base ^ 2),        # batch: batch-internal pair with 1
+    ]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    batch = df.filter(F.col("id").isin(1, 8))
+    standing = df.filter(~F.col("id").isin(1, 8))
+    idx = hamming_index(standing, "id", "sig", bits=64, bands=4)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dups_incremental(
+            batch, idx, "id", "sig", bits=64, bands=4, max_hamming=2
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            df, "id", "sig", bits=64, bands=4, max_hamming=2
+        ).collect()
+    }
+    want = {t for t in full if t[0] in (1, 8) or t[1] in (1, 8)}
+    assert got == want
+    assert (1, 8, 1) in got and (1, 2, 1) in got       # internal + cross
+    assert (4, 5, 1) in full and (4, 5, 1) not in got  # standing-only excluded
