@@ -95,3 +95,35 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("mn").alias("min_value"),
         F.col("mx").alias("max_value"),
     )
+
+
+def join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an INNER equi-join view under
+    inserts — the join complement of the partial-aggregate algebra
+    above. The classic delta rule:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)  ==  (A ⋈ B)  ∪  Δ(A ⋈ B)
+        Δ(A ⋈ B)  ==  ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (disjoint unions when ΔA∩A = ΔB∩B = ∅ — insert-only deltas, the
+    reference's append-window load contract). Returns the DELTA frame;
+    the maintained view is ``old_view.unionByName(join_delta(...))``.
+
+    Scale shape: the base tables NEVER join each other here — each of
+    the three terms carries at least one delta side, so maintenance
+    cost is O(Δ·matched) + the base-side shuffles can be avoided
+    entirely when the bases are bucketed on the join key (the
+    sources/bucketing.py layout) and the deltas broadcast. At 100 TB
+    with a daily delta ~1/1000 of the corpus, re-deriving the view
+    from scratch rescans 1000× more than this delta path moves."""
+    return (
+        delta_a.join(base_b, on)
+        .unionByName(base_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

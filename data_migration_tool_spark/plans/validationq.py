@@ -1084,3 +1084,68 @@ SELECT 'run-002', 'ngram_jaccard_pairs', 'refuse',
        CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT),
        CAST(3 AS DOUBLE)
 """
+
+
+def orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (r10 — the join
+    complement of ``orders_incremental_agg``'s partial-aggregate
+    algebra). The orders⋈lineitem view is maintained under insert-only
+    deltas via the classic delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    (``operators/incremental_agg.join_delta``): orders splits on
+    orderkey % 10 == 0, lineitem on orderkey % 15 == 0 — DIFFERENT
+    predicates, so all three delta terms are non-empty and the %30
+    overlap exercises ΔA⋈ΔB. Spark assembles the view as
+    base_view ∪ delta and aggregates per order status (exact-decimal
+    revenue); the oracle aggregates the direct full join. A dropped or
+    duplicated delta row hash-fails the counts and the revenue.
+
+    Scale shape: the base tables never join each other in the
+    maintenance path; each delta term shuffles at most one delta side
+    (bucketed bases + broadcast deltas make it shuffle-free); cost is
+    O(Δ·matched), never O(base) — the reference's append-window load
+    contract extended to derived join views."""
+    from data_migration_tool_spark.operators.incremental_agg import (
+        join_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    base_o = o.filter(F.col("orderkey") % 10 != 0)
+    delta_o = o.filter(F.col("orderkey") % 10 == 0)
+    base_l = l.filter(F.col("orderkey") % 15 != 0)
+    delta_l = l.filter(F.col("orderkey") % 15 == 0)
+
+    view = base_o.join(base_l, ["orderkey"]).unionByName(
+        join_delta(base_o, delta_o, base_l, delta_l, ["orderkey"])
+    )
+    return (
+        view.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_JOIN_IVM_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       ) AS DOUBLE) AS sum_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

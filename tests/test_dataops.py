@@ -2342,3 +2342,40 @@ def test_hamming_incremental_equals_full_restricted(spark):
     assert got == want
     assert (1, 8, 1) in got and (1, 2, 1) in got       # internal + cross
     assert (4, 5, 1) in full and (4, 5, 1) not in got  # standing-only excluded
+
+
+def test_join_delta_equals_direct(spark):
+    """join_delta's three-term delta rule reproduces the direct join
+    EXACTLY as a multiset — duplicate join keys on both sides so row
+    multiplicities are exercised, plus keys that exist only in a base,
+    only in a delta, and in both."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        join_delta,
+    )
+
+    base_a = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "a3"), (5, "a4")], "k long, av string"
+    )
+    delta_a = spark.createDataFrame(
+        [(2, "a5"), (3, "a6"), (3, "a7")], "k long, av string"
+    )
+    base_b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b3"), (7, "b4")], "k long, bv string"
+    )
+    delta_b = spark.createDataFrame(
+        [(1, "b5"), (3, "b6"), (5, "b7")], "k long, bv string"
+    )
+    direct = (
+        base_a.unionByName(delta_a)
+        .join(base_b.unionByName(delta_b), ["k"])
+        .collect()
+    )
+    maintained = (
+        base_a.join(base_b, ["k"])
+        .unionByName(join_delta(base_a, delta_a, base_b, delta_b, ["k"]))
+        .collect()
+    )
+    key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
+    assert Counter(map(key, maintained)) == Counter(map(key, direct))
