@@ -501,6 +501,12 @@ _DEFS: list[QueryDef] = [
         ("validation", "incremental", "join", "ivm"),
     ),
     QueryDef(
+        "int8_dot_topk",
+        VQ.int8_dot_topk,
+        VQ.INT8_DOT_TOPK_SQL,
+        ("ann", "quantization", "topk"),
+    ),
+    QueryDef(
         "doc_dup_clusters_star",
         TQ.doc_dup_clusters_star,
         TQ.DOC_DUP_CLUSTERS_SQL,
@@ -921,17 +927,18 @@ _DEFS: list[QueryDef] = [
 # ingest through the exactly-once foreachBatch sink, gated against
 # the batch decode oracle; and media_phash_incremental — incremental
 # image dedup against the stored dHash band index, gated against the
-# full run restricted to batch-touching pairs; and orders_join_ivm —
+# full run restricted to batch-touching pairs; orders_join_ivm —
 # incremental view maintenance for a join view via the delta rule,
-# the join complement of orders_incremental_agg. The last eight r7
-# fill slots (nation_customer_roster, latest_event_per_user,
-# knn_brute_force, ivf_pq_topk, fully_open_customers,
-# events_stream_dedup, events_hourly_gapfill,
-# embedding_pca_power2_exact) yielded to them and rejoin the 35 now
-# owed r11);
+# the join complement of orders_incremental_agg; and int8_dot_topk —
+# top-k retrieval in the int8-quantized domain, exact integer code
+# dot products. The last nine r7 fill slots (nation_customer_roster,
+# latest_event_per_user, knn_brute_force, ivf_pq_topk,
+# fully_open_customers, events_stream_dedup, events_hourly_gapfill,
+# embedding_pca_power2_exact, embedding_near_dups) yielded to them
+# and rejoin the 36 now owed r11);
 # (b) oldest-official-row-first: ALL 26 queries whose latest row is r6
-# (the cohort the r9 window deferred, ledger-owed), then the first 13
-# (sorted) of the 48 r7-row queries — the other 35 re-seat in r11;
+# (the cohort the r9 window deferred, ledger-owed), then the first 12
+# (sorted) of the 48 r7-row queries — the other 36 re-seat in r11;
 # (c) no rows-only query occupies a scored slot.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
@@ -943,6 +950,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_stream_decode",
     "media_phash_incremental",
     "orders_join_ivm",
+    "int8_dot_topk",
     "dmt_guard_audit",
     "doc_containment_pairs_sampled",
     "hybrid_rrf_retrieval",
@@ -973,7 +981,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "split_leakage_matrix",
     "user_retention_cohorts",
-    # -- latest official row r7: first 13 sorted (35 more re-seat in r11) --
+    # -- latest official row r7: first 12 sorted (36 more re-seat in r11) --
     "customer_order_bookends",
     "customer_retention_set_ops",
     "customer_status_history",
@@ -986,7 +994,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_language_id",
     "doc_minhash_lsh_dedup",
     "doc_pii_scrub",
-    "embedding_near_dups",
 )
 
 

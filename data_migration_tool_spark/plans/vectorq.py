@@ -1610,3 +1610,100 @@ JOIN vfin v ON v.pos = e.pos
 JOIN w{_PCA2_ROUNDS} w ON w.pos = e.pos
 GROUP BY e.vec_id
 """
+
+
+def int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval in the INT8-quantized domain (r10) — the
+    memory-bound serving point between float brute force
+    (`knn_brute_force`, 8 bytes/dim) and PQ-ADC (`pq_adc_topk`,
+    1 byte per 8 dims): a GLOBAL affine codebook derived from two
+    corpus scalars maps every component to floor((x−gmin)·255/span) ∈
+    [0,255] (1 byte/dim persisted in a real index, 8× smaller than
+    float64), and scoring is the exact INTEGER dot product of code
+    vectors — order-free BIGINT summation, so scores and ranks are
+    bit-identical cross-engine (the approximate-semantics-exact-oracle
+    contract of `embedding_near_dups_ivf`: the oracle replicates the
+    quantized scoring, recall vs float is a separate gate's job).
+
+    Scale shape: the codebook is ONE tiny aggregate (2 scalars,
+    metadata-grain driver transfer); codes are scan-side expressions
+    (no shuffle to build the index); queries broadcast; per-partition
+    top-k before the final window. floor of identically-specified IEEE
+    doubles keeps codes exact on any engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = e.agg(
+        F.min(F.array_min(vd)).alias("gmin"),
+        F.max(F.array_max(vd)).alias("gmax"),
+    ).first()
+    gmin, span = float(b["gmin"]), float(b["gmax"]) - float(b["gmin"])
+
+    def codes(col: F.Column) -> F.Column:
+        return F.transform(
+            col,
+            lambda x: F.floor(
+                (x.cast("double") - F.lit(gmin)) * F.lit(255.0) / F.lit(span)
+            ),
+        )
+
+    coded = e.select("vec_id", codes(F.col("embedding")).alias("q"))
+    qs = coded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = F.broadcast(qs).join(
+        coded.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq")),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
+INT8_DOT_TOPK_SQL = """
+WITH b AS (
+  SELECT MIN(list_min(embedding::DOUBLE[])) AS gmin,
+         MAX(list_max(embedding::DOUBLE[])) AS gmax
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor((x - gmin) * 255 / (gmax - gmin)) AS BIGINT)) AS q
+  FROM embeddings, b
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT qz.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qz.q) + 1),
+                                      i -> qz.q[i] * c.q[i])) AS BIGINT)
+           AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qz.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(qz.q) + 1),
+                                            i -> qz.q[i] * c.q[i])) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM coded qz, coded c
+  WHERE qz.vec_id < 10 AND qz.vec_id <> c.vec_id
+) WHERE rank <= 5
+"""
