@@ -455,3 +455,20 @@ def test_bm25_single_explode_and_prefilter(spark):
     first_exchange_above = tree.rindex("Exchange", 0, gen)
     filt = tree.rindex("Filter", 0, gen)
     assert first_exchange_above < filt < gen  # Exchange ... Filter ... Generate
+
+
+def test_codec_lanes_pin_parallelism_past_aqe(spark):
+    """The CPU-bound codec stages must carry explicit numPartitions
+    exchanges (REPARTITION_BY_NUM) — AQE sizes post-shuffle partitions
+    by BYTES and would coalesce a small blob corpus onto one core,
+    serializing the per-blob Python decode work (the r10 starvation
+    fix; measured 4-6x on the media gate queries). Both the generator
+    seed spread and the post-dedup spread must survive in the plan."""
+    for name in ("media_jpeg_decode", "media_transcode_chain"):
+        plan = _plan(spark, name)
+        assert "REPARTITION_BY_NUM" in plan, name
+    # the dedup-before-decode pipeline spreads its distinct blobs too:
+    # transcode chains carry at least two pinned exchanges (seed +
+    # post-dedup), visible as multiple RoundRobin/hash REPARTITION marks
+    plan = _plan(spark, "media_transcode_chain")
+    assert plan.count("REPARTITION_BY_NUM") >= 2
