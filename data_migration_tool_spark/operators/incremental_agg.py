@@ -127,3 +127,31 @@ def join_delta(
         .unionByName(base_a.join(delta_b, on))
         .unionByName(delta_a.join(delta_b, on))
     )
+
+
+def join_retract(
+    base_a: DataFrame,
+    del_a: DataFrame,
+    base_b: DataFrame,
+    del_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The DELETE side of join-view maintenance: rows to RETRACT from
+    the materialized view when ``del_a ⊆ A`` and ``del_b ⊆ B`` are
+    removed (multiset semantics). Derivation:
+
+        (A − δA) ⋈ (B − δB)  ==  (A ⋈ B)  −  Δ⁻
+        Δ⁻  ==  δA ⋈ B  ∪  (A − δA) ⋈ δB
+
+    — the second term joins the RETAINED a-side so a row deleted from
+    both sides is not retracted twice. Apply with multiset subtraction:
+    ``view.exceptAll(join_retract(...))``. Inserts and deletes in one
+    batch compose: retract first, then union ``join_delta`` of the
+    inserts against the retained bases.
+
+    Scale shape: same as ``join_delta`` — each term carries a delta
+    side, cost O(δ·matched); the one full-base participant
+    (``A.exceptAll(δA)``) is a broadcast-anti against the (small)
+    delta, not a second base join."""
+    retained_a = base_a.exceptAll(del_a)
+    return del_a.join(base_b, on).unionByName(retained_a.join(del_b, on))

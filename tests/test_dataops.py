@@ -2379,3 +2379,40 @@ def test_join_delta_equals_direct(spark):
     )
     key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
     assert Counter(map(key, maintained)) == Counter(map(key, direct))
+
+
+def test_join_retract_equals_direct(spark):
+    """view.exceptAll(join_retract(...)) reproduces the direct join of
+    the post-delete tables as a multiset — rows deleted from one side,
+    the other, and BOTH (the double-retraction trap), with duplicate
+    keys throughout."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        join_retract,
+    )
+
+    base_a = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "a3"), (3, "a4"), (3, "a4")],
+        "k long, av string",
+    )
+    del_a = spark.createDataFrame(
+        [(1, "a2"), (3, "a4")], "k long, av string"
+    )
+    base_b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b3"), (3, "b4")], "k long, bv string"
+    )
+    del_b = spark.createDataFrame(
+        [(2, "b3"), (3, "b4")], "k long, bv string"
+    )
+    view = base_a.join(base_b, ["k"])
+    maintained = view.exceptAll(
+        join_retract(base_a, del_a, base_b, del_b, ["k"])
+    ).collect()
+    direct = (
+        base_a.exceptAll(del_a)
+        .join(base_b.exceptAll(del_b), ["k"])
+        .collect()
+    )
+    key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
+    assert Counter(map(key, maintained)) == Counter(map(key, direct))
