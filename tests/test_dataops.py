@@ -2416,3 +2416,46 @@ def test_join_retract_equals_direct(spark):
     )
     key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
     assert Counter(map(key, maintained)) == Counter(map(key, direct))
+
+
+def test_ivm_composition_join_delta_into_partials(spark):
+    """The full incremental pipeline composes: an aggregate OVER a join
+    view stays correct when maintained as
+    merge(partials(base view), partials(join_delta(...))) — i.e. the
+    join delta feeds the partial-aggregate algebra without ever
+    rescanning or re-joining the bases. Checked against the direct
+    aggregate of the direct full join."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    base_a = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "X"), (3, "X")], "k long, grp string"
+    )
+    delta_a = spark.createDataFrame([(2, "Y"), (4, "X")], "k long, grp string")
+    base_b = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    delta_b = spark.createDataFrame([(3, 40.0), (4, 50.0)], "k long, v double")
+
+    keys = ["grp"]
+    base_view = base_a.join(base_b, ["k"])
+    delta_view = IA.join_delta(base_a, delta_a, base_b, delta_b, ["k"])
+    state = IA.merge_partials(
+        [IA.partials(base_view, keys, "v"), IA.partials(delta_view, keys, "v")],
+        keys,
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["mean"])
+        for r in IA.finalize(state, keys).collect()
+    }
+    direct_rows = (
+        base_a.unionByName(delta_a)
+        .join(base_b.unionByName(delta_b), ["k"])
+        .groupBy("grp")
+        .agg(F.count("v").alias("n"), F.avg("v").alias("mean"))
+        .collect()
+    )
+    direct = {r["grp"]: (r["n"], r["mean"]) for r in direct_rows}
+    assert set(got) == set(direct)
+    for g in direct:
+        assert got[g][0] == direct[g][0]
+        assert abs(got[g][1] - direct[g][1]) < 1e-9
