@@ -961,3 +961,39 @@ def test_dhash_bits_matches_pure_python(seed, tw, th, rgb):
     if want >= 1 << 63:
         want -= 1 << 64
     assert dhash_bits(px) == want
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(2, 6),
+    st.integers(2, 5),
+    st.integers(2, 5),
+)
+@settings(max_examples=25, deadline=None)
+def test_scene_change_sad_matches_bruteforce(seed, w, h, nf):
+    """scene_changes' per-pair SAD over the full BGR payload equals a
+    per-pixel pure-Python reference on random frame content (encoder →
+    container walk → diff, two independent paths)."""
+    import numpy as np
+
+    from data_migration_tool_spark.operators.multimodal import (
+        _avi_frame_arrays,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, h, w)).astype(int)
+
+    avi = encode_avi(w, h, nf, 5, lambda x, y, f: int(frames[f, y, x]))
+    decoded = _avi_frame_arrays(avi)
+    assert decoded is not None
+    _usf, dw, dh, mats = decoded
+    assert (dw, dh, len(mats)) == (w, h, nf)
+    for f in range(1, nf):
+        got = int(
+            np.abs(
+                mats[f].astype(np.int64) - mats[f - 1].astype(np.int64)
+            ).sum()
+        )
+        want = 3 * int(np.abs(frames[f] - frames[f - 1]).sum())
+        assert got == want
