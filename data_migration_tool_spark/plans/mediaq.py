@@ -784,7 +784,7 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL image dedup (r10): near-dup pairs for "today's
-    batch" of images (media_id % 5 == 0) against the standing corpus's
+    batch" of images (media_id % 7 == 0) against the standing corpus's
     STORED dHash band index — decode and hashing run on the batch
     only; the standing corpus participates solely as its persisted
     8-byte-signature index and its images are never re-read (the
@@ -999,6 +999,7 @@ def media_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-batch decode inherits the lane's dedup-before-decode and
     pinned-parallelism shape."""
     import os
+    import shutil
     import tempfile
 
     from data_migration_tool_spark.streaming.txn_sink import (
@@ -1043,5 +1044,18 @@ def media_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return read_appended(spark, out).drop("batch_id")
+    if not q.awaitTermination(300):
+        # AvailableNow hasn't drained: reading the sink now would return
+        # a silently partial result (the hash gate would catch it, but
+        # the API itself must be loud — ADVICE r10).
+        q.stop()
+        raise RuntimeError(
+            "media_stream_decode: stream did not drain within 300s; "
+            "sink is partially appended — refusing to read it."
+        )
+    # Materialize the drained sink into Spark storage so the scratch
+    # dir (full parquet copy of the media corpus) can be removed NOW
+    # instead of accumulating across bench/correctness runs.
+    result = read_appended(spark, out).drop("batch_id").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -1637,6 +1637,17 @@ def int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.array_max(vd)).alias("gmax"),
     ).first()
     gmin, span = float(b["gmin"]), float(b["gmax"]) - float(b["gmin"])
+    if span == 0.0:
+        # Degenerate domain: every component equal. The affine map would
+        # divide by zero and emit null/NaN codes — silently empty top-k.
+        # House loud-guard convention: refuse with the statistic quoted.
+        raise RuntimeError(
+            f"int8_dot_topk: degenerate embedding domain (gmin == gmax "
+            f"== {gmin}); the global affine codebook is undefined — all "
+            f"code vectors would collapse to a constant and the ranking "
+            f"would be meaningless. Refusing rather than returning "
+            f"garbage."
+        )
 
     def codes(col: F.Column) -> F.Column:
         return F.transform(
