@@ -550,6 +550,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def _containment_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num: int,
+    den: int,
+):
+    """Shared inverted-index frames for the containment family:
+    (sh, docsets, dfreq, prefix).
+
+    ``sh`` is PERSISTED — it feeds the docsets aggregate, the df
+    histogram, the ranked window, and the verify join's probe side
+    (4-5 plan branches; uncached the explode recomputes per branch).
+    ``prefix`` is deliberately NOT persisted: the r10 double-persist
+    (sh AND prefix) cost more than the one window recompute it saved
+    (measured at sf0.1 warm: 4.1 s double-persist vs 2.9 s sh-only —
+    materializing the window output into cache breaks the pipelining
+    of window → candidate join), so the pricing aggregate and the
+    candidate join each evaluate the prefix definition over the cached
+    sh. The caller owns sh's lifecycle (unpersist before any recursion
+    or refusal so degrade levels don't stack caches)."""
+    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
+    docsets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+        ),
+    )
+    ceil_tn = f"({num} * n_sh + {den - 1}) div {den}"
+    # df rides the prefix projection so the guard can price the join
+    # with ONE aggregate over it: Σ df over (doc, shingle) prefix rows
+    # IS Σ_s prefix_count(s)·df(s), no pc-histogram join needed
+    prefix = (
+        ranked.join(docsets.select(id_col, "n_sh"), id_col)
+        .filter(F.col("rk") <= F.col("n_sh") - F.expr(ceil_tn) + F.lit(2))
+        .select(F.col(id_col).alias("id_a"), "shingle", "df")
+    )
+    return sh, docsets, dfreq, prefix
+
+
+def _containment_verify(
+    sh: DataFrame,
+    docsets: DataFrame,
+    prefix: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Prefix-filtered candidate join + exact array-intersect verify."""
+    cand = (
+        prefix.join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sset").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.col("na").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -612,33 +694,13 @@ def containment_pairs(
 
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
-    # sh feeds docsets, the df histogram, the ranked window, the prefix
-    # and the guard aggregate — persist or the explode recomputes 5×
-    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
-    docsets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-        ),
-    )
-    ceil_tn = f"({num} * n_sh + {den - 1}) div {den}"
-    # df rides the prefix projection so the guard can price the join
-    # with ONE aggregate over it: Σ df over (doc, shingle) prefix rows
-    # IS Σ_s prefix_count(s)·df(s), no pc-histogram join needed
-    prefix = (
-        ranked.join(docsets.select(id_col, "n_sh"), id_col)
-        .filter(F.col("rk") <= F.col("n_sh") - F.expr(ceil_tn) + F.lit(2))
-        .select(F.col(id_col).alias("id_a"), "shingle", "df")
+    sh, docsets, dfreq, prefix = _containment_frames(
+        df, id_col, text_col, shingle_n, num, den
     )
     if max_candidates is not None:
-        # the guard aggregate and the candidate join both consume the
-        # prefix — persist it so pricing doesn't recompute the window
-        prefix = prefix.persist()
+        # the guard aggregate and the candidate join both evaluate the
+        # prefix over the cached sh (NOT a second persist — see
+        # _containment_frames for the measured trade)
         g = prefix.agg(
             F.sum("df").alias("v"), F.count_distinct("id_a").alias("n")
         ).first()
@@ -692,6 +754,9 @@ def containment_pairs(
                         )
                         < cut
                     )
+                    # drop this level's cache before recursing — degrade
+                    # levels must not stack persisted shingle frames
+                    sh.unpersist()
                     return containment_pairs(
                         sliced,
                         id_col=id_col,
@@ -724,6 +789,7 @@ def containment_pairs(
                     f"mean posting length {sat:.1f} — saturated shingle "
                     f"domains void the prefix filter's asymptotic bound",
                 )
+            sh.unpersist()
             raise RuntimeError(
                 f"containment_pairs: prefix-filtered join would generate "
                 f"~{int(implied):,} candidates (> {why}; mean posting "
@@ -734,32 +800,170 @@ def containment_pairs(
                 f"linear_budget, or pass max_candidates=None to opt into "
                 f"the quadratic join."
             )
-    cand = (
-        prefix.join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _containment_verify(sh, docsets, prefix, id_col, threshold)
+
+
+def containment_pairs_adaptive(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    linear_budget: int = 4096,
+    audit=None,
+) -> DataFrame:
+    """Rate-ADAPTIVE containment pairs (r11): the gated query that
+    DEGRADES instead of refusing when the corpus saturates — the
+    registry-facing complement of ``containment_pairs(auto_sample=
+    True)``, restructured so the derived rate is a pure corpus
+    function that a SQL oracle replicates exactly.
+
+    Why a second entry point: the recursive ``auto_sample`` path
+    re-prices each slice against the SLICE's shrunken budget
+    (``linear_budget``·n_sliced_docs), so under hard saturation the
+    budget shrinks as fast as the slice and the recursion bottoms out
+    in the refusal (SCALE.md r10 measured exactly that: the fixed-25%
+    sampled twin refused at sf10, 179.7M candidates > the sliced cap
+    of 128.4M). This operator instead holds the budget at the FULL
+    corpus's ``linear_budget``·n_docs — "answer the containment
+    question within the budget the whole corpus was granted" — and
+    derives the slice rate in ONE pricing pass:
+
+        weighted = implied · avg_nsh   (avg_nsh = sh_rows div n_docs)
+        j = smallest j ∈ [0, 8] with weighted ≤ cap·4^j
+        rate = 2^-j  (k = 256 >> j of 256 md5 cut points)
+
+    The pricing unit is VERIFY SHINGLE-VISITS, not candidate rows —
+    the r11 sf10 lesson: a candidate-row budget admitted a 187M-pair
+    slice whose verify join (each pair carries both docs' full
+    sorted shingle arrays through a sort-merge exchange) spilled
+    ~50 GB of shuffle and died on disk, while the candidate COUNT was
+    comfortably inside the row budget. Each verified pair costs
+    ~|A|+|B| ≈ 2·avg_nsh array entries, so charging implied·avg_nsh
+    against a cap of ``linear_budget`` visits per doc prices the join
+    the executors actually run. avg_nsh is one integer division of
+    two corpus counts, so the SQL oracle replicates it exactly.
+
+    Candidate volume is ~quadratic in docs under saturation, so a rate
+    2^-j slice shrinks it ~4^-j — the ladder pick guarantees the
+    ESTIMATED sliced volume fits the full-corpus cap, and a second
+    pricing pass on the slice verifies the estimate (refusing loudly
+    if the quadratic model was wrong, rather than running over
+    budget). The power-of-two ladder (vs the continuous √(cap/implied)
+    rate) keeps the arithmetic integer-exact in both engines — the
+    ``emb_lsh_near_dups`` width-ladder precedent. Rate still tracks
+    1/√growth: each decade of corpus growth under saturation raises
+    implied ~100×, pushing j up by ~3.3 and the rate down ~10×.
+    Measured ladder: sf0.01/sf0.1 price under budget (j=0, full
+    join); sf1 lands j=2 (rate 64/256); sf10 lands j=4 (rate 16/256,
+    ~12M verify pairs — bounded where the row-budget run died).
+
+    Output carries ``sample_k`` (the derived k, 256 = unsliced) on
+    every row, so the correctness gate cross-checks the PRICING
+    arithmetic itself — Σ df over the ranked prefix, avg_nsh, the
+    cap, and the ladder pick — not just the pair values. j > 8
+    (rate < 1/256) refuses: a sample that thin answers nothing.
+
+    Reference basis: the reference has no similarity path; this
+    extends the dedup family (SURVEY §2 extension surface)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    sh, docsets, dfreq, prefix = _containment_frames(
+        df, id_col, text_col, shingle_n, num, den
     )
-    sa = docsets.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sset").alias("sa"),
-        F.col("n_sh").alias("na"),
-    )
-    sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            F.col("id_a").alias("contained_id"),
-            F.col("id_b").alias("container_id"),
-            F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.col("na").cast("double"),
-                6,
-            ).alias("containment"),
+    g = prefix.agg(
+        F.sum("df").alias("v"), F.count_distinct("id_a").alias("n")
+    ).first()
+    n_docs = g["n"] or 0
+    avg_nsh = sh.count() // max(n_docs, 1)
+    implied = (g["v"] or 0) * avg_nsh
+    cap = linear_budget * max(n_docs, 1)
+    j = 0
+    while j <= 8 and implied > cap * (4**j):
+        j += 1
+    if j > 8:
+        if audit is not None:
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard="containment_pairs_adaptive",
+                action="refuse",
+                subject=f"{id_col}/{text_col} prefix-filtered index join",
+                implied_cost=int(implied),
+                cap=int(cap),
+                detail="refused: even rate 1/256 leaves the estimated "
+                "candidate volume over the full-corpus budget",
+            )
+        sh.unpersist()
+        raise RuntimeError(
+            f"containment_pairs_adaptive: weighted verify volume "
+            f"(candidates × avg shingles/doc) {int(implied):,} exceeds "
+            f"cap·4^8 = {cap * 4**8:,} — even "
+            f"a 1/256 slice is estimated over budget; raise "
+            f"linear_budget or use the LSH dedup family instead."
         )
-        .filter(F.col("containment") >= threshold)
+    if j == 0:
+        return _containment_verify(
+            sh, docsets, prefix, id_col, threshold
+        ).withColumn("sample_k", F.lit(256).cast("int"))
+    k = 256 >> j
+    if audit is not None:
+        from data_migration_tool_spark.audit.log import guard_event
+
+        guard_event(
+            audit,
+            guard="containment_pairs_adaptive",
+            action="degrade",
+            subject=f"{id_col}/{text_col} prefix-filtered index join",
+            implied_cost=int(implied),
+            cap=int(cap),
+            detail=f"degraded to deterministic md5 doc slice rate "
+            f"{k}/256 (ladder: implied ≤ cap·4^{j})",
+        )
+    sh.unpersist()
+    sliced = df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+        < format(k, "02x")
     )
+    sh2, docsets2, dfreq2, prefix2 = _containment_frames(
+        sliced, id_col, text_col, shingle_n, num, den
+    )
+    g2 = prefix2.agg(
+        F.sum("df").alias("v"), F.count_distinct("id_a").alias("n")
+    ).first()
+    n2 = g2["n"] or 0
+    implied2 = (g2["v"] or 0) * (sh2.count() // max(n2, 1))
+    if implied2 > cap:
+        # the quadratic shrink model was wrong for THIS corpus — refuse
+        # loudly against the ORIGINAL budget rather than run over it
+        if audit is not None:
+            from data_migration_tool_spark.audit.log import guard_event
+
+            guard_event(
+                audit,
+                guard="containment_pairs_adaptive",
+                action="refuse",
+                subject=f"{id_col}/{text_col} sliced index join "
+                f"(rate {k}/256)",
+                implied_cost=int(implied2),
+                cap=int(cap),
+                detail="refused: sliced candidate volume still over the "
+                "full-corpus budget — sub-quadratic shrink assumption "
+                "does not hold on this corpus",
+            )
+        sh2.unpersist()
+        raise RuntimeError(
+            f"containment_pairs_adaptive: the rate-{k}/256 slice still "
+            f"implies {int(implied2):,} candidates (> full-corpus cap "
+            f"{cap:,}); the r²-shrink model does not hold here — raise "
+            f"linear_budget or use the LSH dedup family instead."
+        )
+    return _containment_verify(
+        sh2, docsets2, prefix2, id_col, threshold
+    ).withColumn("sample_k", F.lit(k).cast("int"))
 
 
 def cross_corpus_overlap(

@@ -1696,6 +1696,94 @@ def doc_containment_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
     return DD.containment_pairs(d)
 
 
+def doc_containment_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-adaptive containment (r11 — VERDICT r10 #2): the gated
+    query that DEGRADES instead of refusing past the cost guard.
+    Delegates to ``operators/dedup.containment_pairs_adaptive``: one
+    pricing pass derives the slice rate as the largest power-of-two
+    2^-j with implied·avg_nsh·4^-j ≤ the FULL corpus's 4096·n_docs
+    budget — the pricing unit is VERIFY SHINGLE-VISITS, because the
+    verify join's real cost is candidate pairs × shingle-array width,
+    not bare candidate rows (the r11 sf10 lesson: a row-unit budget
+    admitted a 187M-pair slice whose array-carrying sort-merge spilled
+    ~50 GB and died). The recursive auto_sample twin re-prices each
+    slice against the slice's SHRUNKEN budget, which is why the
+    fixed-25% sampled twin refuses at sf10 — this one holds the
+    original budget and so keeps answering. The derived rate rides
+    the output as ``sample_k`` on every row, so the oracle — which
+    replicates the pricing arithmetic (Σ df over the ranked prefix,
+    avg_nsh = sh_rows div n_docs, cap, ladder pick) in SQL —
+    cross-checks the guard's own numbers, not just the pair values.
+    At sf0.01/sf0.1 the corpus prices under budget, so j=0 and both
+    engines run the full join with sample_k=256; under sf1/sf10
+    saturation the ladder lands j=2 / j=4 (rates 64/256 and 16/256)
+    and the query still answers within budget."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs_adaptive(d)
+
+
+# Oracle replicates the PRICING arithmetic, not just the pair spec:
+# ranked prefix (rarest ceil-complement shingles per doc), implied =
+# Σ df over prefix rows × avg_nsh (sh_rows integer-div n_docs — the
+# verify-visit weighting), cap = 4096·n_docs, ladder j = smallest j≤8
+# with implied ≤ cap·4^j (integer shifts — no float sqrt to diverge),
+# k = 256 >> j, then the naive quadratic containment join over the
+# md5 slice (full corpus when j = 0) with sample_k on every row.
+DOC_CONTAINMENT_ADAPTIVE_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle, f.df, z.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.df ASC, s.shingle ASC) AS rk
+  FROM sh s JOIN dfreq f ON f.shingle = s.shingle
+            JOIN sizes z ON z.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, shingle, df FROM ranked
+  WHERE rk <= n_sh - ((9 * n_sh + 9) // 10) + 2
+),
+price AS (
+  SELECT COALESCE(SUM(df), 0)
+         * ((SELECT COUNT(*) FROM sh)
+            // GREATEST(COUNT(DISTINCT doc_id), 1)) AS implied,
+         GREATEST(COUNT(DISTINCT doc_id), 1) AS n
+  FROM prefix
+),
+lvl AS (
+  SELECT CAST(COALESCE(MIN(t.j), 9) AS INTEGER) AS j
+  FROM range(0, 9) t(j), price
+  WHERE implied <= 4096 * n * (CAST(1 AS BIGINT) << CAST(2 * t.j AS INTEGER))
+),
+kk AS (SELECT j, CAST(256 AS INTEGER) >> j AS k FROM lvl),
+sdocs AS (
+  SELECT d.doc_id, d.text FROM documents d, kk
+  WHERE kk.j = 0
+     OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', kk.k)
+),
+stoks AS (SELECT doc_id, {_TOKS} AS tk FROM sdocs),
+ssh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM stoks WHERE len(tk) >= 3
+),
+ssizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+scommon AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a AS contained_id, id_b AS container_id,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6)
+           AS containment,
+       CAST(kk.k AS INTEGER) AS sample_k
+FROM scommon JOIN ssizes na ON na.doc_id = id_a, kk
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= 0.9
+"""
+
+
 DOC_CONTAINMENT_SQL = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -1149,3 +1149,93 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def orders_join_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full insert+DELETE maintenance of a JOIN view in one plan (r11
+    — VERDICT r10 #4, the oracle gate for ``operators/incremental_agg.
+    join_retract``). One batch both deletes and inserts rows on both
+    sides of the orders⋈lineitem view:
+
+        deletes: orders orderkey % 10 == 3, lineitem orderkey % 15 == 3
+        inserts: orders orderkey % 10 == 0, lineitem orderkey % 15 == 0
+
+    % 30 == 3 orders are deleted on BOTH sides (exercising
+    join_retract's double-retraction trap — the second term joins the
+    RETAINED a-side) and % 30 == 0 orders are inserted on both
+    (exercising join_delta's ΔA⋈ΔB term). The maintained view is
+    composed exactly as the operator contracts prescribe: retract
+    first via multiset ``exceptAll`` of ``join_retract``'s Δ⁻, then
+    union ``join_delta`` of the inserts against the RETAINED bases.
+    The oracle aggregates the direct join of the post-change tables
+    (orders minus deletes, lineitem minus deletes — inserts are
+    already present in the full table), so a row retracted twice,
+    never retracted, or double-inserted hash-fails the counts and the
+    exact-decimal revenue.
+
+    Scale shape: the base tables never join each other in the
+    maintenance path — every delta term carries at least one small
+    side (broadcast-able); the one full-base participant,
+    ``A.exceptAll(δA)``, is an anti-style subtraction against the
+    small delta. Cost is O(δ·matched), never O(base) — a deleted day
+    retracts in delta time instead of rebuilding the view."""
+    from data_migration_tool_spark.operators.incremental_agg import (
+        join_delta,
+        join_retract,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    # world state BEFORE the batch: everything but the to-be-inserted
+    base_o = o.filter(F.col("orderkey") % 10 != 0)
+    base_l = l.filter(F.col("orderkey") % 15 != 0)
+    del_o = base_o.filter(F.col("orderkey") % 10 == 3)
+    del_l = base_l.filter(F.col("orderkey") % 15 == 3)
+    ins_o = o.filter(F.col("orderkey") % 10 == 0)
+    ins_l = l.filter(F.col("orderkey") % 15 == 0)
+
+    view0 = base_o.join(base_l, ["orderkey"])
+    view1 = view0.exceptAll(
+        join_retract(base_o, del_o, base_l, del_l, ["orderkey"])
+    )
+    kept_o = base_o.exceptAll(del_o)
+    kept_l = base_l.exceptAll(del_l)
+    view2 = view1.unionByName(
+        join_delta(kept_o, ins_o, kept_l, ins_l, ["orderkey"])
+    )
+    return (
+        view2.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# Post-change world: orders minus the deleted %10==3 slice, lineitem
+# minus the deleted %15==3 slice (the inserted slices are part of the
+# full tables already). The direct join of these IS what the
+# retract-then-insert maintenance must reproduce multiset-exactly.
+ORDERS_JOIN_IVM_RETRACT_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       ) AS DOUBLE) AS sum_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 10 <> 3 AND l_orderkey % 15 <> 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

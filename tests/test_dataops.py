@@ -1980,6 +1980,98 @@ def test_containment_auto_sample_degrade(spark, tmp_path):
             assert hashlib.md5(str(i).encode()).hexdigest()[:2] < cut
 
 
+def test_containment_adaptive_full_when_under_budget(spark):
+    """Under budget the adaptive operator runs the FULL prefix-filtered
+    join (no slice) and stamps sample_k=256 on every row — identical
+    pairs to the plain guarded operator."""
+    from data_migration_tool_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i j"),
+            (3, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.containment_pairs_adaptive(docs).collect()
+    assert out and all(r.sample_k == 256 for r in out)
+    base = DD.containment_pairs(docs).collect()
+    key = lambda r: (r.contained_id, r.container_id, r.containment)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, base))
+
+
+def test_containment_adaptive_degrades_with_full_budget(spark, tmp_path):
+    """Past the budget the adaptive operator derives the power-of-two
+    ladder rate against the FULL corpus cap (not the slice's shrunken
+    cap — the reason the fixed-rate twin refuses where this one
+    answers), audits the degrade, stamps the derived k, and matches
+    the guard-free operator on the same manual md5 slice."""
+    import hashlib
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+
+    sat = spark.createDataFrame(
+        [
+            (i, " ".join(["abc"[(i * 7 + j * 3) % 3] * 2 for j in range(12)]))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    out = DD.containment_pairs_adaptive(
+        sat, linear_budget=8, audit=audit
+    ).collect()
+    events = audit.table("dmt_guard_events").collect()
+    degrades = [e for e in events if e.action == "degrade"]
+    assert len(degrades) == 1, [e.detail for e in events]
+    ks = {r.sample_k for r in out}
+    assert len(ks) == 1
+    k = ks.pop()
+    assert k in {128, 64, 32, 16, 8, 4, 2, 1}
+    assert f"rate {k}/256" in degrades[0].detail
+    # ladder arithmetic: k is the LARGEST power-of-two rate with
+    # implied·(k/256)² ≤ cap — recompute from the audited statistics
+    implied, cap = degrades[0].implied_cost, degrades[0].cap
+    j = 0
+    while j <= 8 and implied > cap * (4**j):
+        j += 1
+    assert k == 256 >> j
+    cut = format(k, "02x")
+    manual = DD.containment_pairs(
+        sat.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < cut
+        ),
+        max_candidates=None,
+    ).collect()
+    key = lambda r: (r.contained_id, r.container_id, r.containment)  # noqa: E731
+    assert sorted(key(r) for r in out) == sorted(map(key, manual))
+    for r in out:
+        for i in (r.contained_id, r.container_id):
+            assert hashlib.md5(str(i).encode()).hexdigest()[:2] < cut
+
+
+def test_containment_adaptive_refuses_past_ladder(spark, tmp_path):
+    """If even rate 1/256 leaves the estimated volume over budget the
+    adaptive operator refuses loudly with an audited refuse row —
+    guard-as-result, not a silent over-budget run."""
+    import pytest
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators import dedup as DD
+
+    sat = spark.createDataFrame(
+        [(i, "a a b b c c a b c a b c") for i in range(60)],
+        "doc_id long, text string",
+    )
+    audit = AuditLog(spark, str(tmp_path / "dmt_logs"))
+    with pytest.raises(RuntimeError, match="1/256"):
+        DD.containment_pairs_adaptive(sat, linear_budget=0, audit=audit)
+    events = audit.table("dmt_guard_events").collect()
+    assert {e.action for e in events} == {"refuse"}
+
+
 def test_containment_thresholds_match_bruteforce(spark):
     """The operator's exact-rational prefix sizing generalizes past the
     registry's t=0.9: at several thresholds the prefix-filtered result

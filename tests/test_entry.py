@@ -129,10 +129,18 @@ def test_official_coverage_invariant():
         f"window slot (they can never gain one): {sorted(unslotted)}"
     )
 
-    # window hygiene: exactly 50 scored slots, every name real and
-    # oracle-backed (a rows-only or misspelled name is a guaranteed red)
+    # window hygiene: exactly 50 scored slots, every name real.
+    # Rows-only names are a deliberate one-time exception (VERDICT r10
+    # #6): embedding_pca_project holds a single seat in the r11 window
+    # so its rows-only existence row lands in the artifact trail; the
+    # seat returns to the hash-lane pool once that artifact exists.
     assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
-    rows_only = [n for n in _PRIORITY if QUERIES[n].oracle is None]
+    allowed_rows_only = {"embedding_pca_project"} - seen
+    rows_only = [
+        n
+        for n in _PRIORITY
+        if QUERIES[n].oracle is None and n not in allowed_rows_only
+    ]
     assert not rows_only, f"rows-only queries holding scored slots: {rows_only}"
