@@ -97,6 +97,76 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def retract_partials(
+    state: DataFrame,
+    deletes: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    measure: str,
+    dec: str = "decimal(12,2)",
+) -> DataFrame:
+    """Maintain per-key partial states under DELETES (``deletes ⊆
+    base``, multiset semantics) — the non-invertible complement of
+    ``merge_partials``.
+
+    count/Σx/Σx² are INVERTIBLE: the deletes' own partials subtract
+    exactly (decimal sums are order-free). min/max are NOT — deleting
+    the row that holds a group's extreme says nothing about the new
+    extreme. The classic engine choices are per-group heaps (state
+    explosion) or lazy recompute; this takes the Spark-shaped lazy
+    path: only groups whose deleted rows TOUCH the current extreme
+    (delete-min == state-min or delete-max == state-max — deletes ⊆
+    base makes equality the only possible touch) are recomputed, from
+    the retained rows of those keys alone, reached by a broadcast
+    left-semi on the (small) touched-key set. Untouched groups adjust
+    arithmetically; groups deleted whole vanish (no retained rows →
+    no recomputed state). Cost is O(Δ + touched-group rows), never
+    O(base).
+
+    Inputs are (keys, measure) relations; ``base`` is the PRE-delete
+    table the state was computed from. Compose with inserts by
+    ``merge_partials([retract_partials(...), partials(inserts, ...)])``.
+    """
+    dp = partials(deletes, keys, measure, dec).select(
+        *keys,
+        F.col("n").alias("dn"),
+        F.col("sx").alias("dsx"),
+        F.col("sxx").alias("dsxx"),
+        F.col("mn").alias("dmn"),
+        F.col("mx").alias("dmx"),
+    )
+    stypes = {f.name: f.dataType for f in state.schema.fields}
+    merged = state.join(dp, keys, "left")
+    touched = F.coalesce(
+        (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx")),
+        F.lit(False),
+    )
+    unchanged = merged.filter(F.col("dn").isNull()).select(*keys, *STATE_COLS)
+    adjusted = merged.filter(F.col("dn").isNotNull() & ~touched).select(
+        *keys,
+        (F.col("n") - F.col("dn")).cast(stypes["n"]).alias("n"),
+        (F.col("sx") - F.col("dsx")).cast(stypes["sx"]).alias("sx"),
+        (F.col("sxx") - F.col("dsxx")).cast(stypes["sxx"]).alias("sxx"),
+        F.col("mn"),
+        F.col("mx"),
+    )
+    touched_keys = merged.filter(touched).select(*keys)
+    retained_rows = (
+        base.select(*keys, measure)
+        .join(F.broadcast(touched_keys), keys, "leftsemi")
+        .exceptAll(
+            deletes.select(*keys, measure).join(
+                F.broadcast(touched_keys), keys, "leftsemi"
+            )
+        )
+    )
+    recomputed = partials(retained_rows, keys, measure, dec).select(
+        *keys,
+        *[F.col(c).cast(stypes[c]).alias(c) for c in STATE_COLS],
+    )
+    return unchanged.unionByName(adjusted).unionByName(recomputed)
+
+
 def join_delta(
     base_a: DataFrame,
     delta_a: DataFrame,

@@ -638,6 +638,64 @@ FROM d
 """
 
 
+def orders_rollup_minmax_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE maintenance for a materialized rollup with NON-INVERTIBLE
+    aggregates (r11 — completes the IVM family: ``orders_incremental_
+    agg`` proved insert-side merge, ``orders_join_ivm[_retract]``
+    proved join views; this gates ``retract_partials``). The
+    (status, priority) price rollup's state is maintained under
+    deletion of the o_orderkey % 10 == 3 slice: count/Σx/Σx² subtract
+    the deletes' partials exactly, while min/max — which deletion
+    cannot invert — are lazily recomputed ONLY for groups whose
+    deleted rows touch the current extreme (reached via broadcast
+    left-semi on the touched keys; at sf0.01 a handful of the 15
+    groups touch, so BOTH the arithmetic and the recompute path are
+    live in the gate). The oracle aggregates the post-delete table
+    directly; hash equality proves the split-path maintenance,
+    variance included. Cost shape: O(Δ + touched-group rows), never
+    O(base)."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    deletes = o.filter(F.col("o_orderkey") % 10 == 3)
+    state = IA.partials(o, keys, "o_totalprice")
+    new_state = IA.retract_partials(state, deletes, o, keys, "o_totalprice")
+    return IA.finalize(new_state, keys).orderBy(*keys)
+
+
+ORDERS_MINMAX_RETRACT_SQL = """
+WITH s AS (
+  SELECT o_orderstatus, o_orderpriority,
+         COUNT(o_totalprice) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))
+             * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx,
+         MIN(o_totalprice) AS mn,
+         MAX(o_totalprice) AS mx
+  FROM orders WHERE o_orderkey % 10 <> 3
+  GROUP BY o_orderstatus, o_orderpriority
+),
+-- decimal→double rounds ONCE via VARCHAR (house rule; see
+-- ORDERS_INCREMENTAL_AGG_SQL)
+d AS (
+  SELECT o_orderstatus, o_orderpriority, n, sx,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         mn, mx
+  FROM s
+)
+SELECT o_orderstatus, o_orderpriority, n AS n_rows,
+       sx_d AS total,
+       sx_d / n AS mean,
+       (sxx_d - sx_d * sx_d / n) / NULLIF(n - 1, 0) AS variance,
+       mn AS min_value,
+       mx AS max_value
+FROM d
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: Morton-interleave (o_custkey, orderdate
     epoch-seconds) into a 32-bit z-value, bucket by the top 6 bits (the

@@ -2510,6 +2510,49 @@ def test_join_retract_equals_direct(spark):
     assert Counter(map(key, maintained)) == Counter(map(key, direct))
 
 
+def test_retract_partials_all_group_fates(spark):
+    """Delete maintenance for non-invertible aggregates, one group per
+    fate: extreme TOUCHED (min deleted → lazy recompute), untouched
+    (arithmetic subtract), fully deleted (vanishes), no deletes
+    (passes through). finalize() of the maintained state must equal
+    finalize() of partials on the post-delete rows — variance, min,
+    and max included."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    base = spark.createDataFrame(
+        [
+            # g=A: min row (1.00) deleted → recompute path
+            ("A", "1.00"), ("A", "5.00"), ("A", "9.00"),
+            # g=B: middle row deleted → subtract path, extremes survive
+            ("B", "2.00"), ("B", "4.00"), ("B", "8.00"),
+            # g=C: everything deleted → group vanishes
+            ("C", "3.00"), ("C", "7.00"),
+            # g=D: untouched entirely
+            ("D", "6.00"),
+        ],
+        "g string, x string",
+    ).select("g", F.col("x").cast("decimal(12,2)").alias("x"))
+    deletes = spark.createDataFrame(
+        [("A", "1.00"), ("B", "4.00"), ("C", "3.00"), ("C", "7.00")],
+        "g string, x string",
+    ).select("g", F.col("x").cast("decimal(12,2)").alias("x"))
+
+    state = IA.partials(base, ["g"], "x")
+    maintained = IA.finalize(
+        IA.retract_partials(state, deletes, base, ["g"], "x"), ["g"]
+    ).collect()
+    direct = IA.finalize(
+        IA.partials(base.exceptAll(deletes), ["g"], "x"), ["g"]
+    ).collect()
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, maintained)) == sorted(map(key, direct))
+    gs = {r["g"] for r in maintained}
+    assert gs == {"A", "B", "D"}  # C vanished
+    byg = {r["g"]: r for r in maintained}
+    assert str(byg["A"]["min_value"]) == "5.00"  # recomputed past the delete
+    assert byg["B"]["n_rows"] == 2  # arithmetic subtract
+
+
 def test_ivm_composition_join_delta_into_partials(spark):
     """The full incremental pipeline composes: an aggregate OVER a join
     view stays correct when maintained as
