@@ -511,6 +511,15 @@ _DEFS: list[QueryDef] = [
         ("validation", "incremental", "join", "ivm", "retract"),
     ),
     QueryDef(
+        # r11: tokenizer fertility per predicted language — the BPE
+        # train+encode lane composed with the marker-lexicon language
+        # ID; symbols-per-word compression audit for multilingual mixes
+        "bpe_fertility_by_lang",
+        TQ.bpe_fertility_by_lang,
+        TQ.BPE_FERTILITY_SQL,
+        ("text", "bpe", "language", "composition"),
+    ),
+    QueryDef(
         # r11: delete maintenance for NON-INVERTIBLE aggregates —
         # count/sums subtract, min/max lazily recompute only the
         # extreme-touched groups (broadcast semi on touched keys)
@@ -949,7 +958,9 @@ _DEFS: list[QueryDef] = [
 # maintenance composed in one plan, the oracle gate for join_retract,
 # VERDICT r10 #4; and orders_rollup_minmax_retract — delete
 # maintenance for non-invertible aggregates, count/sums subtract
-# while min/max lazily recompute only extreme-touched groups);
+# while min/max lazily recompute only extreme-touched groups; and
+# bpe_fertility_by_lang — symbols-per-word by predicted language, the
+# BPE and language-ID lanes composed under one exact oracle);
 # (b) ONE rows-only seat, by exception (VERDICT r10 #6):
 # embedding_pca_project — the documented permanent float-lane demo —
 # gets its single official rows-only row so every registry entry
@@ -959,13 +970,14 @@ _DEFS: list[QueryDef] = [
 # values, and the seat returns to the hash-lane pool in r12;
 # (c) oldest-official-row-first: ALL 36 queries whose latest row is
 # r7 (the cohort the r10 window deferred, ledger-owed), then the
-# first 10 (sorted) of the 50 r8-row queries — the other 40 re-seat
+# first 9 (sorted) of the 50 r8-row queries — the other 41 re-seat
 # in r12.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: pending leads --
     "doc_containment_pairs_adaptive",
     "orders_join_ivm_retract",
     "orders_rollup_minmax_retract",
+    "bpe_fertility_by_lang",
     # -- the one-time rows-only seat (VERDICT r10 #6) --
     "embedding_pca_project",
     # -- latest official row r7 (all 36 owed, r10's deferred cohort) --
@@ -1005,7 +1017,7 @@ _PRIORITY: tuple[str, ...] = (
     "top_order_per_customer",
     "transfer_log_redshift_jobwise",
     "transfer_log_run_summary",
-    # -- latest official row r8: first 10 sorted (40 more re-seat in r12) --
+    # -- latest official row r8: first 9 sorted (41 more re-seat in r12) --
     "ann_recall_gate",
     "corpus_prep_pipeline",
     "customer_running_revenue",
@@ -1015,7 +1027,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_ingest_expectations",
     "doc_ngram_jaccard_pairs",
     "doc_quality_scores",
-    "doc_simhash",
 )
 
 

@@ -755,6 +755,92 @@ GROUP BY doc_id
 )
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per predicted language (r11) — symbols per
+    whitespace word after the learned merges, grouped by the marker-
+    lexicon language ID: the per-language compression audit a
+    multilingual pipeline runs before committing a tokenizer (a
+    vocabulary trained lopsidedly produces fertility ≫ 1 on the
+    under-represented languages, inflating their effective token
+    cost). Composes two already-audited lanes — the 10-merge BPE
+    train+encode chain and the marker-lexicon language ID — the same
+    composition posture as ``hybrid_rrf_retrieval``. The oracle reuses
+    both lanes' exact CTEs (the unrolled merge chain + the marker CASE)
+    so the gate pins the composition end-to-end: counts are exact
+    BIGINTs and fertility is one IEEE division of exact sums.
+
+    Scale shape: training is vocabulary-grain (the merge table is 10
+    rows collected to the driver); encoding is a word-grain broadcast
+    join; language ID is a scan-side projection; the final groupBy
+    carries ~|languages| groups. No doc-scale shuffle beyond the
+    per-doc encode aggregate the BPE lane already pays."""
+    from data_migration_tool_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe.bpe_train(d, num_merges=10).collect()
+    ]
+    enc = bpe.bpe_encode_lengths(d, merges)
+    pred = TO.language_id(d).select("doc_id", "predicted_lang")
+    return (
+        enc.join(pred, "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_words"),
+            F.sum("n_symbols").cast("bigint").alias("n_symbols"),
+            (
+                F.sum("n_symbols").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+BPE_FERTILITY_SQL = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(_BPE_K))
+    + f""",
+enc AS (
+  SELECT w,
+         CAST(len(list_filter(string_split(st, chr(31)), x -> x <> '')) AS BIGINT) AS enc_len
+  FROM s{_BPE_K}
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+doclen AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(enc_len) AS BIGINT) AS n_symbols
+  FROM tok JOIN enc USING (w)
+  GROUP BY doc_id
+),
+ltoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sc AS (
+  SELECT doc_id,
+{_MARKER_SCORES},
+  greatest({', '.join('s_' + lang for lang in _LANGS)}) AS best
+  FROM ltoks
+),
+pred AS (
+  SELECT doc_id,
+    CASE {' '.join(f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANGS)}
+         ELSE 'und' END AS predicted_lang
+  FROM sc
+)
+SELECT predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_words,
+       CAST(SUM(n_symbols) AS BIGINT) AS n_symbols,
+       CAST(SUM(n_symbols) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+           AS fertility
+FROM doclen JOIN pred USING (doc_id)
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+"""
+)
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-style pre-tokenizer counts per document (the
     budget estimate a training pipeline runs before tokenizing 100 TB
