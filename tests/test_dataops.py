@@ -2553,6 +2553,34 @@ def test_retract_partials_all_group_fates(spark):
     assert byg["B"]["n_rows"] == 2  # arithmetic subtract
 
 
+def test_retract_partials_over_merged_state(spark):
+    """retract_partials must also accept a state that came from
+    merge_partials (whose decimal sums are WIDER than partials' — the
+    adjusted/recomputed branches cast back to the state's own types,
+    or the three-way union would fail on type mismatch)."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "g string, x string"
+    ).select("g", F.col("x").cast("decimal(12,2)").alias("x"))
+    base1 = mk([("A", "1.00"), ("A", "5.00"), ("B", "2.00")])
+    base2 = mk([("A", "9.00"), ("B", "4.00"), ("B", "8.00")])
+    base = base1.unionByName(base2)
+    deletes = mk([("A", "1.00"), ("B", "4.00")])
+    state = IA.merge_partials(
+        [IA.partials(base1, ["g"], "x"), IA.partials(base2, ["g"], "x")],
+        ["g"],
+    )
+    maintained = IA.finalize(
+        IA.retract_partials(state, deletes, base, ["g"], "x"), ["g"]
+    ).collect()
+    direct = IA.finalize(
+        IA.partials(base.exceptAll(deletes), ["g"], "x"), ["g"]
+    ).collect()
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, maintained)) == sorted(map(key, direct))
+
+
 def test_ivm_composition_join_delta_into_partials(spark):
     """The full incremental pipeline composes: an aggregate OVER a join
     view stays correct when maintained as
