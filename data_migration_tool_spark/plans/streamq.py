@@ -50,6 +50,20 @@ def _stage_events(src: str, landing: str) -> None:
         shutil.copy(src, os.path.join(landing, "events.parquet"))
 
 
+def _drain_or_raise(q, name: str, timeout: int = 300) -> None:
+    """AvailableNow drain with a LOUD timeout: reading a sink before the
+    stream finishes returns silently partial rows (the hash gate would
+    catch it downstream, but the API must refuse on its own — the
+    ADVICE-r10 media_stream_decode lesson applied to every stream plan
+    here)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: stream did not drain within {timeout}s; "
+            f"refusing to read a partially-written sink."
+        )
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Size the state-store partition count for a test-scale drain.
@@ -106,7 +120,8 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_daily_counts")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -153,7 +168,8 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_sessions")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -278,7 +294,8 @@ def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_user_quota")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -372,7 +389,8 @@ def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_view_purchase_join")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -484,7 +502,8 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_segment_revenue")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -548,7 +567,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_dedup")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select("event_type", "n_events", "sum_value")
 
 
@@ -688,16 +708,24 @@ def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_incremental_rollup")
 
     merged = IA.merge_partials([spark.read.parquet(state)], ["event_type"])
-    return IA.finalize(merged, ["event_type"]).select(
-        "event_type",
-        "n_rows",
-        F.col("total").alias("total_value"),
-        "mean",
-        "variance",
+    # the state parquet lives in the scratch dir — materialize the
+    # key-grain answer, then drop the scratch instead of leaking it
+    out = (
+        IA.finalize(merged, ["event_type"])
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("total").alias("total_value"),
+            "mean",
+            "variance",
+        )
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 EVENTS_STREAM_INCREMENTAL_SQL = """
@@ -796,7 +824,8 @@ def events_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_or_raise(q, "events_stream_view_purchase_left")
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
 

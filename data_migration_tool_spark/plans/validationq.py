@@ -1061,6 +1061,7 @@ def dmt_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, not data rows); every aggregate here is over that tiny frame.
     The seeding scans are one bucket histogram per cap_bucket_size call
     (map-side combined) and a 3-row shingle join."""
+    import shutil
     import tempfile
 
     from data_migration_tool_spark.audit.log import AuditLog
@@ -1099,7 +1100,10 @@ def dmt_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = AuditLog(spark, root).table("dmt_guard_events")
     mx = ev.agg(F.max("run_id").alias("run_id"))
-    return (
+    # the audit parquet lives in the per-call scratch dir — materialize
+    # the engagement-grain answer (a handful of rows), then drop the
+    # scratch instead of leaking one dir per bench/correctness run
+    out = (
         ev.join(F.broadcast(mx), "run_id")
         .groupBy("run_id", "guard", "action")
         .agg(
@@ -1113,7 +1117,10 @@ def dmt_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cap").cast("double"),
         )
         .orderBy("guard", "action")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 DMT_GUARD_AUDIT_SQL = """
