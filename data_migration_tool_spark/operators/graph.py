@@ -228,7 +228,50 @@ def pagerank_exact(
     return ranks
 
 
-def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+# Effective ephemeral bytes per wedge row across the wedge exchange +
+# closing-join shuffle, calibrated on the SCALE.md r11 sf10 runs: ~1e9
+# oriented wedges at 60M edges needed ≳100 GB of local scratch (died
+# ENOSPC at 78 GB free), i.e. ~100 B/row once both shuffle writes and
+# sort spill are counted. 96 keeps the estimate on the refusing side
+# of that measurement without being silly at small scale.
+_WEDGE_ROW_BYTES = 96
+
+
+def _local_scratch_free_bytes(spark) -> int:
+    """Usable bytes on the executor-local shuffle scratch volume(s).
+
+    Reads the same directories Spark's DiskBlockManager writes to:
+    ``spark.local.dir`` / ``SPARK_LOCAL_DIRS`` if set, else the JVM's
+    ``java.io.tmpdir``. Multiple dirs report the MINIMUM (shuffle
+    files round-robin across them; the fullest volume is the one that
+    throws ENOSPC first). On a real cluster this is per-executor
+    scratch and the guard prices against the local view — exactly the
+    resource the write fails on."""
+    import os
+
+    jvm = spark._jvm
+    dirs = (
+        spark.conf.get("spark.local.dir", None)
+        or os.environ.get("SPARK_LOCAL_DIRS")
+        or jvm.java.lang.System.getProperty("java.io.tmpdir")
+        or "/tmp"
+    )
+    frees = []
+    for d in str(dirs).split(","):
+        d = d.strip()
+        if d:
+            frees.append(int(jvm.java.io.File(d).getUsableSpace()))
+    return min(frees) if frees else 0
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_spill_bytes: int | str | None = "auto",
+    disk_headroom: float = 0.8,
+    audit=None,
+) -> DataFrame:
     """Exact triangle count of the undirected graph.
 
     Degree-ordered orientation (each undirected edge directed from its
@@ -237,6 +280,22 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     intermediate follows arboricity instead of hub-degree², which is
     what makes exact triangle counting survive power-law graphs at
     100 TB. Two joins + one count; every key is a node id.
+
+    **Disk-pricing guard (r12).** The wedge exchange is
+    arboricity-bounded but still the one intermediate that can exceed
+    the input by orders of magnitude (SCALE.md r11: ~10⁹ wedges from
+    60M edges, ≳100 GB ephemeral — the sf10 run died ENOSPC twice with
+    no guard row while every other super-budget lane refuses loudly).
+    With ``max_spill_bytes="auto"`` the operator prices the wedge
+    volume BEFORE launching it: one out-degree aggregate over the
+    (already persisted) oriented edges computes the exact wedge count
+    Σ_x C(dout(x), 2), converts to bytes at the measured
+    ``_WEDGE_ROW_BYTES``, and refuses loudly — with a
+    ``dmt_guard_events`` row when ``audit`` is passed — if that
+    exceeds ``disk_headroom`` × the free space on the local shuffle
+    scratch volume. An ``int`` gives a static byte cap; ``None``
+    disables the guard. The aggregate reuses the persisted oriented
+    frame, so pricing costs one O(E) pass, never a shuffle of wedges.
 
     Returns one row: (n_nodes, n_edges, n_triangles) — all integers,
     so the result is exact-oracle comparable."""
@@ -272,6 +331,54 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .select("e.a", "e.b")
         .persist()
     )
+    if max_spill_bytes is not None:
+        wedge_rows = int(
+            oriented.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.sum(
+                    F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)
+                ).alias("w")
+            )
+            .first()["w"]
+            or 0
+        )
+        implied_bytes = wedge_rows * _WEDGE_ROW_BYTES
+        if max_spill_bytes == "auto":
+            free = _local_scratch_free_bytes(edges.sparkSession)
+            cap = int(free * disk_headroom)
+            why = (
+                f"{disk_headroom:.0%} of {free:,} B free local shuffle "
+                f"scratch"
+            )
+        else:
+            cap = int(max_spill_bytes)
+            why = f"max_spill_bytes={cap:,}"
+        if implied_bytes > cap:
+            if audit is not None:
+                from data_migration_tool_spark.audit.log import guard_event
+
+                guard_event(
+                    audit,
+                    guard="triangle_count",
+                    action="refuse",
+                    subject=f"{src_col}/{dst_col} wedge exchange",
+                    implied_cost=int(implied_bytes),
+                    cap=int(cap),
+                    detail=f"refused: {wedge_rows:,} oriented wedges × "
+                    f"{_WEDGE_ROW_BYTES} B/row exceeds {why} — the wedge "
+                    f"shuffle would die ENOSPC mid-stage instead",
+                )
+            oriented.unpersist()
+            und.unpersist()
+            raise RuntimeError(
+                f"triangle_count: the wedge exchange would spill "
+                f"~{implied_bytes:,} B ({wedge_rows:,} wedges × "
+                f"{_WEDGE_ROW_BYTES} B/row) > {why}. Free local scratch, "
+                f"run where per-executor scratch is larger, pass a higher "
+                f"max_spill_bytes, or max_spill_bytes=None to opt into "
+                f"the unpriced shuffle."
+            )
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y1"))
     e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y2"))
     wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))

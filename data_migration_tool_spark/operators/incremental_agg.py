@@ -225,3 +225,79 @@ def join_retract(
     delta, not a second base join."""
     retained_a = base_a.exceptAll(del_a)
     return del_a.join(base_b, on).unionByName(retained_a.join(del_b, on))
+
+
+def apply_view_changes_pruned(
+    spark,
+    view_path: str,
+    retract: DataFrame | None = None,
+    inserts: DataFrame | None = None,
+    bucket_col: str = "dmt_bucket",
+) -> list:
+    """Apply Δ⁻ retractions and Δ⁺ inserts to an ON-DISK view stored
+    partitioned by a key-derived bucket column, rewriting ONLY the
+    touched partitions — the r12 fix for the one O(view) pass left in
+    the IVM family (VERDICT r11 #3: ``view.exceptAll(join_retract(…))``
+    rewrote the whole view; SCALE.md r11 measured its second-decade
+    exponent at 0.63 vs 0.46 for the insert-only path, the exceptAll
+    being the delta).
+
+    Contract: the view at ``view_path`` is parquet partitioned by
+    ``bucket_col`` (any deterministic function of the view's join key
+    — a date, ``key % n``, ``pmod(hash(key), n)``); ``retract`` and
+    ``inserts`` carry the same schema INCLUDING ``bucket_col``. The
+    touched-bucket set is derived from the deltas themselves (one
+    bucket-grain distinct — |buckets| rows, collected because the
+    overwrite decision is driver-side anyway); untouched partitions
+    are NEVER read and never rewritten:
+
+    * read ``view_path`` filtered to the touched buckets — a
+      PARTITION-PRUNED scan (PartitionFilters at the file source, the
+      untouched directories not even listed into the plan);
+    * multiset-subtract Δ⁻ and append Δ⁺ on that slice only;
+    * write back under ``partitionOverwriteMode=dynamic``, which
+      replaces exactly the partitions present in the written frame —
+      the touched ones — and leaves every other directory untouched
+      on disk.
+
+    The new slice is ``localCheckpoint``-materialized before the write
+    (touched-partition-scale, not view-scale) because Spark refuses to
+    overwrite a path it is concurrently reading. Cost is O(Δ +
+    touched-partition rows) end to end, never O(view). Returns the
+    sorted touched-bucket values (empty list → no-op, nothing read or
+    written).
+    """
+    deltas = [d for d in (retract, inserts) if d is not None]
+    if not deltas:
+        return []
+    from functools import reduce as _reduce
+
+    touched_df = _reduce(
+        lambda a, b: a.unionByName(b),
+        [d.select(bucket_col) for d in deltas],
+    ).distinct()
+    touched = sorted(r[0] for r in touched_df.collect())
+    if not touched:
+        return []
+    cur = spark.read.parquet(view_path).filter(
+        F.col(bucket_col).isin(touched)
+    )
+    new = cur
+    if retract is not None:
+        new = new.exceptAll(retract.select(*cur.columns))
+    if inserts is not None:
+        new = new.unionByName(inserts.select(*cur.columns))
+    new = new.localCheckpoint(eager=True)
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new.write.mode("overwrite").partitionBy(bucket_col).parquet(
+            view_path
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    return touched

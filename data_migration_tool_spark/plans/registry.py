@@ -947,86 +947,75 @@ _DEFS: list[QueryDef] = [
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-11 rotation policy (see COVERAGE.md rotation
+# iteration order. Round-12 rotation policy (see COVERAGE.md rotation
 # log): (a) never-officially-checked queries lead — derived, not
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
-# fails unless every pending query holds a scored slot (this round:
-# doc_containment_pairs_adaptive — the cost guard that degrades via a
-# corpus-derived power-of-two slice rate instead of refusing, VERDICT
-# r10 #2; and orders_join_ivm_retract — insert+delete join-view
-# maintenance composed in one plan, the oracle gate for join_retract,
-# VERDICT r10 #4; and orders_rollup_minmax_retract — delete
-# maintenance for non-invertible aggregates, count/sums subtract
-# while min/max lazily recompute only extreme-touched groups; and
-# bpe_fertility_by_lang — symbols-per-word by predicted language, the
-# BPE and language-ID lanes composed under one exact oracle);
-# (b) ONE rows-only seat, by exception (VERDICT r10 #6):
-# embedding_pca_project — the documented permanent float-lane demo —
-# gets its single official rows-only row so every registry entry
-# appears in the artifact trail; its exact fixed-point twins
-# (embedding_pca_power_exact / _power2_exact) carry the hash-lane
-# obligation for the PCA family, so this seat records existence, not
-# values, and the seat returns to the hash-lane pool in r12;
-# (c) oldest-official-row-first: ALL 36 queries whose latest row is
-# r7 (the cohort the r10 window deferred, ledger-owed), then the
-# first 9 (sorted) of the 50 r8-row queries — the other 41 re-seat
-# in r12.
+# fails unless every pending query holds a scored slot (this round the
+# derived pending set is EMPTY at window-build time; any r12-new
+# oracle-backed query added mid-round must be seated at the head,
+# displacing the youngest fill seats);
+# (b) embedding_pca_project's one-time rows-only seat (VERDICT r10 #6)
+# is REVOKED: its existence row landed in CORRECTNESS_r11.json, so the
+# seat returns to the hash-lane pool exactly as the r11 comment
+# promised — no rows-only query holds a scored slot from r12 on;
+# (c) oldest-official-row-first: ALL 41 queries whose latest row is
+# r8 (the cohort the r11 window deferred, ledger-owed), then the
+# first 9 (sorted) of the 50 r9-row queries — the other 41 re-seat
+# in r13.
 _PRIORITY: tuple[str, ...] = (
-    # -- never-officially-checked: pending leads --
-    "doc_containment_pairs_adaptive",
-    "orders_join_ivm_retract",
-    "orders_rollup_minmax_retract",
-    "bpe_fertility_by_lang",
-    # -- the one-time rows-only seat (VERDICT r10 #6) --
-    "embedding_pca_project",
-    # -- latest official row r7 (all 36 owed, r10's deferred cohort) --
-    "embedding_near_dups",
-    "embedding_pca_power2_exact",
-    "events_hourly_gapfill",
-    "events_stream_dedup",
-    "fully_open_customers",
-    "ivf_pq_topk",
-    "knn_brute_force",
-    "latest_event_per_user",
-    "nation_customer_roster",
-    "order_metrics_unpivot",
-    "order_price_histogram",
-    "order_status_cube",
-    "part_name_fuzzy_pairs",
-    "price_dispersion_stats",
-    "price_quantiles",
-    "pricing_rollup",
-    "purchase_attribution_asof",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_relation",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_dominant_shippers",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "revenue_grouping_sets",
-    "sketch_price_median",
-    "skewed_returnflag_stats",
-    "suppliers_with_shipments",
-    "top_order_per_customer",
-    "transfer_log_redshift_jobwise",
-    "transfer_log_run_summary",
-    # -- latest official row r8: first 9 sorted (41 more re-seat in r12) --
-    "ann_recall_gate",
-    "corpus_prep_pipeline",
-    "customer_running_revenue",
-    "customer_top2_orders_lateral",
-    "doc_decontaminate",
-    "doc_hash_sample",
-    "doc_ingest_expectations",
-    "doc_ngram_jaccard_pairs",
-    "doc_quality_scores",
+    # -- latest official row r8 (all 41 owed, r11's deferred cohort) --
+    "doc_simhash",
+    "doc_source_cap",
+    "doc_split_chi2_drift",
+    "doc_token_frequencies",
+    "doc_token_stats",
+    "doc_train_val_test_split",
+    "emb_lsh_hot_bucket_dedup",
+    "emb_lsh_near_dups",
+    "embedding_cosine_stats",
+    "embedding_int8_quantize",
+    "embedding_near_dups_ivf",
+    "error_window_views",
+    "event_props_json",
+    "event_props_variant",
+    "events_hypertable_rollup",
+    "events_last_day_window",
+    "events_session_window_native",
+    "events_stream_daily_counts",
+    "events_stream_segment_revenue",
+    "events_stream_sessions",
+    "ivf_ann_multiprobe",
+    "ivf_ann_topk",
+    "ivf_trained_topk",
+    "media_feature_extract",
+    "media_frame_plan",
+    "minhash_recall_gate_sampled",
+    "next_view_after_purchase",
+    "order_line_union_counts",
+    "order_priority_buckets",
+    "order_reconciliation",
+    "orders_partition_checksums",
+    "orders_quality_expectations",
+    "orders_table_profile",
+    "orders_zorder_layout",
+    "overlapping_error_windows",
+    "referential_integrity_orphans",
+    "returnflag_pivot",
+    "sketch_distinct_users",
+    "transfer_log_jobwise_stats",
+    "user_purchase_funnel",
+    "user_sessions",
+    # -- latest official row r9: first 9 sorted (41 more re-seat in r13) --
+    "bpe_merges_train",
+    "corpus_bigram_topk",
+    "corpus_vocab_growth",
+    "customer_order_chains_recursive",
+    "customer_rolling_30d_spend",
+    "doc_bpe_encoded_lengths",
+    "doc_bpe_token_counts",
+    "doc_chunk_overlap",
+    "doc_containment_pairs",
 )
 
 

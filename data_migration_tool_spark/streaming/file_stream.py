@@ -135,7 +135,9 @@ def run_events_stream_demo(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    from data_migration_tool_spark.plans.streamq import _drain_or_raise
+
+    _drain_or_raise(q, "run_events_stream_demo", timeout=120)
     return spark.sql(
         "select * from events_windows order by window_start, event_type"
     ).collect()

@@ -1245,6 +1245,54 @@ def test_triangle_count_known_graph(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (8, 10, 5)
 
 
+def test_triangle_wedge_disk_guard(spark, tmp_path):
+    """Pins the r12 disk-pricing guard math (VERDICT r11 #2): the
+    wedge exchange is priced as Σ_x C(dout(x), 2) × _WEDGE_ROW_BYTES
+    BEFORE it launches, and past the byte cap the operator refuses
+    loudly with a dmt_guard_events row instead of dying ENOSPC
+    mid-stage (the sf10 failure mode SCALE.md r11 recorded twice)."""
+    import pytest
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators.graph import (
+        _WEDGE_ROW_BYTES,
+        triangle_count,
+    )
+
+    # K4: degree-ordered orientation gives out-degrees 3,2,1,0 →
+    # wedges = C(3,2)+C(2,2)+C(1,2) = 3+1+0 = 4
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    wedge_rows = 4
+    implied = wedge_rows * _WEDGE_ROW_BYTES
+
+    audit = AuditLog(spark, str(tmp_path), run_id="guard-test")
+    # one byte under the implied cost → refuse, loudly, with the row
+    with pytest.raises(RuntimeError, match="wedge exchange would spill"):
+        triangle_count(df, max_spill_bytes=implied - 1, audit=audit)
+    ev = audit.table("dmt_guard_events").collect()
+    assert len(ev) == 1
+    assert ev[0].guard == "triangle_count"
+    assert ev[0].action == "refuse"
+    assert ev[0].implied_cost == implied
+    assert ev[0].cap == implied - 1
+
+    # exactly at the cap → runs; "auto" at toy scale → runs; and the
+    # guard pass must not perturb the census
+    row = triangle_count(df, max_spill_bytes=implied).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+    row = triangle_count(df).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_local_scratch_free_bytes_positive(spark):
+    from data_migration_tool_spark.operators.graph import (
+        _local_scratch_free_bytes,
+    )
+
+    assert _local_scratch_free_bytes(spark) > 0
+
+
 def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
     """Partial states persisted to parquet, then merged with a later
     delta's partials, must equal a from-scratch aggregate — counts,
@@ -2508,6 +2556,75 @@ def test_join_retract_equals_direct(spark):
     )
     key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
     assert Counter(map(key, maintained)) == Counter(map(key, direct))
+
+
+def test_apply_view_changes_pruned_touches_only_retracted_buckets(
+    spark, tmp_path
+):
+    """The r12 partition-pruned retraction apply (VERDICT r11 #3):
+    (a) value contract — the maintained on-disk view equals the full
+    ``exceptAll``-then-union semantics as a multiset; (b) scale
+    contract — untouched partition DIRECTORIES are bit-identical after
+    the apply (same files, same mtimes: never read, never rewritten),
+    and the touched-slice scan carries a PartitionFilters entry, so
+    the pruning happens at the file source, not post-scan."""
+    import os
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    view = spark.createDataFrame(
+        [(k, f"v{k}_{i}", k % 5) for k in range(20) for i in range(3)],
+        "k long, val string, pb long",
+    )
+    path = str(tmp_path / "view")
+    view.write.partitionBy("pb").parquet(path)
+
+    # retract one row from bucket 2, insert two rows into bucket 4
+    retract = spark.createDataFrame(
+        [(2, "v2_0", 2), (7, "v7_1", 2)], "k long, val string, pb long"
+    )
+    inserts = spark.createDataFrame(
+        [(4, "new_a", 4), (19, "new_b", 4)], "k long, val string, pb long"
+    )
+
+    def snap(bucket):
+        d = os.path.join(path, f"pb={bucket}")
+        return sorted(
+            (n, os.stat(os.path.join(d, n)).st_mtime_ns)
+            for n in os.listdir(d)
+            if not n.startswith(".")
+        )
+
+    before = {b: snap(b) for b in (0, 1, 3)}
+    touched = apply_view_changes_pruned(
+        spark, path, retract=retract, inserts=inserts, bucket_col="pb"
+    )
+    assert touched == [2, 4]
+    for b in (0, 1, 3):
+        assert snap(b) == before[b], f"untouched bucket {b} was rewritten"
+
+    got = spark.read.parquet(path).collect()
+    want = (
+        view.exceptAll(retract).unionByName(inserts).collect()
+    )
+    key = lambda r: (r["k"], r["val"], r["pb"])  # noqa: E731
+    assert Counter(map(key, got)) == Counter(map(key, want))
+
+    # the pruned scan is partition-pruned at the source
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("pb").isin([2, 4]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "pb" in plan
+
+    # no deltas → explicit no-op
+    assert apply_view_changes_pruned(spark, path, bucket_col="pb") == []
 
 
 def test_retract_partials_all_group_fates(spark):

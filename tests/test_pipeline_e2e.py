@@ -122,7 +122,7 @@ def test_config_drop_to_report(spark, env):
     q = watch_config_dir(
         spark, str(env["landing"]), str(env["ckpt"]), dispatch, available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     assert statuses == ["Success"]
     # warehouse holds the loaded tables, row-for-row
@@ -145,7 +145,7 @@ def test_config_drop_to_report(spark, env):
     q2 = watch_config_dir(
         spark, str(env["landing"]), str(env["ckpt"]), dispatch, available_now=True
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     assert statuses == ["Success", "Success"]
     loads2 = env["audit"].table("hive_bqload_audit").collect()
     assert len(loads2) == 2  # no new load rows — both tables were SKIP

@@ -57,21 +57,21 @@ def test_watch_config_dir_dispatch(spark, tmp_path):
     q = watch_config_dir(
         spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(60)
     assert sorted(seen) == ["data", "ddl"]
     # restart with same checkpoint: nothing re-dispatched (exactly-once)
     seen.clear()
     q2 = watch_config_dir(
         spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
     )
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(60)
     assert seen == []
     # new file arrives → only it is dispatched
     (landing / "cfg3.json").write_text(json.dumps({"type": "sql", "source": "rs"}))
     q3 = watch_config_dir(
         spark, str(landing), str(tmp_path / "ckpt"), dispatch, available_now=True
     )
-    q3.awaitTermination(60)
+    assert q3.awaitTermination(60)
     assert seen == ["sql"]
 
 
@@ -122,7 +122,7 @@ def test_stateful_sessionization_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     assert len(q.recentProgress) >= 2, "expected two micro-batches"
 
     emitted = spark.table("sess_mb").toPandas()
@@ -164,7 +164,7 @@ def test_cdc_stream_upsert_across_batches(spark, tmp_path):
     def drain():
         changes = spark.readStream.schema(schema).parquet(landing)
         q = apply_cdc_stream(spark, changes, target, ["k"], "ver", ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     spark.createDataFrame(
         [(1, "a0", 1), (2, "b0", 1)], schema
@@ -230,7 +230,7 @@ def test_quota_stream_v2_gate_or_run(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     v2 = {tuple(r) for r in spark.table(sink).collect()}
     v1 = {
         tuple(r)
@@ -279,12 +279,12 @@ def test_stream_dedup_across_two_microbatches(spark, tmp_path):
         .option("checkpointLocation", ck)
     )
     q = w.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     # batch 2: full redelivery, then drain again from the checkpoint
     batch.write.parquet(os.path.join(landing, "f2"))
     q = w.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     got = {r.event_type: r.n for r in spark.table(sink).collect()}
     want = {
@@ -319,7 +319,7 @@ def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
 
     stream = spark.readStream.schema(rows.schema).parquet(landing)
     q = exactly_once_append(stream, target, ck)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     out = read_appended(spark, target)
     assert out.count() == 100
@@ -342,7 +342,7 @@ def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
     q = exactly_once_append(
         spark.readStream.schema(rows.schema).parquet(landing), target, ck
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     assert read_appended(spark, target).count() == 100
 
 
@@ -402,7 +402,7 @@ def test_lsh_ingest_stream_across_batches(spark, tmp_path):
             "maxFilesPerTrigger", 1
         ).parquet(landing)
         q = lsh_ingest_stream(stream, state, ckpt, threshold=0.5)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
 
     for i, rows in enumerate(batches):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -476,3 +476,35 @@ def test_stream_stager_handles_directory_tables(spark, tmp_path):
         for r in events_stream_daily_counts(spark, src_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_no_bare_await_termination_call_sites():
+    """The loud-drain convention as an invariant (VERDICT r11 #5):
+    every awaitTermination call site repo-wide must consume the
+    boolean — via _drain_or_raise, an ``if not``, or an ``assert`` —
+    because a silently-ignored timeout means reading a partially
+    written sink. The r11 sweep converted every plan; this pins the
+    convention so no new bare drain can land."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bare = []
+    for base in ("data_migration_tool_spark", "tests"):
+        for dirpath, _dirs, files in os.walk(os.path.join(root, base)):
+            for name in files:
+                if not name.endswith(".py"):
+                    continue
+                path = os.path.join(dirpath, name)
+                for i, line in enumerate(open(path), 1):
+                    if "awaitTermination(" not in line:
+                        continue
+                    s = line.strip()
+                    if s.startswith("#") or "``" in s or '"' in s:
+                        continue  # comments / docstrings / this scanner
+                    if re.search(
+                        r"(if not |assert |= |return ).*awaitTermination\(", s
+                    ):
+                        continue
+                    bare.append(f"{path}:{i}: {s}")
+    assert not bare, "bare awaitTermination call sites:\n" + "\n".join(bare)
