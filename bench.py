@@ -40,6 +40,26 @@ IDLE_FLOOR = 0.25  # this box's idle warm canary band is 0.2-0.4 s
 
 CANARY_EVERY = 35  # queries per segment; ~0.3 s sample cost each
 
+IDLE_BAND = (0.2, 0.4)  # this box's documented warm idle canary band
+
+
+def ambient_inflated(canary: list[float]) -> bool:
+    """Broad-ambient-load detector (VERDICT r11 #4). The per-segment
+    threshold catches contention SPIKES (one sample far above the
+    floor) but is blind to broad inflation: r11 published a record
+    whose run total swung +28% across five same-HEAD runs while every
+    canary sample stayed under the spike threshold. The canary MEDIAN
+    against the documented idle band is the complementary signal —
+    when the run's typical sample sits above the band's ceiling, the
+    whole box was louder than the band every recorded baseline was
+    measured in, and the record self-labels ``ambient_inflated`` so a
+    cross-round ratio computed from it carries its own caveat."""
+    if not canary:
+        return False
+    import statistics
+
+    return statistics.median(canary) > IDLE_BAND[1]
+
 # samples[name] = [(seconds or None, segment), ...]; segment k spans
 # the interval between canary samples k and k+1.
 Samples = dict[str, list[tuple[float | None, int]]]
@@ -121,8 +141,14 @@ def build_payload(
             "threshold": round(clean_threshold(canary, idle_floor), 3)
             if canary
             else None,
+            "median": round(__import__("statistics").median(canary), 3)
+            if canary
+            else None,
+            "idle_band": list(IDLE_BAND),
         },
     }
+    if ambient_inflated(canary):
+        body["ambient_inflated"] = True
     if suspect:
         body["suspect"] = suspect
     if errors:

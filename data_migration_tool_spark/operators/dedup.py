@@ -800,7 +800,14 @@ def containment_pairs(
                 f"linear_budget, or pass max_candidates=None to opt into "
                 f"the quadratic join."
             )
-    return _containment_verify(sh, docsets, prefix, id_col, threshold)
+    # same materialize-then-unpersist discipline as the adaptive twin
+    # (ADVICE r11): the verify result is pair-scale, the cached shingle
+    # frame is corpus-scale — don't park it until GC
+    out = _containment_verify(
+        sh, docsets, prefix, id_col, threshold
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def containment_pairs_adaptive(
@@ -906,9 +913,17 @@ def containment_pairs_adaptive(
             f"linear_budget or use the LSH dedup family instead."
         )
     if j == 0:
-        return _containment_verify(
-            sh, docsets, prefix, id_col, threshold
-        ).withColumn("sample_k", F.lit(256).cast("int"))
+        # materialize the (pair-scale) result so the persisted shingle
+        # frame can be dropped NOW instead of parking in the cache until
+        # GC (ADVICE r11: each adaptive call leaked one persisted frame
+        # per pricing level) — the stream plans' localCheckpoint pattern
+        out = (
+            _containment_verify(sh, docsets, prefix, id_col, threshold)
+            .withColumn("sample_k", F.lit(256).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        sh.unpersist()
+        return out
     k = 256 >> j
     if audit is not None:
         from data_migration_tool_spark.audit.log import guard_event
@@ -961,9 +976,13 @@ def containment_pairs_adaptive(
             f"{cap:,}); the r²-shrink model does not hold here — raise "
             f"linear_budget or use the LSH dedup family instead."
         )
-    return _containment_verify(
-        sh2, docsets2, prefix2, id_col, threshold
-    ).withColumn("sample_k", F.lit(k).cast("int"))
+    out = (
+        _containment_verify(sh2, docsets2, prefix2, id_col, threshold)
+        .withColumn("sample_k", F.lit(k).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    sh2.unpersist()
+    return out
 
 
 def cross_corpus_overlap(

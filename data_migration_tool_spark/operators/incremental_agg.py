@@ -126,9 +126,30 @@ def retract_partials(
     Inputs are (keys, measure) relations; ``base`` is the PRE-delete
     table the state was computed from. Compose with inserts by
     ``merge_partials([retract_partials(...), partials(inserts, ...)])``.
+
+    NULL hygiene (ADVICE r11): every key join here is NULL-SAFE
+    (``<=>``), so deletes on a NULL-keyed group are applied, not
+    silently dropped; and the delta sums are coalesced to 0 before
+    subtracting — a delete batch whose rows for some group carry only
+    NULL measures produces dn=0 with NULL dsx/dsxx, and ``sx − NULL``
+    would otherwise silently NULL that group's sums (the state tracks
+    non-null measures only, so such deletes correctly change nothing).
     """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    def _semi_nullsafe(df: DataFrame, keys_df: DataFrame) -> DataFrame:
+        kd = keys_df.select(
+            *[F.col(k).alias(f"_tk{i}") for i, k in enumerate(keys)]
+        )
+        cond = _reduce(
+            _and,
+            [df[k].eqNullSafe(kd[f"_tk{i}"]) for i, k in enumerate(keys)],
+        )
+        return df.join(F.broadcast(kd), cond, "leftsemi")
+
     dp = partials(deletes, keys, measure, dec).select(
-        *keys,
+        *[F.col(k).alias(f"_dk{i}") for i, k in enumerate(keys)],
         F.col("n").alias("dn"),
         F.col("sx").alias("dsx"),
         F.col("sxx").alias("dsxx"),
@@ -136,7 +157,16 @@ def retract_partials(
         F.col("mx").alias("dmx"),
     )
     stypes = {f.name: f.dataType for f in state.schema.fields}
-    merged = state.join(dp, keys, "left")
+    jcond = _reduce(
+        _and,
+        [
+            state[k].eqNullSafe(dp[f"_dk{i}"])
+            for i, k in enumerate(keys)
+        ],
+    )
+    merged = state.join(dp, jcond, "left").drop(
+        *[f"_dk{i}" for i in range(len(keys))]
+    )
     touched = F.coalesce(
         (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx")),
         F.lit(False),
@@ -145,20 +175,20 @@ def retract_partials(
     adjusted = merged.filter(F.col("dn").isNotNull() & ~touched).select(
         *keys,
         (F.col("n") - F.col("dn")).cast(stypes["n"]).alias("n"),
-        (F.col("sx") - F.col("dsx")).cast(stypes["sx"]).alias("sx"),
-        (F.col("sxx") - F.col("dsxx")).cast(stypes["sxx"]).alias("sxx"),
+        (F.col("sx") - F.coalesce(F.col("dsx"), F.lit(0)))
+        .cast(stypes["sx"])
+        .alias("sx"),
+        (F.col("sxx") - F.coalesce(F.col("dsxx"), F.lit(0)))
+        .cast(stypes["sxx"])
+        .alias("sxx"),
         F.col("mn"),
         F.col("mx"),
     )
     touched_keys = merged.filter(touched).select(*keys)
-    retained_rows = (
-        base.select(*keys, measure)
-        .join(F.broadcast(touched_keys), keys, "leftsemi")
-        .exceptAll(
-            deletes.select(*keys, measure).join(
-                F.broadcast(touched_keys), keys, "leftsemi"
-            )
-        )
+    retained_rows = _semi_nullsafe(
+        base.select(*keys, measure), touched_keys
+    ).exceptAll(
+        _semi_nullsafe(deletes.select(*keys, measure), touched_keys)
     )
     recomputed = partials(retained_rows, keys, measure, dec).select(
         *keys,
@@ -266,6 +296,15 @@ def apply_view_changes_pruned(
     touched-partition rows) end to end, never O(view). Returns the
     sorted touched-bucket values (empty list → no-op, nothing read or
     written).
+
+    Whole-bucket retraction trap: dynamic partition overwrite replaces
+    only partitions PRESENT in the written frame, so a touched bucket
+    whose rows are ALL retracted would silently keep its old files
+    (caught building the r12 gate query — pb = orderkey % 30 made
+    every delete-touched bucket empty and the apply became a no-op on
+    them). Touched buckets absent from the new slice are therefore
+    deleted explicitly through the Hadoop FS, which also keeps the
+    "retract a whole day → drop that day's partition" case O(1).
     """
     deltas = [d for d in (retract, inserts) if d is not None]
     if not deltas:
@@ -288,6 +327,7 @@ def apply_view_changes_pruned(
     if inserts is not None:
         new = new.unionByName(inserts.select(*cur.columns))
     new = new.localCheckpoint(eager=True)
+    present = {r[0] for r in new.select(bucket_col).distinct().collect()}
     old_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -300,4 +340,13 @@ def apply_view_changes_pruned(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
+    emptied = [b for b in touched if b not in present]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{view_path}/{bucket_col}={b}"
+            )
+            p.getFileSystem(hconf).delete(p, True)
     return touched

@@ -1047,8 +1047,12 @@ def media_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         # AvailableNow hasn't drained: reading the sink now would return
         # a silently partial result (the hash gate would catch it, but
-        # the API itself must be loud — ADVICE r10).
+        # the API itself must be loud — ADVICE r10). Remove the scratch
+        # dir on this path too (ADVICE r11: the refusal raised before
+        # the success-path rmtree and leaked a full media-corpus copy
+        # per timed-out run).
         q.stop()
+        shutil.rmtree(work, ignore_errors=True)
         raise RuntimeError(
             "media_stream_decode: stream did not drain within 300s; "
             "sink is partially appended — refusing to read it."

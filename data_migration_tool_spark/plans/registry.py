@@ -511,6 +511,17 @@ _DEFS: list[QueryDef] = [
         ("validation", "incremental", "join", "ivm", "retract"),
     ),
     QueryDef(
+        # r12: the retraction apply made partition-pruned (VERDICT r11
+        # #3) — view on disk partitioned by pb = orderkey % 30, Δ⁻
+        # exceptAll against TOUCHED partitions only, dynamic partition
+        # overwrite rewrites exactly those; the derived touched-bucket
+        # count rides the output so the oracle checks the pruning set
+        "orders_join_ivm_retract_pruned",
+        V.orders_join_ivm_retract_pruned,
+        V.ORDERS_JOIN_IVM_RETRACT_PRUNED_SQL,
+        ("validation", "incremental", "join", "ivm", "retract", "pruned"),
+    ),
+    QueryDef(
         # r11: tokenizer fertility per predicted language — the BPE
         # train+encode lane composed with the marker-lexicon language
         # ID; symbols-per-word compression audit for multilingual mixes
@@ -964,6 +975,8 @@ _DEFS: list[QueryDef] = [
 # first 9 (sorted) of the 50 r9-row queries — the other 41 re-seat
 # in r13.
 _PRIORITY: tuple[str, ...] = (
+    # -- never-officially-checked: r12-new pending leads --
+    "orders_join_ivm_retract_pruned",
     # -- latest official row r8 (all 41 owed, r11's deferred cohort) --
     "doc_simhash",
     "doc_source_cap",
@@ -1006,7 +1019,9 @@ _PRIORITY: tuple[str, ...] = (
     "transfer_log_jobwise_stats",
     "user_purchase_funnel",
     "user_sessions",
-    # -- latest official row r9: first 9 sorted (41 more re-seat in r13) --
+    # -- latest official row r9: first 8 sorted (doc_containment_pairs
+    # yielded the youngest fill seat to the r12-new pending query; it
+    # re-seats in r13 with the other 41 r9-row queries) --
     "bpe_merges_train",
     "corpus_bigram_topk",
     "corpus_vocab_growth",
@@ -1015,7 +1030,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bpe_encoded_lengths",
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
-    "doc_containment_pairs",
 )
 
 

@@ -50,14 +50,22 @@ def _stage_events(src: str, landing: str) -> None:
         shutil.copy(src, os.path.join(landing, "events.parquet"))
 
 
-def _drain_or_raise(q, name: str, timeout: int = 300) -> None:
+def _drain_or_raise(
+    q, name: str, timeout: int = 300, scratch: str | None = None
+) -> None:
     """AvailableNow drain with a LOUD timeout: reading a sink before the
     stream finishes returns silently partial rows (the hash gate would
     catch it downstream, but the API must refuse on its own — the
     ADVICE-r10 media_stream_decode lesson applied to every stream plan
-    here)."""
+    here). ``scratch``: the caller's temp dir, removed on the REFUSAL
+    path too (ADVICE r11: raising before the success-path rmtree leaked
+    one dir per timed-out run — precisely the runs likely to repeat)."""
     if not q.awaitTermination(timeout):
         q.stop()
+        if scratch is not None:
+            import shutil as _sh
+
+            _sh.rmtree(scratch, ignore_errors=True)
         raise RuntimeError(
             f"{name}: stream did not drain within {timeout}s; "
             f"refusing to read a partially-written sink."
@@ -120,7 +128,7 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_daily_counts")
+        _drain_or_raise(q, "events_stream_daily_counts", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
@@ -168,7 +176,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_sessions")
+        _drain_or_raise(q, "events_stream_sessions", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
@@ -294,7 +302,7 @@ def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_user_quota")
+        _drain_or_raise(q, "events_stream_user_quota", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
@@ -389,7 +397,7 @@ def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_view_purchase_join")
+        _drain_or_raise(q, "events_stream_view_purchase_join", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
@@ -502,7 +510,7 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_segment_revenue")
+        _drain_or_raise(q, "events_stream_segment_revenue", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 
@@ -567,7 +575,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_dedup")
+        _drain_or_raise(q, "events_stream_dedup", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink).select("event_type", "n_events", "sum_value")
 
@@ -708,7 +716,7 @@ def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_incremental_rollup")
+        _drain_or_raise(q, "events_stream_incremental_rollup", scratch=work)
 
     merged = IA.merge_partials([spark.read.parquet(state)], ["event_type"])
     # the state parquet lives in the scratch dir — materialize the
@@ -824,7 +832,7 @@ def events_stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        _drain_or_raise(q, "events_stream_view_purchase_left")
+        _drain_or_raise(q, "events_stream_view_purchase_left", scratch=work)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(sink)
 

@@ -1815,6 +1815,13 @@ def doc_containment_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFram
 # with implied ≤ cap·4^j (integer shifts — no float sqrt to diverge),
 # k = 256 >> j, then the naive quadratic containment join over the
 # md5 slice (full corpus when j = 0) with sample_k on every row.
+# BOTH refusal regimes are mirrored (ADVICE r11): j ≥ 9 raises via
+# DuckDB error() instead of silently computing k=0 → empty set, and
+# the slice RE-PRICING (j > 0: the sliced corpus's own prefix volume
+# re-checked against the full-corpus cap) raises exactly where the
+# Spark operator's second pricing pass refuses — so in the refusal
+# regime the engines agree (both raise) rather than one erroring while
+# the other returns an empty result.
 DOC_CONTAINMENT_ADAPTIVE_SQL = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1842,7 +1849,14 @@ lvl AS (
   FROM range(0, 9) t(j), price
   WHERE implied <= 4096 * n * (CAST(1 AS BIGINT) << CAST(2 * t.j AS INTEGER))
 ),
-kk AS (SELECT j, CAST(256 AS INTEGER) >> j AS k FROM lvl),
+kk AS (
+  SELECT j,
+         CASE WHEN j >= 9 THEN CAST(error(
+                'containment_pairs_adaptive: even a 1/256 slice is '
+                'estimated over the full-corpus budget') AS INTEGER)
+              ELSE CAST(256 AS INTEGER) >> j END AS k
+  FROM lvl
+),
 sdocs AS (
   SELECT d.doc_id, d.text FROM documents d, kk
   WHERE kk.j = 0
@@ -1856,6 +1870,29 @@ ssh AS (
   FROM stoks WHERE len(tk) >= 3
 ),
 ssizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+sranked AS (
+  SELECT s.doc_id, f.df, z.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.df ASC, s.shingle ASC) AS rk
+  FROM ssh s
+  JOIN (SELECT shingle, COUNT(*) AS df FROM ssh GROUP BY shingle) f
+       ON f.shingle = s.shingle
+  JOIN ssizes z ON z.doc_id = s.doc_id
+),
+sprice AS (
+  SELECT COALESCE(SUM(df), 0)
+         * ((SELECT COUNT(*) FROM ssh)
+            // GREATEST(COUNT(DISTINCT doc_id), 1)) AS simplied
+  FROM sranked WHERE rk <= n_sh - ((9 * n_sh + 9) // 10) + 2
+),
+chk AS (
+  SELECT CASE WHEN l.j > 0 AND s.simplied > 4096 * p.n
+              THEN CAST(error(
+                'containment_pairs_adaptive: sliced volume still over '
+                'the full-corpus budget') AS INTEGER)
+              ELSE 1 END AS ok
+  FROM lvl l, price p, sprice s
+),
 scommon AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
@@ -1867,6 +1904,7 @@ SELECT id_a AS contained_id, id_b AS container_id,
        CAST(kk.k AS INTEGER) AS sample_k
 FROM scommon JOIN ssizes na ON na.doc_id = id_a, kk
 WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= 0.9
+  AND (SELECT ok FROM chk) = 1
 """
 
 

@@ -1304,3 +1304,153 @@ WHERE o_orderkey % 10 <> 3 AND l_orderkey % 15 <> 3
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def orders_join_ivm_retract_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned retraction apply for the join-view IVM family
+    (r12 — VERDICT r11 #3). Same change batch as
+    ``orders_join_ivm_retract`` (deletes o%10==3 / l%15==3, inserts
+    o%10==0 / l%15==0), but the maintained view lives ON DISK
+    partitioned by the key-derived bucket ``pb = orderkey % 20``, and
+    the apply goes through ``operators/incremental_agg.
+    apply_view_changes_pruned``: the touched-bucket set is derived
+    from the deltas themselves, the Δ⁻ ``exceptAll`` runs against the
+    TOUCHED partitions only (PartitionFilters at the file source —
+    untouched directories never read), and dynamic partition
+    overwrite rewrites exactly those partitions. This removes the one
+    O(view) pass the r11 plan carried (its whole-view ``exceptAll``
+    measured second-decade exponent 0.63; cost here is O(Δ + touched
+    partitions)).
+
+    pb = orderkey % 20 makes the batch exercise every apply shape at
+    once: buckets 3/13 are retracted WHOLE (o%10==3 ⇒ the operator's
+    emptied-partition deletion path — dynamic overwrite alone would
+    silently keep them), buckets 8/18 lose only their l%15==3 rows
+    (partial-bucket exceptAll), buckets 0/10 are CREATED by inserts
+    (keys %10==0 absent from the base view), buckets 5/15 gain insert
+    rows next to retained ones — and the 12 remaining buckets pass
+    through with their files untouched.
+
+    The derived touched-bucket COUNT rides the output (one extra
+    column at group grain), so the oracle cross-checks the pruning
+    arithmetic itself: DuckDB independently derives which pb buckets
+    the retraction and insert deltas touch from the same predicates
+    — a bucket wrongly touched or wrongly skipped hash-fails.
+
+    pb is the test stand-in for the production choice (a date
+    partition — "retract a day, rewrite that day" is the canonical
+    case). File-granularity pytest: tests/test_dataops.py::
+    test_apply_view_changes_pruned_touches_only_retracted_buckets."""
+    import shutil
+    import tempfile
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+        join_delta,
+        join_retract,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    base_o = o.filter(F.col("orderkey") % 10 != 0)
+    base_l = l.filter(F.col("orderkey") % 15 != 0)
+    del_o = base_o.filter(F.col("orderkey") % 10 == 3)
+    del_l = base_l.filter(F.col("orderkey") % 15 == 3)
+    ins_o = o.filter(F.col("orderkey") % 10 == 0)
+    ins_l = l.filter(F.col("orderkey") % 15 == 0)
+
+    pb = (F.col("orderkey") % 20).alias("pb")
+    root = tempfile.mkdtemp(prefix="dmt_ivm_pruned_")
+    path = f"{root}/view"
+    base_o.join(base_l, ["orderkey"]).select(
+        "orderkey", "o_orderstatus", "rev", pb
+    ).write.partitionBy("pb").parquet(path)
+
+    retract = join_retract(
+        base_o, del_o, base_l, del_l, ["orderkey"]
+    ).select("orderkey", "o_orderstatus", "rev", pb)
+    kept_o = base_o.exceptAll(del_o)
+    kept_l = base_l.exceptAll(del_l)
+    inserts = join_delta(
+        kept_o, ins_o, kept_l, ins_l, ["orderkey"]
+    ).select("orderkey", "o_orderstatus", "rev", pb)
+
+    touched = apply_view_changes_pruned(
+        spark, path, retract=retract, inserts=inserts, bucket_col="pb"
+    )
+    out = (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+        )
+        .withColumn(
+            "n_touched_buckets", F.lit(len(touched)).cast("long")
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORDERS_JOIN_IVM_RETRACT_PRUNED_SQL = """
+WITH base_o AS (
+  SELECT o_orderkey AS orderkey, o_orderstatus FROM orders
+  WHERE o_orderkey % 10 <> 0
+),
+base_l AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS rev
+  FROM lineitem WHERE l_orderkey % 15 <> 0
+),
+-- Δ⁻ buckets: del_o ⋈ base_l, plus retained_o ⋈ del_l
+retract_pb AS (
+  SELECT DISTINCT o.orderkey % 20 AS pb
+  FROM base_o o JOIN base_l l ON o.orderkey = l.orderkey
+  WHERE o.orderkey % 10 = 3
+  UNION
+  SELECT DISTINCT l.orderkey % 20 AS pb
+  FROM base_o o JOIN base_l l ON o.orderkey = l.orderkey
+  WHERE l.orderkey % 15 = 3 AND o.orderkey % 10 <> 3
+),
+-- Δ⁺ buckets: ins_o ⋈ kept_l, kept_o ⋈ ins_l, ins_o ⋈ ins_l
+insert_pb AS (
+  SELECT DISTINCT o.o_orderkey % 20 AS pb
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE (o.o_orderkey % 10 = 0
+         AND l.l_orderkey % 15 <> 0 AND l.l_orderkey % 15 <> 3)
+     OR (l.l_orderkey % 15 = 0
+         AND o.o_orderkey % 10 <> 0 AND o.o_orderkey % 10 <> 3)
+     OR (o.o_orderkey % 10 = 0 AND l.l_orderkey % 15 = 0)
+),
+touched AS (
+  SELECT COUNT(*) AS n_touched
+  FROM (SELECT pb FROM retract_pb UNION SELECT pb FROM insert_pb)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       ) AS DOUBLE) AS sum_revenue,
+       (SELECT CAST(n_touched AS BIGINT) FROM touched)
+         AS n_touched_buckets
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 10 <> 3 AND l_orderkey % 15 <> 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

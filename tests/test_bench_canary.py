@@ -134,3 +134,32 @@ def test_plan_report_suspect_banner(tmp_path):
     assert "`a_q`, `b_q`" in line
     p.write_text("not json {")
     assert suspect_banner(str(p)) == ""  # corrupt → silent, no crash
+
+
+def test_ambient_inflated_flag():
+    """The broad-inflation complement to the spike threshold (VERDICT
+    r11 #4): a record whose canary MEDIAN drifts above the documented
+    idle band's ceiling self-labels ambient_inflated, even when every
+    individual sample passes the 2×-floor spike threshold (the r11
+    failure: 195→250 s run totals, all 13 samples 'clean')."""
+    # median 0.3 — inside the band: clean record, no flag
+    canary = [0.25, 0.3, 0.35]
+    assert not bench.ambient_inflated(canary)
+    payload = json.loads(
+        bench.build_payload({"q": [(1.0, 0)]}, canary, {}, 0.1)
+    )
+    assert "ambient_inflated" not in payload
+    assert payload["canary"]["median"] == 0.3
+    assert payload["canary"]["idle_band"] == [0.2, 0.4]
+
+    # every sample under the spike threshold (2×0.41=0.82) yet the
+    # median (0.45) sits above the 0.4 band ceiling → flagged
+    loud = [0.41, 0.45, 0.48]
+    assert bench.ambient_inflated(loud)
+    payload = json.loads(
+        bench.build_payload({"q": [(1.0, 0)]}, loud, {}, 0.1)
+    )
+    assert payload["ambient_inflated"] is True
+
+    # empty canary → undecidable, not flagged
+    assert not bench.ambient_inflated([])

@@ -2626,6 +2626,21 @@ def test_apply_view_changes_pruned_touches_only_retracted_buckets(
     # no deltas → explicit no-op
     assert apply_view_changes_pruned(spark, path, bucket_col="pb") == []
 
+    # whole-bucket retraction: dynamic overwrite alone would silently
+    # keep a bucket whose rows are ALL retracted (it only replaces
+    # partitions present in the written frame) — the operator must
+    # delete the emptied directory explicitly
+    cur = spark.read.parquet(path)
+    all_b1 = cur.filter(F.col("pb") == 1)
+    touched = apply_view_changes_pruned(
+        spark, path, retract=all_b1, bucket_col="pb"
+    )
+    assert touched == [1]
+    assert not os.path.isdir(os.path.join(path, "pb=1"))
+    got2 = spark.read.parquet(path).collect()
+    want2 = [r for r in want if r["pb"] != 1]
+    assert Counter(map(key, got2)) == Counter(map(key, want2))
+
 
 def test_retract_partials_all_group_fates(spark):
     """Delete maintenance for non-invertible aggregates, one group per
@@ -2668,6 +2683,44 @@ def test_retract_partials_all_group_fates(spark):
     byg = {r["g"]: r for r in maintained}
     assert str(byg["A"]["min_value"]) == "5.00"  # recomputed past the delete
     assert byg["B"]["n_rows"] == 2  # arithmetic subtract
+
+
+def test_retract_partials_null_measures_and_null_keys(spark):
+    """ADVICE r11 NULL hygiene: (a) a delete batch whose rows for a
+    group carry only NULL measures must leave that group's sums intact
+    (previously sx − NULL silently NULLed them); (b) deletes on a
+    NULL-keyed group must be applied, not dropped by a null-unsafe key
+    join. Ground truth = partials() over base minus deletes."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    base = spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", 2.0), ("a", None),
+            (None, 5.0), (None, 7.0), (None, 9.0),
+            ("b", 3.0), ("b", 4.0),
+        ],
+        "k string, x double",
+    )
+    # group a: delete ONLY the NULL-measure row (dn=0, dsx/dsxx NULL);
+    # group NULL: delete its min row (extreme-touched, null key);
+    # group b untouched
+    deletes = spark.createDataFrame(
+        [("a", None), (None, 5.0)], "k string, x double"
+    )
+    state = IA.partials(base, ["k"], "x")
+    got = IA.retract_partials(state, deletes, base, ["k"], "x").collect()
+
+    retained = base.exceptAll(deletes)
+    want = IA.partials(retained, ["k"], "x").collect()
+    key = lambda r: (r["k"], r["n"], r["sx"], r["sxx"], r["mn"], r["mx"])  # noqa: E731
+    assert Counter(map(key, got)) == Counter(map(key, want))
+    by_k = {r["k"]: r for r in got}
+    # the NULL-measure delete left a's exact sums intact
+    assert by_k["a"]["n"] == 2 and float(by_k["a"]["sx"]) == 3.0
+    # the NULL-keyed group recomputed after losing its min
+    assert by_k[None]["n"] == 2 and by_k[None]["mn"] == 7.0
 
 
 def test_retract_partials_over_merged_state(spark):
@@ -2739,3 +2792,29 @@ def test_ivm_composition_join_delta_into_partials(spark):
     for g in direct:
         assert got[g][0] == direct[g][0]
         assert abs(got[g][1] - direct[g][1]) < 1e-9
+
+
+def test_containment_adaptive_oracle_mirrors_refusal():
+    """ADVICE r11: the DuckDB oracle used to compute k = 256>>9 = 0 and
+    return an EMPTY result in the j≥9 regime where the Spark operator
+    raises — a silent engine disagreement. The oracle now raises via
+    error() in the same regime; this pins that on a corpus whose
+    pricing lands j≥9 at the query's hard-coded 4096 budget (3
+    identical 40k-shingle docs: implied ≈ 0.9·K² ≈ 1.4e9 >
+    cap·4^8 ≈ 8.1e8)."""
+    import duckdb
+    import pytest
+
+    from data_migration_tool_spark.plans.textq import (
+        DOC_CONTAINMENT_ADAPTIVE_SQL,
+    )
+
+    con = duckdb.connect()
+    text = " ".join(f"w{i}" for i in range(40_002))
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(1, text), (2, text), (3, text)],
+    )
+    with pytest.raises(duckdb.Error, match="1/256"):
+        con.sql(DOC_CONTAINMENT_ADAPTIVE_SQL).fetchall()
