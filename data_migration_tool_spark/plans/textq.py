@@ -1137,22 +1137,19 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bearing the names, and the self-join is blocked on the trailing
     token, so comparisons are Σ block² over the dictionary, never a
     cartesian over rows. Levenshtein is an integer metric — exact in
-    any engine."""
-    names = (
-        load_table(spark, sf_dir, "part")
-        .select(F.col("p_name").alias("name"))
-        .distinct()
-        .withColumn("blk", F.split("name", " ")[1])
+    any engine. Since r12 the match runs through the guarded
+    ``operators/textops.fuzzy_name_pairs``: Σ C(block,2) is priced
+    before the self-join (the dictionary can saturate its blocking
+    key while rows keep growing — the upsampled part table measures
+    exactly that regime) and past 1024 comparisons per name the
+    operator refuses loudly instead of running the quadratic join. At
+    gate scale the corpus prices far under budget, so the result —
+    and the oracle — are unchanged."""
+    from data_migration_tool_spark.operators.textops import (
+        fuzzy_name_pairs,
     )
-    a = names.select(F.col("name").alias("name_a"), "blk")
-    b = names.select(F.col("name").alias("name_b"), "blk")
-    return (
-        a.join(b, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 4)
-        .select("name_a", "name_b", "dist")
-    )
+
+    return fuzzy_name_pairs(load_table(spark, sf_dir, "part"), "p_name")
 
 
 PART_NAME_FUZZY_SQL = """

@@ -2818,3 +2818,36 @@ def test_containment_adaptive_oracle_mirrors_refusal():
     )
     with pytest.raises(duckdb.Error, match="1/256"):
         con.sql(DOC_CONTAINMENT_ADAPTIVE_SQL).fetchall()
+
+
+def test_fuzzy_name_pairs_guard_and_values(spark, tmp_path):
+    """r12 fuzzy-match guard: Σ C(block,2) is priced before the
+    Levenshtein self-join; past the cap the operator refuses loudly
+    with an audited row; under it (or unguarded) results match the
+    brute-force blocked join."""
+    import pytest
+
+    from data_migration_tool_spark.audit.log import AuditLog
+    from data_migration_tool_spark.operators.textops import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"tone{i % 4} shade item{i}") for i in range(12)]
+        + [(100, "tone0 shade item0x")],  # 1 edit from "tone0 shade item0"
+        "pk long, nm string",
+    )
+    # blocks: all share blk="shade" → C(13,2) = 78 implied comparisons
+    out = fuzzy_name_pairs(df, "nm", max_comparisons=78).collect()
+    assert ("tone0 shade item0", "tone0 shade item0x", 1) in {
+        (r.name_a, r.name_b, r.dist) for r in out
+    }
+    audit = AuditLog(spark, str(tmp_path), run_id="fz")
+    with pytest.raises(RuntimeError, match="Levenshtein comparisons"):
+        fuzzy_name_pairs(df, "nm", max_comparisons=77, audit=audit)
+    ev = audit.table("dmt_guard_events").collect()
+    assert len(ev) == 1 and ev[0].guard == "fuzzy_name_pairs"
+    assert ev[0].implied_cost == 78 and ev[0].cap == 77
+    # auto budget at this size passes and equals the static-cap run
+    assert sorted(
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_name_pairs(df, "nm").collect()
+    ) == sorted((r.name_a, r.name_b, r.dist) for r in out)

@@ -171,6 +171,28 @@ def upsample(
                 df = df.withColumn(
                     "text", _shuffle_words(F.col("text"), F.col("doc_id"), rep)
                 ).withColumn("n_chars", F.length("text"))
+            if tbl == "part" and rep > 0:
+                # Grow the NAME dictionary with the table (r12): exact
+                # name copies collapse under the fuzzy-match plan's
+                # distinct(), making any scale measurement vacuous —
+                # and 10 hot copies of each name is the mass-duplicate
+                # regime, not growth. Suffixing the FIRST token with
+                # the rep index mints new names (dictionary ∝ reps)
+                # that are 1-2 edits from their parents (realistic
+                # fuzz), keeps the second token — the match-blocking
+                # key — stable, and preserves '%color%' substring
+                # selectivity for the TPC-H LIKE filters.
+                df = df.withColumn(
+                    "p_name",
+                    F.concat(
+                        F.split("p_name", " ")[0],
+                        F.lit(str(rep)),
+                        F.expr(
+                            "substring(p_name, length(split(p_name, ' ')[0])"
+                            " + 1)"
+                        ),
+                    ),
+                )
             if tbl == "embeddings" and rep > 0:
                 df = df.withColumn(
                     "embedding",
