@@ -691,6 +691,17 @@ _DEFS: list[QueryDef] = [
         ("streaming", "dedup", "stateful"),
     ),
     QueryDef(
+        # r12: streaming CDC join-view maintenance — three real
+        # micro-batches of orders-side delete+insert events, each
+        # trigger applied through the partition-pruned on-disk apply
+        # (O(batch·matched + touched partitions) per trigger); oracle
+        # is the direct post-change join
+        "orders_stream_join_ivm",
+        SQ.orders_stream_join_ivm,
+        SQ.ORDERS_STREAM_JOIN_IVM_SQL,
+        ("streaming", "incremental", "join", "ivm", "pruned"),
+    ),
+    QueryDef(
         "embedding_pq_codes",
         VQ.embedding_pq_codes,
         VQ.EMB_PQ_SQL,
@@ -977,6 +988,7 @@ _DEFS: list[QueryDef] = [
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: r12-new pending leads --
     "orders_join_ivm_retract_pruned",
+    "orders_stream_join_ivm",
     # -- latest official row r8 (all 41 owed, r11's deferred cohort) --
     "doc_simhash",
     "doc_source_cap",
@@ -1019,9 +1031,10 @@ _PRIORITY: tuple[str, ...] = (
     "transfer_log_jobwise_stats",
     "user_purchase_funnel",
     "user_sessions",
-    # -- latest official row r9: first 8 sorted (doc_containment_pairs
-    # yielded the youngest fill seat to the r12-new pending query; it
-    # re-seats in r13 with the other 41 r9-row queries) --
+    # -- latest official row r9: first 7 sorted (doc_containment_pairs
+    # and doc_chunk_overlap yielded the youngest fill seats to the two
+    # r12-new pending queries; they re-seat in r13 with the other 41
+    # r9-row queries) --
     "bpe_merges_train",
     "corpus_bigram_topk",
     "corpus_vocab_growth",
@@ -1029,7 +1042,6 @@ _PRIORITY: tuple[str, ...] = (
     "customer_rolling_30d_spend",
     "doc_bpe_encoded_lengths",
     "doc_bpe_token_counts",
-    "doc_chunk_overlap",
 )
 
 

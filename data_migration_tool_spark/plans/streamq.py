@@ -856,3 +856,137 @@ CROSS JOIN wm
 WHERE v.event_type = 'view'
   AND (p.event_id IS NOT NULL OR v.ts + INTERVAL 1 HOUR < wm.cutoff)
 """
+
+
+def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC join-view maintenance through the partition-pruned
+    apply (r12 — the production setting for ``operators/
+    incremental_agg.apply_view_changes_pruned``): an on-disk
+    orders⋈lineitem view, partitioned by ``pb = orderkey % 20``, is
+    maintained by a foreachBatch stream of orders-side CDC events —
+    three REAL micro-batches (``maxFilesPerTrigger=1``), each carrying
+    one DELETE group (op='D', o%10==3 split by %30 ∈ {3,13,23}) and
+    one INSERT group (op='I', o%10==0 split by %30 ∈ {0,10,20}).
+
+    Per batch: Δ⁻ = deleted orders ⋈ lineitem, Δ⁺ = inserted orders ⋈
+    lineitem (orders-side CDC, so the single-table delta rule — no
+    retained-side term needed), both routed through
+    ``apply_view_changes_pruned`` — each trigger reads and rewrites
+    ONLY the buckets its keys touch, O(batch·matched + touched
+    partitions) per trigger, never O(view). The key sets are disjoint
+    across batches, so the final view is batch-order-independent, and
+    the oracle is the direct post-change join — a row retracted twice,
+    dropped, or double-inserted hash-fails.
+
+    Exactly-once caveat (documented contract): a re-delivered batch
+    re-appends its inserts; production pairs this with the per-batch
+    marker protocol of ``streaming/txn_sink.py`` (the
+    media_stream_decode sink). The gate drains each batch exactly once
+    by construction (AvailableNow over three landed files)."""
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    pb = (F.col("orderkey") % 20).alias("pb")
+
+    work = tempfile.mkdtemp(prefix="dmt_sivm_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    view_path = os.path.join(work, "view")
+
+    # world state BEFORE the stream: inserts (%10==0) not yet present
+    base_o = o.filter(F.col("orderkey") % 10 != 0)
+    base_o.join(li, ["orderkey"]).select(
+        "orderkey", "o_orderstatus", "rev", pb
+    ).write.partitionBy("pb").parquet(view_path)
+
+    # three CDC batches, one file each: (D %30==3+10g, I %30==10g)
+    for i, (dmod, imod) in enumerate(((3, 0), (13, 10), (23, 20))):
+        dels = base_o.filter(F.col("orderkey") % 30 == dmod).withColumn(
+            "op", F.lit("D")
+        )
+        ins = o.filter(F.col("orderkey") % 30 == imod).withColumn(
+            "op", F.lit("I")
+        )
+        dels.unionByName(ins).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+        part = next(
+            n
+            for n in os.listdir(os.path.join(work, f"b{i}"))
+            if n.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(work, f"b{i}", part),
+            os.path.join(landing, f"cdc_{i:02d}.parquet"),
+        )
+
+    li_static = li.persist()
+
+    def _apply(batch, _bid):
+        d = batch.filter(F.col("op") == "D").drop("op")
+        i = batch.filter(F.col("op") == "I").drop("op")
+        retract = d.join(li_static, ["orderkey"]).select(
+            "orderkey", "o_orderstatus", "rev", pb
+        )
+        inserts = i.join(li_static, ["orderkey"]).select(
+            "orderkey", "o_orderstatus", "rev", pb
+        )
+        apply_view_changes_pruned(
+            spark, view_path, retract=retract, inserts=inserts,
+            bucket_col="pb",
+        )
+
+    schema = "orderkey long, o_orderstatus string, op string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "orders_stream_join_ivm", scratch=work)
+    out = (
+        spark.read.parquet(view_path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint(eager=True)
+    )
+    li_static.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+ORDERS_STREAM_JOIN_IVM_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       ) AS DOUBLE) AS sum_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 10 <> 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

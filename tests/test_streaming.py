@@ -508,3 +508,42 @@ def test_no_bare_await_termination_call_sites():
                         continue
                     bare.append(f"{path}:{i}: {s}")
     assert not bare, "bare awaitTermination call sites:\n" + "\n".join(bare)
+
+
+def test_orders_stream_join_ivm_equals_direct_join(spark):
+    """The r12 streaming CDC join-view maintenance: three micro-batches
+    of delete+insert events applied through the partition-pruned
+    on-disk apply must reproduce the direct post-change join exactly
+    (the no-stream ground truth)."""
+    from pyspark.sql import functions as F
+
+    from data_migration_tool_spark.plans.streamq import (
+        orders_stream_join_ivm,
+    )
+    from data_migration_tool_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in orders_stream_join_ivm(spark, sf).collect()}
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    ).filter(F.col("orderkey") % 10 != 3)
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev"),
+    )
+    want = {
+        tuple(r)
+        for r in o.join(li, ["orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
