@@ -305,6 +305,10 @@ def apply_view_changes_pruned(
     them). Touched buckets absent from the new slice are therefore
     deleted explicitly through the Hadoop FS, which also keeps the
     "retract a whole day → drop that day's partition" case O(1).
+    Bucket values must be partition-path-safe scalars (ints, dates,
+    plain identifiers): the emptied-dir path is built as
+    ``{bucket_col}={value}`` without Hadoop's percent-escaping, which
+    a key-DERIVED bucket satisfies by construction.
     """
     deltas = [d for d in (retract, inserts) if d is not None]
     if not deltas:
