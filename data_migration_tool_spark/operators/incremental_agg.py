@@ -263,6 +263,7 @@ def apply_view_changes_pruned(
     retract: DataFrame | None = None,
     inserts: DataFrame | None = None,
     bucket_col: str = "dmt_bucket",
+    batch_marker: str | None = None,
 ) -> list:
     """Apply Δ⁻ retractions and Δ⁺ inserts to an ON-DISK view stored
     partitioned by a key-derived bucket column, rewriting ONLY the
@@ -309,9 +310,39 @@ def apply_view_changes_pruned(
     plain identifiers): the emptied-dir path is built as
     ``{bucket_col}={value}`` without Hadoop's percent-escaping, which
     a key-DERIVED bucket satisfies by construction.
+
+    Replay protection: pass ``batch_marker`` (any stable id — a
+    foreachBatch ``batch_id``) and the apply becomes SKIP-IF-SEEN: a
+    marker file under ``<view_path>/_applied/`` is checked before any
+    work and written after the overwrite commits, so a re-delivered
+    batch (the at-least-once foreachBatch contract) is a no-op instead
+    of double-appending its inserts. The residual window is a crash
+    BETWEEN the overwrite and the marker write — the same window
+    Spark's own foreachBatch idempotency guidance leaves; closing it
+    entirely needs an append-only per-batch layout
+    (``streaming/txn_sink.py``), which trades away the in-place
+    partitioned view this operator exists to maintain.
     """
+    marker = None
+    if batch_marker is not None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{view_path}/_applied/{batch_marker}"
+        )
+        if marker.getFileSystem(hconf).exists(marker):
+            return []
+
+    def _mark() -> None:
+        if marker is not None:
+            fs = marker.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            fs.create(marker, True).close()
+
     deltas = [d for d in (retract, inserts) if d is not None]
     if not deltas:
+        _mark()
         return []
     from functools import reduce as _reduce
 
@@ -321,6 +352,7 @@ def apply_view_changes_pruned(
     ).distinct()
     touched = sorted(r[0] for r in touched_df.collect())
     if not touched:
+        _mark()
         return []
     cur = spark.read.parquet(view_path).filter(
         F.col(bucket_col).isin(touched)
@@ -353,4 +385,5 @@ def apply_view_changes_pruned(
                 f"{view_path}/{bucket_col}={b}"
             )
             p.getFileSystem(hconf).delete(p, True)
+    _mark()
     return touched

@@ -878,11 +878,11 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the direct post-change join — a row retracted twice,
     dropped, or double-inserted hash-fails.
 
-    Exactly-once caveat (documented contract): a re-delivered batch
-    re-appends its inserts; production pairs this with the per-batch
-    marker protocol of ``streaming/txn_sink.py`` (the
-    media_stream_decode sink). The gate drains each batch exactly once
-    by construction (AvailableNow over three landed files)."""
+    Replay safety: every trigger passes ``batch_marker=f"batch-{id}"``,
+    so the apply is SKIP-IF-SEEN — a re-delivered batch (foreachBatch's
+    at-least-once contract) is a no-op instead of double-appending its
+    inserts (marker protocol in ``apply_view_changes_pruned``;
+    replay pytest: test_apply_view_changes_pruned_marker_replay)."""
     from data_migration_tool_spark.operators.incremental_agg import (
         apply_view_changes_pruned,
     )
@@ -947,7 +947,7 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         apply_view_changes_pruned(
             spark, view_path, retract=retract, inserts=inserts,
-            bucket_col="pb",
+            bucket_col="pb", batch_marker=f"batch-{_bid}",
         )
 
     schema = "orderkey long, o_orderstatus string, op string"

@@ -2851,3 +2851,51 @@ def test_fuzzy_name_pairs_guard_and_values(spark, tmp_path):
         (r.name_a, r.name_b, r.dist)
         for r in fuzzy_name_pairs(df, "nm").collect()
     ) == sorted((r.name_a, r.name_b, r.dist) for r in out)
+
+
+def test_apply_view_changes_pruned_marker_replay(spark, tmp_path):
+    """Replay protection for the pruned apply: with a batch_marker the
+    second delivery of the same batch is a no-op (returns [] and
+    leaves the view unchanged), a DIFFERENT marker applies normally,
+    and a no-delta batch still records its marker."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    view = spark.createDataFrame(
+        [(k, f"v{k}", k % 3) for k in range(9)],
+        "k long, val string, pb long",
+    )
+    path = str(tmp_path / "view")
+    view.write.partitionBy("pb").parquet(path)
+
+    ins = spark.createDataFrame([(100, "new", 1)], "k long, val string, pb long")
+    assert apply_view_changes_pruned(
+        spark, path, inserts=ins, bucket_col="pb", batch_marker="b0"
+    ) == [1]
+    after_first = spark.read.parquet(path).collect()
+
+    # same marker redelivered → no-op
+    assert apply_view_changes_pruned(
+        spark, path, inserts=ins, bucket_col="pb", batch_marker="b0"
+    ) == []
+    key = lambda r: (r["k"], r["val"], r["pb"])  # noqa: E731
+    assert Counter(map(key, spark.read.parquet(path).collect())) == Counter(
+        map(key, after_first)
+    )
+
+    # a different marker applies
+    ins2 = spark.createDataFrame([(101, "new2", 2)], "k long, val string, pb long")
+    assert apply_view_changes_pruned(
+        spark, path, inserts=ins2, bucket_col="pb", batch_marker="b1"
+    ) == [2]
+
+    # empty batch still marks (replay of it stays a no-op)
+    assert apply_view_changes_pruned(
+        spark, path, bucket_col="pb", batch_marker="b2"
+    ) == []
+    import os
+
+    assert os.path.exists(os.path.join(path, "_applied", "b2"))
