@@ -702,6 +702,18 @@ _DEFS: list[QueryDef] = [
         ("streaming", "incremental", "join", "ivm", "pruned"),
     ),
     QueryDef(
+        # r12: the aggregate complement — streaming CDC maintenance of
+        # a non-invertible rollup (retract_partials + merge_partials
+        # per trigger, versioned key-grain state) composed with the
+        # pruned row-table apply; oracle = direct post-change rollup
+        # (same final world as orders_rollup_minmax_retract, so the
+        # same SQL gates both — variance included)
+        "orders_stream_rollup_ivm",
+        SQ.orders_stream_rollup_ivm,
+        V.ORDERS_MINMAX_RETRACT_SQL,
+        ("streaming", "incremental", "agg", "ivm", "retract"),
+    ),
+    QueryDef(
         "embedding_pq_codes",
         VQ.embedding_pq_codes,
         VQ.EMB_PQ_SQL,
@@ -989,6 +1001,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: r12-new pending leads --
     "orders_join_ivm_retract_pruned",
     "orders_stream_join_ivm",
+    "orders_stream_rollup_ivm",
     # -- latest official row r8 (all 41 owed, r11's deferred cohort) --
     "doc_simhash",
     "doc_source_cap",
@@ -1031,17 +1044,16 @@ _PRIORITY: tuple[str, ...] = (
     "transfer_log_jobwise_stats",
     "user_purchase_funnel",
     "user_sessions",
-    # -- latest official row r9: first 7 sorted (doc_containment_pairs
-    # and doc_chunk_overlap yielded the youngest fill seats to the two
-    # r12-new pending queries; they re-seat in r13 with the other 41
-    # r9-row queries) --
+    # -- latest official row r9: first 6 sorted (doc_containment_pairs,
+    # doc_chunk_overlap and doc_bpe_token_counts yielded the youngest
+    # fill seats to the three r12-new pending queries; they re-seat in
+    # r13 with the other 41 r9-row queries) --
     "bpe_merges_train",
     "corpus_bigram_topk",
     "corpus_vocab_growth",
     "customer_order_chains_recursive",
     "customer_rolling_30d_spend",
     "doc_bpe_encoded_lengths",
-    "doc_bpe_token_counts",
 )
 
 

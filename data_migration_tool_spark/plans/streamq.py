@@ -990,3 +990,133 @@ WHERE o_orderkey % 10 <> 3
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC maintenance of a materialized ROLLUP with
+    non-invertible aggregates (r12 — the aggregate complement of
+    ``orders_stream_join_ivm``, composing the whole IVM family in its
+    production shape): a (status, priority) price rollup's partial
+    state AND its underlying on-disk row table are both maintained
+    from one foreachBatch stream of orders CDC events — the same three
+    real micro-batches (delete %30 ∈ {3,13,23} / insert %30 ∈
+    {0,10,20}).
+
+    Per trigger, in replay-safe order:
+
+    1. state step (skip if this batch's state version exists):
+       ``retract_partials`` subtracts the deletes' partials exactly
+       (count/Σx/Σx²) and lazily recomputes min/max only for
+       extreme-touched groups against the PRE-apply row table, then
+       ``merge_partials`` folds in the inserts' partials; the new
+       state lands as an immutable per-batch VERSION
+       (``state/v{batch}``) — key-grain, tiny.
+    2. row step (skip-if-seen batch marker): the CDC applies to the
+       bucketed row table through ``apply_view_changes_pruned`` so
+       the next trigger's recompute reads a current base.
+
+    Versioned state + marker-gated row apply make a re-delivered
+    batch a no-op in both steps (each step's artifact existence IS
+    its marker); the residual crash window is between a step's write
+    and the next step, same class as foreachBatch's own guidance.
+
+    Cost per trigger: O(Δ + touched-group rows) state maintenance +
+    O(touched partitions) row apply — the rollup is never recomputed
+    from scratch and the row table is never rewritten whole. The
+    oracle aggregates the direct post-change table (variance
+    included), so a double-retract, missed extreme recompute, or
+    replayed insert hash-fails."""
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    pb = (F.col("o_orderkey") % 20).alias("pb")
+
+    work = tempfile.mkdtemp(prefix="dmt_srollup_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    rows_path = os.path.join(work, "rows")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    base.select(*o.columns, pb).write.partitionBy("pb").parquet(rows_path)
+    IA.partials(base, keys, "o_totalprice").write.parquet(
+        os.path.join(state_dir, "v00000")
+    )
+
+    for i, (dmod, imod) in enumerate(((3, 0), (13, 10), (23, 20))):
+        dels = base.filter(F.col("o_orderkey") % 30 == dmod).withColumn(
+            "op", F.lit("D")
+        )
+        ins = o.filter(F.col("o_orderkey") % 30 == imod).withColumn(
+            "op", F.lit("I")
+        )
+        dels.unionByName(ins).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+        part = next(
+            n
+            for n in os.listdir(os.path.join(work, f"b{i}"))
+            if n.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(work, f"b{i}", part),
+            os.path.join(landing, f"cdc_{i:02d}.parquet"),
+        )
+
+    def _latest_state() -> str:
+        return os.path.join(state_dir, sorted(os.listdir(state_dir))[-1])
+
+    def _apply(batch, bid):
+        d = batch.filter(F.col("op") == "D").drop("op")
+        i = batch.filter(F.col("op") == "I").drop("op")
+        vpath = os.path.join(state_dir, f"v{bid + 1:05d}")
+        if not os.path.exists(vpath):
+            prev = spark.read.parquet(_latest_state())
+            cur_rows = spark.read.parquet(rows_path).drop("pb")
+            new_state = IA.merge_partials(
+                [
+                    IA.retract_partials(
+                        prev, d, cur_rows, keys, "o_totalprice"
+                    ),
+                    IA.partials(i, keys, "o_totalprice"),
+                ],
+                keys,
+            ).localCheckpoint(eager=True)
+            new_state.write.parquet(vpath)
+        IA.apply_view_changes_pruned(
+            spark,
+            rows_path,
+            retract=d.select(*o.columns, pb),
+            inserts=i.select(*o.columns, pb),
+            bucket_col="pb",
+            batch_marker=f"batch-{bid}",
+        )
+
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double, op string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "orders_stream_rollup_ivm", scratch=work)
+    out = (
+        IA.finalize(spark.read.parquet(_latest_state()), keys)
+        .orderBy(*keys)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
