@@ -393,4 +393,11 @@ def triangle_count(
         F.count(F.lit(1)).alias("n_edges"),
     ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
     out = stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    # materialize the 1-row census and release the two edge-scale
+    # cached frames NOW — the pricing pass above populates both caches
+    # unconditionally, and a lazy return would park them until GC
+    # (the ADVICE-r11 leak class the containment verify also fixed)
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    und.unpersist()
     return out

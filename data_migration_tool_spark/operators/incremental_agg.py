@@ -350,13 +350,23 @@ def apply_view_changes_pruned(
         lambda a, b: a.unionByName(b),
         [d.select(bucket_col) for d in deltas],
     ).distinct()
-    touched = sorted(r[0] for r in touched_df.collect())
+    # NULL buckets (a key-derived bucket of a NULL join key) are a
+    # legitimate touched value: sort them first explicitly (None does
+    # not order against ints/strings), include them in the pruned scan
+    # via isNull, and map them to Hive's default-partition directory
+    # in the emptied-dir path below.
+    touched = sorted(
+        (r[0] for r in touched_df.collect()),
+        key=lambda v: (v is not None, v if v is not None else 0),
+    )
     if not touched:
         _mark()
         return []
-    cur = spark.read.parquet(view_path).filter(
-        F.col(bucket_col).isin(touched)
-    )
+    non_null = [v for v in touched if v is not None]
+    pred = F.col(bucket_col).isin(non_null) if non_null else F.lit(False)
+    if None in touched:
+        pred = pred | F.col(bucket_col).isNull()
+    cur = spark.read.parquet(view_path).filter(pred)
     new = cur
     if retract is not None:
         new = new.exceptAll(retract.select(*cur.columns))
@@ -381,8 +391,11 @@ def apply_view_changes_pruned(
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         for b in emptied:
+            part = (
+                "__HIVE_DEFAULT_PARTITION__" if b is None else str(b)
+            )
             p = jvm.org.apache.hadoop.fs.Path(
-                f"{view_path}/{bucket_col}={b}"
+                f"{view_path}/{bucket_col}={part}"
             )
             p.getFileSystem(hconf).delete(p, True)
     _mark()

@@ -235,11 +235,20 @@ def fuzzy_name_pairs(
     Reference basis: translation/name-mapping drift repair
     (dvt/consts — the reference validates names only by equality; this
     extends the cleaning family, SURVEY §2 extension surface)."""
-    names = df.select(F.col(name_col).alias("name")).distinct().withColumn(
-        "blk",
-        block_expr
-        if block_expr is not None
-        else F.split(F.col("name"), " ")[1],
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn(
+            "blk",
+            block_expr
+            if block_expr is not None
+            else F.split(F.col("name"), " ")[1],
+        )
+        # persisted: the guard histogram and BOTH self-join sides read
+        # this frame — without the cache the full input rescans and
+        # re-distincts once per consumer; released before returning
+        # (materialized pair result), containment-verify discipline
+        .persist()
     )
     if max_comparisons is not None:
         g = (
@@ -261,6 +270,7 @@ def fuzzy_name_pairs(
             cap = int(max_comparisons)
             why = f"max_comparisons={cap:,}"
         if implied > cap:
+            names.unpersist()
             if audit is not None:
                 from data_migration_tool_spark.audit.log import guard_event
 
@@ -286,10 +296,13 @@ def fuzzy_name_pairs(
             )
     a = names.select(F.col("name").alias("name_a"), "blk")
     b = names.select(F.col("name").alias("name_b"), "blk")
-    return (
+    out = (
         a.join(b, "blk")
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
+        .localCheckpoint(eager=True)
     )
+    names.unpersist()
+    return out

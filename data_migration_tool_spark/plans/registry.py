@@ -512,7 +512,7 @@ _DEFS: list[QueryDef] = [
     ),
     QueryDef(
         # r12: the retraction apply made partition-pruned (VERDICT r11
-        # #3) — view on disk partitioned by pb = orderkey % 30, Δ⁻
+        # #3) — view on disk partitioned by pb = orderkey % 20, Δ⁻
         # exceptAll against TOUCHED partitions only, dynamic partition
         # overwrite rewrites exactly those; the derived touched-bucket
         # count rides the output so the oracle checks the pruning set
@@ -995,8 +995,9 @@ _DEFS: list[QueryDef] = [
 # promised — no rows-only query holds a scored slot from r12 on;
 # (c) oldest-official-row-first: ALL 41 queries whose latest row is
 # r8 (the cohort the r11 window deferred, ledger-owed), then the
-# first 9 (sorted) of the 50 r9-row queries — the other 41 re-seat
-# in r13.
+# first 6 (sorted) of the 50 r9-row queries — three r9 seats yielded
+# to the r12-new pending queries, so 44 r9-row queries re-seat (owed
+# first claim) in r13.
 _PRIORITY: tuple[str, ...] = (
     # -- never-officially-checked: r12-new pending leads --
     "orders_join_ivm_retract_pruned",

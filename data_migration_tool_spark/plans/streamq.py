@@ -1068,13 +1068,23 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _latest_state() -> str:
-        return os.path.join(state_dir, sorted(os.listdir(state_dir))[-1])
+        committed = [
+            v
+            for v in sorted(os.listdir(state_dir))
+            if os.path.exists(os.path.join(state_dir, v, "_SUCCESS"))
+        ]
+        return os.path.join(state_dir, committed[-1])
 
     def _apply(batch, bid):
         d = batch.filter(F.col("op") == "D").drop("op")
         i = batch.filter(F.col("op") == "I").drop("op")
         vpath = os.path.join(state_dir, f"v{bid + 1:05d}")
-        if not os.path.exists(vpath):
+        # commit marker is parquet's own _SUCCESS, not the directory:
+        # Spark creates the dir (and partial parts) before job commit,
+        # so a crash mid-write must NOT make the redelivery skip the
+        # state step against an uncommitted version
+        if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
+            shutil.rmtree(vpath, ignore_errors=True)  # partial crash debris
             prev = spark.read.parquet(_latest_state())
             cur_rows = spark.read.parquet(rows_path).drop("pb")
             new_state = IA.merge_partials(

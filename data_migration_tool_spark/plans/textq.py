@@ -1152,15 +1152,31 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(load_table(spark, sf_dir, "part"), "p_name")
 
 
+# The r12 guard is MIRRORED (the containment-adaptive convention): in
+# the refusal regime — Σ C(block,2) > 1024·n_names — the oracle raises
+# via error() exactly where the Spark operator refuses, so the engines
+# agree (both raise) instead of error-vs-result.
 PART_NAME_FUZZY_SQL = """
 WITH names AS (
   SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
   FROM part
+),
+price AS (
+  SELECT COALESCE(SUM(b * (b - 1) / 2), 0) AS implied, SUM(b) AS n
+  FROM (SELECT COUNT(*) AS b FROM names GROUP BY blk)
+),
+chk AS (
+  SELECT CASE WHEN implied > 1024 * n
+              THEN CAST(error(
+                'fuzzy_name_pairs: blocked self-join over budget') AS INTEGER)
+              ELSE 1 END AS ok
+  FROM price
 )
 SELECT a.name AS name_a, b.name AS name_b,
        levenshtein(a.name, b.name) AS dist
 FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 4
+  AND (SELECT ok FROM chk) = 1
 """
 
 

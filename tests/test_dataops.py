@@ -2899,3 +2899,84 @@ def test_apply_view_changes_pruned_marker_replay(spark, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(path, "_applied", "b2"))
+
+
+def test_apply_view_changes_pruned_null_bucket(spark, tmp_path):
+    """NULL bucket values (a key-derived bucket of a NULL join key)
+    are first-class: touched-set collection must not TypeError on
+    None, the pruned scan must include the NULL partition, and an
+    emptied NULL partition maps to Hive's default-partition dir."""
+    import os
+    from collections import Counter
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    view = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "n1", None), (4, "n2", None)],
+        "k long, val string, pb int",
+    )
+    path = str(tmp_path / "view")
+    view.write.partitionBy("pb").parquet(path)
+    assert os.path.isdir(os.path.join(path, "pb=__HIVE_DEFAULT_PARTITION__"))
+
+    # retract one NULL-bucket row, insert into bucket 0
+    retract = spark.createDataFrame(
+        [(3, "n1", None)], "k long, val string, pb int"
+    )
+    inserts = spark.createDataFrame(
+        [(9, "c", 0)], "k long, val string, pb int"
+    )
+    touched = apply_view_changes_pruned(
+        spark, path, retract=retract, inserts=inserts, bucket_col="pb"
+    )
+    assert touched == [None, 0]
+    got = spark.read.parquet(path).collect()
+    want = view.exceptAll(retract).unionByName(inserts).collect()
+    key = lambda r: (r["k"], r["val"], r["pb"])  # noqa: E731
+    assert Counter(map(key, got)) == Counter(map(key, want))
+
+    # retract the LAST NULL-bucket row → the default-partition dir is
+    # deleted explicitly (dynamic overwrite alone would keep it)
+    rest = spark.createDataFrame(
+        [(4, "n2", None)], "k long, val string, pb int"
+    )
+    assert apply_view_changes_pruned(
+        spark, path, retract=rest, bucket_col="pb"
+    ) == [None]
+    assert not os.path.isdir(
+        os.path.join(path, "pb=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2, 9}
+
+
+def test_fuzzy_oracle_mirrors_refusal():
+    """The fuzzy-match oracle raises via error() in the same regime the
+    Spark guard refuses (Σ C(block,2) > 1024·n_names) — engines agree
+    instead of error-vs-result. 2 names sharing one block imply 1
+    comparison > 1024·2 is impossible, so force it with a tiny n and a
+    mass-shared block: 70 names, one block → C(70,2)=2415 < 71680…
+    need implied > 1024·n → block of b names: b(b-1)/2 > 1024·b →
+    b > 2049. Build 2050 names in one block via generate_series."""
+    import duckdb
+    import pytest
+
+    from data_migration_tool_spark.plans.textq import PART_NAME_FUZZY_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT 'w' || i || ' shade tail' AS p_name "
+        "FROM generate_series(1, 2051) t(i)"
+    )
+    with pytest.raises(duckdb.Error, match="over budget"):
+        con.sql(PART_NAME_FUZZY_SQL).fetchall()
+
+    # under budget the guard clause is inert
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW part AS SELECT 'w' || i || ' shade tail' AS p_name "
+        "FROM generate_series(1, 30) t(i)"
+    )
+    rows = con2.sql(PART_NAME_FUZZY_SQL).fetchall()
+    assert rows  # w1..w9 etc. are within distance 4 of each other
