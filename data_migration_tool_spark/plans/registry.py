@@ -981,80 +981,76 @@ _DEFS: list[QueryDef] = [
 ]
 
 # The official correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-12 rotation policy (see COVERAGE.md rotation
+# iteration order. Round-13 rotation policy (see COVERAGE.md rotation
 # log): (a) never-officially-checked queries lead — derived, not
 # hand-kept: tests/test_entry.py::test_official_coverage_invariant
 # computes pending = oracle-backed − union(CORRECTNESS_r*.json) and
-# fails unless every pending query holds a scored slot (this round the
-# derived pending set is EMPTY at window-build time; any r12-new
-# oracle-backed query added mid-round must be seated at the head,
-# displacing the youngest fill seats);
-# (b) embedding_pca_project's one-time rows-only seat (VERDICT r10 #6)
-# is REVOKED: its existence row landed in CORRECTNESS_r11.json, so the
-# seat returns to the hash-lane pool exactly as the r11 comment
-# promised — no rows-only query holds a scored slot from r12 on;
-# (c) oldest-official-row-first: ALL 41 queries whose latest row is
-# r8 (the cohort the r11 window deferred, ledger-owed), then the
-# first 6 (sorted) of the 50 r9-row queries — three r9 seats yielded
-# to the r12-new pending queries, so 44 r9-row queries re-seat (owed
-# first claim) in r13.
+# fails unless every pending query holds a scored slot (the derived
+# pending set is EMPTY at window-build time; any r13-new oracle-backed
+# query added mid-round must be seated at the head, displacing the
+# youngest fill seats);
+# (b) no rows-only query holds a scored slot (embedding_pca_project's
+# one-time existence seat was used and revoked in r11/r12);
+# (c) oldest-official-row-first: ALL 44 queries whose latest official
+# row is r9 (machine-checked against union(CORRECTNESS_r*.json) — the
+# cohort includes doc_containment_pairs, doc_chunk_overlap and
+# doc_bpe_token_counts, which yielded their r12 fill seats to the
+# three r12-new pending queries and are owed first claim), then the
+# first 6 (sorted) of the 50 r10-row queries as fill.
 _PRIORITY: tuple[str, ...] = (
-    # -- never-officially-checked: r12-new pending leads --
-    "orders_join_ivm_retract_pruned",
-    "orders_stream_join_ivm",
-    "orders_stream_rollup_ivm",
-    # -- latest official row r8 (all 41 owed, r11's deferred cohort) --
-    "doc_simhash",
-    "doc_source_cap",
-    "doc_split_chi2_drift",
-    "doc_token_frequencies",
-    "doc_token_stats",
-    "doc_train_val_test_split",
-    "emb_lsh_hot_bucket_dedup",
-    "emb_lsh_near_dups",
-    "embedding_cosine_stats",
-    "embedding_int8_quantize",
-    "embedding_near_dups_ivf",
-    "error_window_views",
-    "event_props_json",
-    "event_props_variant",
-    "events_hypertable_rollup",
-    "events_last_day_window",
-    "events_session_window_native",
-    "events_stream_daily_counts",
-    "events_stream_segment_revenue",
-    "events_stream_sessions",
-    "ivf_ann_multiprobe",
-    "ivf_ann_topk",
-    "ivf_trained_topk",
-    "media_feature_extract",
-    "media_frame_plan",
-    "minhash_recall_gate_sampled",
-    "next_view_after_purchase",
-    "order_line_union_counts",
-    "order_priority_buckets",
-    "order_reconciliation",
-    "orders_partition_checksums",
-    "orders_quality_expectations",
-    "orders_table_profile",
-    "orders_zorder_layout",
-    "overlapping_error_windows",
-    "referential_integrity_orphans",
-    "returnflag_pivot",
-    "sketch_distinct_users",
-    "transfer_log_jobwise_stats",
-    "user_purchase_funnel",
-    "user_sessions",
-    # -- latest official row r9: first 6 sorted (doc_containment_pairs,
-    # doc_chunk_overlap and doc_bpe_token_counts yielded the youngest
-    # fill seats to the three r12-new pending queries; they re-seat in
-    # r13 with the other 41 r9-row queries) --
-    "bpe_merges_train",
-    "corpus_bigram_topk",
-    "corpus_vocab_growth",
-    "customer_order_chains_recursive",
-    "customer_rolling_30d_spend",
-    "doc_bpe_encoded_lengths",
+    # -- latest official row r9: all 44 owed, sorted --
+    "doc_bpe_token_counts",
+    "doc_chunk_overlap",
+    "doc_containment_pairs",
+    "doc_dup_clusters_star",
+    "doc_lm_fluency",
+    "doc_repetition_scores",
+    "doc_sequence_packing",
+    "doc_shingle_novelty",
+    "doc_split_ks_drift",
+    "doc_split_tv_drift",
+    "doc_stratified_sample",
+    "doc_tfidf_topk",
+    "doc_training_shards",
+    "doc_winnow_fingerprints",
+    "dup_cluster_canonical",
+    "dvt_column_validation",
+    "dvt_custom_query_validation",
+    "dvt_labels_rollup",
+    "dvt_row_validation",
+    "dvt_schema_validation",
+    "embedding_pq_codes",
+    "events_stream_incremental_rollup",
+    "events_stream_user_quota",
+    "media_frame_luma",
+    "media_jpeg_decode",
+    "media_png_decode",
+    "media_transcode_chain",
+    "orders_incremental_agg",
+    "orders_upsert_merge",
+    "part_pagerank",
+    "pq_adc_rerank",
+    "pq_adc_topk",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "sketch_hll_daily_rollup",
+    "token_countmin_sketch",
+    # -- latest official row r10: first 6 sorted (fill seats; the
+    # remaining 44 r10-row queries head the r14 ledger) --
+    "corpus_budget_allocation",
+    "corpus_pmi_bigrams",
+    "corpus_stopword_filter",
+    "corpus_temperature_mix",
+    "customer_order_bookends",
+    "customer_retention_set_ops",
 )
 
 
