@@ -238,17 +238,31 @@ _WEDGE_ROW_BYTES = 96
 
 
 def _local_scratch_free_bytes(spark) -> int:
-    """Usable bytes on the executor-local shuffle scratch volume(s).
+    """Usable bytes of executor-local shuffle scratch, for guard pricing.
 
-    Reads the same directories Spark's DiskBlockManager writes to:
-    ``spark.local.dir`` / ``SPARK_LOCAL_DIRS`` if set, else the JVM's
-    ``java.io.tmpdir``. Multiple dirs report the MINIMUM (shuffle
-    files round-robin across them; the fullest volume is the one that
-    throws ENOSPC first). On a real cluster this is per-executor
-    scratch and the guard prices against the local view — exactly the
-    resource the write fails on."""
+    Resolution order:
+
+    1. ``spark.dmt.scratchBytesPerExecutor`` (conf) — a declared
+       per-executor scratch capacity. On a REAL cluster set this:
+       the filesystem probe below reads the DRIVER's local dirs,
+       which generally differ from the executors' volumes, so an
+       unconfigured cluster deployment could falsely refuse or
+       falsely allow (ADVICE r12). The conf short-circuits the probe
+       entirely.
+    2. Filesystem probe (local-mode-only semantics): reads the same
+       directories Spark's DiskBlockManager writes to —
+       ``spark.local.dir`` / ``SPARK_LOCAL_DIRS`` if set, else the
+       JVM's ``java.io.tmpdir``. Multiple dirs report the MINIMUM
+       (shuffle files round-robin across them; the fullest volume is
+       the one that throws ENOSPC first). In ``local[*]`` mode the
+       driver IS the executor, so this is exactly the resource the
+       shuffle write fails on.
+    """
     import os
 
+    declared = spark.conf.get("spark.dmt.scratchBytesPerExecutor", None)
+    if declared is not None:
+        return int(declared)
     jvm = spark._jvm
     dirs = (
         spark.conf.get("spark.local.dir", None)
@@ -262,6 +276,22 @@ def _local_scratch_free_bytes(spark) -> int:
         if d:
             frees.append(int(jvm.java.io.File(d).getUsableSpace()))
     return min(frees) if frees else 0
+
+
+def _exact_wedge_rows(oriented: DataFrame) -> int:
+    """Exact oriented wedge count Σ_x C(dout(x), 2), one O(E) pass.
+
+    Integer division (``div``, not float ``/``) so the sum stays
+    exact above 2^53 wedges (ADVICE r12); counts are longs, and the
+    per-node term d·(d−1) div 2 cannot overflow for any real node
+    degree."""
+    return int(
+        oriented.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("sum(d * (d - 1) div 2)").alias("w"))
+        .first()["w"]
+        or 0
+    )
 
 
 def triangle_count(
@@ -287,15 +317,29 @@ def triangle_count(
     60M edges, ≳100 GB ephemeral — the sf10 run died ENOSPC twice with
     no guard row while every other super-budget lane refuses loudly).
     With ``max_spill_bytes="auto"`` the operator prices the wedge
-    volume BEFORE launching it: one out-degree aggregate over the
-    (already persisted) oriented edges computes the exact wedge count
-    Σ_x C(dout(x), 2), converts to bytes at the measured
-    ``_WEDGE_ROW_BYTES``, and refuses loudly — with a
+    volume BEFORE launching it: first a free provable check — the
+    orientation bounds every out-degree by √(2E), so if even the
+    worst-case E·√(2E)/2 wedges fit under the cap the pricing
+    aggregate is skipped entirely (the common small-graph path; r13,
+    ADVICE r12) — else one out-degree aggregate over the (already
+    persisted) oriented edges computes the exact wedge count
+    Σ_x C(dout(x), 2) in integer arithmetic, converts to bytes at the
+    measured ``_WEDGE_ROW_BYTES``, and refuses loudly — with a
     ``dmt_guard_events`` row when ``audit`` is passed — if that
-    exceeds ``disk_headroom`` × the free space on the local shuffle
-    scratch volume. An ``int`` gives a static byte cap; ``None``
-    disables the guard. The aggregate reuses the persisted oriented
-    frame, so pricing costs one O(E) pass, never a shuffle of wedges.
+    exceeds ``disk_headroom`` × the available scratch
+    (``spark.dmt.scratchBytesPerExecutor`` if declared — set it on a
+    real cluster — else the local-volume probe). An ``int`` gives a
+    static byte cap; ``None`` disables the guard. The aggregate
+    reuses the persisted oriented frame, so pricing costs at most one
+    O(E) pass, never a shuffle of wedges.
+
+    **API note (r12 → ):** the default changed from unguarded to
+    ``max_spill_bytes="auto"`` — on a nearly-full scratch volume a
+    small job that previously ran may now refuse with a RuntimeError;
+    pass ``max_spill_bytes=None`` to restore the old behavior, or an
+    ``int`` / the conf knob to price against a declared capacity. The
+    r13 short-circuit means small graphs never even probe the volume
+    unless their worst-case wedge bound exceeds the cap.
 
     Returns one row: (n_nodes, n_edges, n_triangles) — all integers,
     so the result is exact-oracle comparable."""
@@ -332,18 +376,8 @@ def triangle_count(
         .persist()
     )
     if max_spill_bytes is not None:
-        wedge_rows = int(
-            oriented.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(
-                F.sum(
-                    F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)
-                ).alias("w")
-            )
-            .first()["w"]
-            or 0
-        )
-        implied_bytes = wedge_rows * _WEDGE_ROW_BYTES
+        import math
+
         if max_spill_bytes == "auto":
             free = _local_scratch_free_bytes(edges.sparkSession)
             cap = int(free * disk_headroom)
@@ -354,6 +388,24 @@ def triangle_count(
         else:
             cap = int(max_spill_bytes)
             why = f"max_spill_bytes={cap:,}"
+        # Provable short-circuit (ADVICE r12): degree-ordered
+        # orientation bounds every out-degree by √(2E), so the wedge
+        # count is ≤ E·√(2E)/2 WITHOUT running the pricing aggregate.
+        # If even that worst case fits under the cap, the exact count
+        # can only be smaller — skip the O(E) groupBy pass entirely
+        # (this is the common small-graph path; at bench scale it
+        # removes the guard's whole cost). Integer arithmetic
+        # throughout: isqrt+1 over-approximates √(2E) so the bound
+        # stays on the refusing side, and // keeps it exact past 2^53.
+        n_edges_early = und.count()  # materializes the reused cache
+        s = math.isqrt(2 * n_edges_early) + 1
+        bound_rows = n_edges_early * s // 2
+        if bound_rows * _WEDGE_ROW_BYTES <= cap:
+            wedge_rows = None  # provably under cap; exact count unneeded
+            implied_bytes = 0
+        else:
+            wedge_rows = _exact_wedge_rows(oriented)
+            implied_bytes = wedge_rows * _WEDGE_ROW_BYTES
         if implied_bytes > cap:
             if audit is not None:
                 from data_migration_tool_spark.audit.log import guard_event

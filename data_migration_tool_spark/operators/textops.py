@@ -213,7 +213,13 @@ def fuzzy_name_pairs(
 ) -> DataFrame:
     """Blocked fuzzy string matching at DISTINCT-name grain: pairs of
     distinct names sharing ``block_expr`` (default: the second
-    whitespace token) with Levenshtein distance ≤ ``max_dist``.
+    whitespace token, ANSI-safe) with Levenshtein distance ≤
+    ``max_dist``. Names whose block is NULL or empty — e.g.
+    single-token names under the default — are excluded from the
+    match AND the pricing on both engines (r13, ADVICE r12): there is
+    no usable blocking key for them, and the previous behavior
+    (Spark's NULL blocks dropped by the self-join but still priced;
+    DuckDB's '' blocks paired) was a latent cross-engine divergence.
 
     Cost model and guard (r12). The scan is linear in rows, but the
     match itself is Σ C(block, 2) over the name DICTIONARY — and the
@@ -235,15 +241,26 @@ def fuzzy_name_pairs(
     Reference basis: translation/name-mapping drift repair
     (dvt/consts — the reference validates names only by equality; this
     extends the cleaning family, SURVEY §2 extension surface)."""
+    if block_expr is None:
+        # ANSI-safe default: element_at behind a size guard (a bare
+        # split(...)[1] yields NULL for single-token names non-ANSI
+        # and ERRORS under ANSI mode — ADVICE r12)
+        toks = F.split(F.col("name"), " ")
+        block_expr = F.when(
+            F.size(toks) >= 2, F.element_at(toks, 2)
+        ).otherwise(F.lit(""))
     names = (
         df.select(F.col(name_col).alias("name"))
         .distinct()
-        .withColumn(
-            "blk",
-            block_expr
-            if block_expr is not None
-            else F.split(F.col("name"), " ")[1],
-        )
+        # NULL and empty blocks are normalized identically in BOTH
+        # engines and EXCLUDED from the match (ADVICE r12): a name
+        # without a usable blocking key participates in neither the
+        # join nor the pricing histogram — previously Spark's NULL
+        # blocks silently dropped rows from the non-null-safe
+        # self-join while the guard still priced their C(b,2) pairs,
+        # and the DuckDB mirror's split_part('') paired them.
+        .withColumn("blk", F.coalesce(block_expr, F.lit("")))
+        .filter(F.col("blk") != "")
         # persisted: the guard histogram and BOTH self-join sides read
         # this frame — without the cache the full input rescans and
         # re-distincts once per consumer; released before returning
@@ -255,7 +272,7 @@ def fuzzy_name_pairs(
             names.groupBy("blk")
             .agg(F.count(F.lit(1)).alias("b"))
             .agg(
-                F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("pairs"),
+                F.expr("sum(b * (b - 1) div 2)").alias("pairs"),
                 F.sum("b").alias("n"),
                 F.max("b").alias("hot"),
             )

@@ -1155,14 +1155,20 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r12 guard is MIRRORED (the containment-adaptive convention): in
 # the refusal regime — Σ C(block,2) > 1024·n_names — the oracle raises
 # via error() exactly where the Spark operator refuses, so the engines
-# agree (both raise) instead of error-vs-result.
+# agree (both raise) instead of error-vs-result. r13 (ADVICE r12):
+# NULL/empty blocks (single-token names) are excluded from the match
+# and the pricing on BOTH engines — split_part yields '' where Spark's
+# old split(...)[1] yielded NULL, a latent divergence outside TPC-H
+# data; the WHERE blk <> '' mirror matches the operator's filter.
 PART_NAME_FUZZY_SQL = """
 WITH names AS (
   SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
   FROM part
+  WHERE split_part(p_name, ' ', 2) IS NOT NULL
+    AND split_part(p_name, ' ', 2) <> ''
 ),
 price AS (
-  SELECT COALESCE(SUM(b * (b - 1) / 2), 0) AS implied, SUM(b) AS n
+  SELECT COALESCE(SUM(b * (b - 1) // 2), 0) AS implied, SUM(b) AS n
   FROM (SELECT COUNT(*) AS b FROM names GROUP BY blk)
 ),
 chk AS (

@@ -1293,6 +1293,74 @@ def test_local_scratch_free_bytes_positive(spark):
     assert _local_scratch_free_bytes(spark) > 0
 
 
+def test_triangle_guard_conf_scratch_override(spark):
+    """Pins the r13 cluster-aware pricing knob (VERDICT r12 #6): a
+    declared spark.dmt.scratchBytesPerExecutor takes precedence over
+    the driver-local filesystem probe, so the auto guard prices
+    against the declared per-executor capacity — here a tiny declared
+    scratch forces a refusal even though the real volume has room."""
+    import pytest
+
+    from data_migration_tool_spark.operators.graph import (
+        _local_scratch_free_bytes,
+        triangle_count,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    spark.conf.set("spark.dmt.scratchBytesPerExecutor", "100")
+    try:
+        assert _local_scratch_free_bytes(spark) == 100
+        with pytest.raises(RuntimeError, match="wedge exchange would spill"):
+            triangle_count(df)  # auto: cap = 0.8 × 100 B declared
+    finally:
+        spark.conf.unset("spark.dmt.scratchBytesPerExecutor")
+    # with the conf cleared, auto prices against the real volume again
+    row = triangle_count(df).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_guard_bound_short_circuit(spark, monkeypatch):
+    """Pins the r13 provable short-circuit (VERDICT r12 #5 /
+    ADVICE r12): when the worst-case wedge bound E·√(2E)/2 already
+    fits under the cap, the exact pricing aggregate must NOT run (the
+    bound proves the exact count fits too); when the bound exceeds
+    the cap, the exact pass must run and decide."""
+    import pytest
+
+    from data_migration_tool_spark.operators import graph as G
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # K4: E=6, s=isqrt(12)+1=4 → bound 12 wedges = 1152 B at 96 B/row
+
+    calls = {"n": 0}
+    real = G._exact_wedge_rows
+
+    def counting(oriented):
+        calls["n"] += 1
+        return real(oriented)
+
+    monkeypatch.setattr(G, "_exact_wedge_rows", counting)
+
+    # cap comfortably above the bound → skipped, census still exact
+    row = G.triangle_count(df, max_spill_bytes=2000).first()
+    assert calls["n"] == 0
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # cap below the bound but above the exact implied bytes (384) →
+    # the exact pass runs and ALLOWS (the bound alone would have
+    # refused — pinning that the bound is never used to refuse)
+    row = G.triangle_count(df, max_spill_bytes=500).first()
+    assert calls["n"] == 1
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # cap below the exact implied bytes → exact pass runs and refuses
+    with pytest.raises(RuntimeError, match="wedge exchange would spill"):
+        G.triangle_count(df, max_spill_bytes=300)
+    assert calls["n"] == 2
+
+
 def test_incremental_agg_state_roundtrip_equals_full_recompute(spark, tmp_path):
     """Partial states persisted to parquet, then merged with a later
     delta's partials, must equal a from-scratch aggregate — counts,
@@ -2851,6 +2919,33 @@ def test_fuzzy_name_pairs_guard_and_values(spark, tmp_path):
         (r.name_a, r.name_b, r.dist)
         for r in fuzzy_name_pairs(df, "nm").collect()
     ) == sorted((r.name_a, r.name_b, r.dist) for r in out)
+
+
+def test_fuzzy_name_pairs_single_token_names_excluded(spark):
+    """r13 (ADVICE r12): names with no usable blocking key — single
+    tokens under the default block expr — are excluded from the match
+    AND the pricing histogram, identically to the DuckDB mirror's
+    `WHERE blk <> ''`. Previously Spark's split(nm,' ')[1] yielded
+    NULL (rows silently dropped by the non-null-safe join, yet their
+    C(b,2) pairs still priced) while DuckDB's split_part yielded ''
+    and PAIRED them — a latent engine divergence."""
+    from data_migration_tool_spark.operators.textops import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "alphb"), (2, "alphc"),  # single-token trio
+         (3, "x shade y"), (4, "x shade z")],
+        "pk long, nm string",
+    )
+    out = fuzzy_name_pairs(df, "nm").collect()
+    # the single-token near-identical trio must NOT pair; the blocked
+    # two-token pair must
+    assert sorted((r.name_a, r.name_b, r.dist) for r in out) == [
+        ("x shade y", "x shade z", 1)
+    ]
+    # pricing excludes the blockless names: with only the 2-name
+    # 'shade' block, Σ C(b,2) = 1; a cap of 1 must pass even though
+    # counting the excluded trio's C(3,2)=3 would refuse
+    assert len(fuzzy_name_pairs(df, "nm", max_comparisons=1).collect()) == 1
 
 
 def test_apply_view_changes_pruned_marker_replay(spark, tmp_path):
