@@ -1018,7 +1018,24 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versioned state + marker-gated row apply make a re-delivered
     batch a no-op in both steps (each step's artifact existence IS
     its marker); the residual crash window is between a step's write
-    and the next step, same class as foreachBatch's own guidance.
+    and the next step, same class as foreachBatch's own guidance —
+    but note (ADVICE r12) the two-step plan WIDENS it relative to the
+    single-apply join query: a crash after the state version's
+    ``_SUCCESS`` but before the row apply's marker redelivers a batch
+    whose state step skips (version exists) while the row step
+    re-runs — which is exactly the intended recovery — and a crash
+    inside the row apply itself (between its dynamic overwrite and
+    its marker) double-appends that batch's inserts on redelivery,
+    the window ``apply_view_changes_pruned`` documents.
+
+    State retention (r13, VERDICT r12 #2): after each version
+    commits, ``sweep_state_versions(keep_last=2)`` deletes all but
+    the newest 2 committed versions — the state FOOTPRINT and the
+    per-trigger ``_latest_state`` directory listing are both bounded
+    at O(keep_last) instead of growing one immutable version per
+    trigger for the stream's lifetime. keep_last=2 > foreachBatch's
+    redelivery depth (1), so a replayed batch still finds its own
+    version and skips the state step after the sweep.
 
     Cost per trigger: O(Δ + touched-group rows) state maintenance +
     O(touched partitions) row apply — the rollup is never recomputed
@@ -1097,6 +1114,10 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys,
             ).localCheckpoint(eager=True)
             new_state.write.parquet(vpath)
+        # retention AFTER the new _SUCCESS lands: bounded state
+        # footprint, replay protection intact (keep_last=2 > the
+        # foreachBatch redelivery depth of 1)
+        IA.sweep_state_versions(state_dir, keep_last=2)
         IA.apply_view_changes_pruned(
             spark,
             rows_path,

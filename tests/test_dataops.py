@@ -2996,6 +2996,110 @@ def test_apply_view_changes_pruned_marker_replay(spark, tmp_path):
     assert os.path.exists(os.path.join(path, "_applied", "b2"))
 
 
+def test_apply_view_changes_pruned_refuses_to_empty_view(spark, tmp_path):
+    """r13 (ADVICE r12): a batch that would retract the view's last
+    remaining rows is refused BEFORE any deletion — an
+    all-partitions-deleted parquet dir fails schema inference on the
+    next read, so 'maintained to empty' must not be producible. The
+    view stays intact and readable, and the batch marker is NOT
+    written, so a redelivery refuses identically instead of silently
+    skipping."""
+    import os
+
+    import pytest
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    view = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)], "k long, val string, pb long"
+    )
+    path = str(tmp_path / "view")
+    view.write.partitionBy("pb").parquet(path)
+
+    # retracting EVERYTHING (both partitions) → refuse, nothing deleted
+    ret_all = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)], "k long, val string, pb long"
+    )
+    with pytest.raises(RuntimeError, match="last remaining rows"):
+        apply_view_changes_pruned(
+            spark, path, retract=ret_all, bucket_col="pb", batch_marker="kill"
+        )
+    assert not os.path.exists(os.path.join(path, "_applied", "kill"))
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2, 3]
+    # redelivery refuses identically (marker was withheld)
+    with pytest.raises(RuntimeError, match="last remaining rows"):
+        apply_view_changes_pruned(
+            spark, path, retract=ret_all, bucket_col="pb", batch_marker="kill"
+        )
+
+    # retracting ONE whole partition with a survivor left → fine
+    ret_pb1 = spark.createDataFrame([(3, "c", 1)], "k long, val string, pb long")
+    assert apply_view_changes_pruned(
+        spark, path, retract=ret_pb1, bucket_col="pb", batch_marker="ok"
+    ) == [1]
+    assert not os.path.isdir(os.path.join(path, "pb=1"))
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2]
+
+    # emptying the last partition while the same batch re-fills the
+    # view (inserts into another bucket) → allowed: survivors exist
+    # in the written frame
+    ret_pb0 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k long, val string, pb long"
+    )
+    ins_pb2 = spark.createDataFrame([(9, "z", 2)], "k long, val string, pb long")
+    assert apply_view_changes_pruned(
+        spark, path, retract=ret_pb0, inserts=ins_pb2,
+        bucket_col="pb", batch_marker="swap",
+    ) == [0, 2]
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [9]
+
+
+def test_sweep_state_versions_retention_and_replay(spark, tmp_path):
+    """r13 state-version retention (VERDICT r12 #2): keep-last-k
+    deletes only COMMITTED versions beyond the newest k, leaves
+    uncommitted crash debris to the redelivery path, bounds the
+    latest-state listing, and preserves replay protection — after the
+    sweep, the newest batches' versions still exist so their
+    _SUCCESS-existence skip check still fires."""
+    import os
+
+    import pytest
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        sweep_state_versions,
+    )
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    one = spark.createDataFrame([(1,)], "x long")
+    for i in range(4):
+        one.write.parquet(os.path.join(state_dir, f"v{i:05d}"))
+    # uncommitted crash debris: a dir WITHOUT _SUCCESS
+    os.makedirs(os.path.join(state_dir, "v00099"))
+    with open(os.path.join(state_dir, "v00099", "part-crash.parquet"), "w"):
+        pass
+
+    assert sweep_state_versions(state_dir, keep_last=2) == [
+        "v00000", "v00001"
+    ]
+    left = sorted(os.listdir(state_dir))
+    assert left == ["v00002", "v00003", "v00099"]  # debris untouched
+    # survivors stay readable; replay skip check still fires for the
+    # newest versions
+    assert spark.read.parquet(os.path.join(state_dir, "v00003")).count() == 1
+    assert os.path.exists(os.path.join(state_dir, "v00003", "_SUCCESS"))
+    assert os.path.exists(os.path.join(state_dir, "v00002", "_SUCCESS"))
+
+    # idempotent: nothing more to sweep
+    assert sweep_state_versions(state_dir, keep_last=2) == []
+
+    # retention may never delete the current version
+    with pytest.raises(ValueError, match="keep_last"):
+        sweep_state_versions(state_dir, keep_last=0)
+
+
 def test_apply_view_changes_pruned_null_bucket(spark, tmp_path):
     """NULL bucket values (a key-derived bucket of a NULL join key)
     are first-class: touched-set collection must not TypeError on
