@@ -323,3 +323,52 @@ def fuzzy_name_pairs(
     )
     names.unpersist()
     return out
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    **fuzzy_kwargs,
+) -> DataFrame:
+    """End-to-end entity resolution (r13): blocked fuzzy matching →
+    connected components → survivorship. One row per DISTINCT name:
+    (name, canonical_name, cluster_size), where canonical_name is the
+    lexicographic min of the name's fuzzy-match component and
+    cluster_size the entity's member count. Names that match nothing —
+    including names ``fuzzy_name_pairs`` excludes for lacking a
+    blocking key — resolve to themselves with cluster_size 1.
+
+    Every step is dictionary-grain (the distinct-name table, orders
+    of magnitude smaller than the rows bearing the names): the priced
+    fuzzy self-join, the min-label-propagation components (fuzzy
+    components have tiny diameter — a handful of one-shuffle rounds),
+    and two name-grain joins for survivorship and sizes. That grain
+    is what makes ER survive 100 TB of rows over a bounded name
+    vocabulary; the guard in ``fuzzy_name_pairs`` prices the one term
+    that can saturate (Σ C(block,2) over the dictionary).
+
+    Reference basis: the reference validates name equality only
+    (dvt/consts); this completes the record-linkage family its
+    name-mapping drift repair stops short of."""
+    from data_migration_tool_spark.operators.dedup import dup_clusters
+
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    pairs = fuzzy_name_pairs(df, name_col, **fuzzy_kwargs)
+    cc = dup_clusters(
+        pairs.select(
+            F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+        ),
+        id_col="name",
+    )
+    resolved = names.join(cc, "name", "left_outer").select(
+        "name",
+        F.coalesce(F.col("cluster_id"), F.col("name")).alias(
+            "canonical_name"
+        ),
+    )
+    sizes = resolved.groupBy("canonical_name").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return resolved.join(sizes, "canonical_name").select(
+        "name", "canonical_name", "cluster_size"
+    )

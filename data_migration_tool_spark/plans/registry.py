@@ -141,6 +141,12 @@ _DEFS: list[QueryDef] = [
         ("fuzzy", "text"),
     ),
     QueryDef(
+        "part_entity_resolution",
+        TQ.part_entity_resolution,
+        TQ.PART_ENTITY_RESOLUTION_SQL,
+        ("fuzzy", "text", "graph"),
+    ),
+    QueryDef(
         "user_purchase_funnel",
         WQ.user_purchase_funnel,
         WQ.USER_FUNNEL_SQL,
@@ -998,6 +1004,9 @@ _DEFS: list[QueryDef] = [
 # three r12-new pending queries and are owed first claim), then the
 # first 6 (sorted) of the 50 r10-row queries as fill.
 _PRIORITY: tuple[str, ...] = (
+    # -- never-officially-checked: r13-new pending leads (displaces
+    # the youngest r10 fill seat, per policy (a)) --
+    "part_entity_resolution",
     # -- latest official row r9: all 44 owed, sorted --
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
@@ -1043,14 +1052,15 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r10: first 6 sorted (fill seats; the
-    # remaining 44 r10-row queries head the r14 ledger) --
+    # -- latest official row r10: first 5 sorted (fill seats; the
+    # sixth, customer_retention_set_ops, yielded its seat to the
+    # r13-new part_entity_resolution and re-seats with the other 45
+    # r10-row queries heading the r14 ledger) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
     "corpus_stopword_filter",
     "corpus_temperature_mix",
     "customer_order_bookends",
-    "customer_retention_set_ops",
 )
 
 

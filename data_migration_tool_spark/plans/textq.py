@@ -1186,6 +1186,91 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION over the part-name dictionary
+    (r13): blocked fuzzy matching → connected components →
+    survivorship, the full record-linkage pipeline the reference's
+    equality-only name validation (dvt) stops short of. One row per
+    distinct name: its canonical entity representative (the
+    lexicographic min of its fuzzy-match component) and the entity's
+    member count; unmatched names — including names the matcher
+    excludes for lacking a blocking key — resolve to themselves with
+    cluster_size 1.
+
+    Composition, all at DICTIONARY grain (the name dictionary is
+    orders of magnitude smaller than the rows bearing the names —
+    the property that makes ER survive 100 TB):
+
+    1. ``operators/textops.fuzzy_name_pairs`` — blocked Levenshtein
+       pairs, Σ C(block,2) PRICED before the self-join (the guard and
+       its oracle mirror ride along unchanged);
+    2. ``operators/dedup.dup_clusters`` — min-label propagation over
+       the pair graph; fuzzy components are tiny (bounded diameter),
+       so a handful of one-shuffle rounds converge;
+    3. survivorship: left-join every distinct name against the
+       component labels, coalesce unmatched to self, one name-grain
+       groupBy for entity sizes.
+
+    The DuckDB oracle recomputes the transitive closure with a
+    recursive CTE (UNION-deduped reachability, MIN over the reachable
+    set), so a wrong component, missed singleton, or double-counted
+    member hash-fails."""
+    return TO.resolve_entities(load_table(spark, sf_dir, "part"), "p_name")
+
+
+# Same guard-mirror convention as PART_NAME_FUZZY_SQL: in the refusal
+# regime the oracle raises via error() where the Spark matcher
+# refuses. The recursive closure's label set of a name is everything
+# reachable through the (bidirected) fuzzy pairs; MIN over it is the
+# component min — exactly dup_clusters' fixpoint.
+PART_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE all_names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+blocked AS (
+  SELECT name, split_part(name, ' ', 2) AS blk
+  FROM all_names
+  WHERE split_part(name, ' ', 2) IS NOT NULL
+    AND split_part(name, ' ', 2) <> ''
+),
+price AS (
+  SELECT COALESCE(SUM(b * (b - 1) // 2), 0) AS implied, SUM(b) AS n
+  FROM (SELECT COUNT(*) AS b FROM blocked GROUP BY blk)
+),
+chk AS (
+  SELECT CASE WHEN implied > 1024 * n
+              THEN CAST(error(
+                'fuzzy_name_pairs: blocked self-join over budget') AS INTEGER)
+              ELSE 1 END AS ok
+  FROM price
+),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 4
+    AND (SELECT ok FROM chk) = 1
+),
+edges AS (
+  SELECT na AS u, nb AS v FROM pairs
+  UNION ALL
+  SELECT nb AS u, na AS v FROM pairs
+),
+reach(name, label) AS (
+  SELECT name, name FROM all_names
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.name
+),
+canon AS (
+  SELECT name, MIN(label) AS canonical_name FROM reach GROUP BY name
+),
+sizes AS (
+  SELECT canonical_name, COUNT(*) AS n FROM canon GROUP BY canonical_name
+)
+SELECT c.name, c.canonical_name, CAST(s.n AS BIGINT) AS cluster_size
+FROM canon c JOIN sizes s USING (canonical_name)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fixed-width chunking with overlap (context-window training layout)
 # ---------------------------------------------------------------------------

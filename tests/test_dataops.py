@@ -2921,6 +2921,39 @@ def test_fuzzy_name_pairs_guard_and_values(spark, tmp_path):
     ) == sorted((r.name_a, r.name_b, r.dist) for r in out)
 
 
+def test_resolve_entities_semantics(spark):
+    """r13 entity resolution: transitive chains collapse to one
+    entity under the component min, unmatched names resolve to
+    themselves, and blockless (single-token) names are singletons —
+    the edge cases TPC-H part names never exercise."""
+    from data_migration_tool_spark.operators.textops import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            # chain: aa->ab->ac (each 1 edit apart, same block)
+            (0, "aa blk x"), (1, "ab blk x"), (2, "ac blk x"),
+            # unmatched two-token name in its own block
+            (3, "zz other y"),
+            # blockless single-token name
+            (4, "solo"),
+            # duplicate rows must not double-count members
+            (5, "aa blk x"),
+        ],
+        "pk long, nm string",
+    )
+    rows = {
+        r.name: (r.canonical_name, r.cluster_size)
+        for r in resolve_entities(df, "nm").collect()
+    }
+    assert rows == {
+        "aa blk x": ("aa blk x", 3),
+        "ab blk x": ("aa blk x", 3),
+        "ac blk x": ("aa blk x", 3),
+        "zz other y": ("zz other y", 1),
+        "solo": ("solo", 1),
+    }
+
+
 def test_fuzzy_name_pairs_single_token_names_excluded(spark):
     """r13 (ADVICE r12): names with no usable blocking key — single
     tokens under the default block expr — are excluded from the match
