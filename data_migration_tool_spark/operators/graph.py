@@ -352,11 +352,15 @@ def triangle_count(
         .distinct()
         .persist()
     )
+    # node-grain and read three times (du, dv, the guard's bound
+    # aggregate, the final n_nodes count) — persisting makes the one
+    # edge-grain degree shuffle happen once
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -376,8 +380,6 @@ def triangle_count(
         .persist()
     )
     if max_spill_bytes is not None:
-        import math
-
         if max_spill_bytes == "auto":
             free = _local_scratch_free_bytes(edges.sparkSession)
             cap = int(free * disk_headroom)
@@ -388,18 +390,32 @@ def triangle_count(
         else:
             cap = int(max_spill_bytes)
             why = f"max_spill_bytes={cap:,}"
-        # Provable short-circuit (ADVICE r12): degree-ordered
-        # orientation bounds every out-degree by √(2E), so the wedge
-        # count is ≤ E·√(2E)/2 WITHOUT running the pricing aggregate.
-        # If even that worst case fits under the cap, the exact count
-        # can only be smaller — skip the O(E) groupBy pass entirely
-        # (this is the common small-graph path; at bench scale it
-        # removes the guard's whole cost). Integer arithmetic
-        # throughout: isqrt+1 over-approximates √(2E) so the bound
-        # stays on the refusing side, and // keeps it exact past 2^53.
+        # Provable short-circuit (ADVICE r12): under degree-ordered
+        # orientation, dout(x) ≤ deg(x) trivially, and dout(x) ≤
+        # #{v: (deg(v), v) ≥ (deg(x), x)} ≤ 2E/deg(x) (the handshake
+        # bound — at most 2E/d nodes can have degree ≥ d). So
+        # Σ_x C(min(deg(x), 2E div deg(x)), 2) upper-bounds the wedge
+        # count, computable from the PERSISTED node-grain degree frame
+        # the orientation needs anyway — one tiny aggregate over
+        # |nodes| rows, vs the exact pricing's edge-grain groupBy. If
+        # even this bound fits under the cap, the exact count can only
+        # be smaller and the pricing pass is skipped (the common path:
+        # for a graph with average degree d̄ the bound is ~Σ C(deg,2),
+        # within a small factor of exact, where the old coarse
+        # E·√(2E)/2 overshot by √(2E)/d̄). The bound is NEVER used to
+        # refuse — only to skip. Integer arithmetic throughout (div,
+        # not /): exact past 2^53.
         n_edges_early = und.count()  # materializes the reused cache
-        s = math.isqrt(2 * n_edges_early) + 1
-        bound_rows = n_edges_early * s // 2
+        bound_rows = int(
+            deg.agg(
+                F.expr(
+                    f"sum(least(deg, {2 * n_edges_early} div deg) "
+                    f"* (least(deg, {2 * n_edges_early} div deg) - 1) "
+                    f"div 2)"
+                ).alias("w")
+            ).first()["w"]
+            or 0
+        )
         if bound_rows * _WEDGE_ROW_BYTES <= cap:
             wedge_rows = None  # provably under cap; exact count unneeded
             implied_bytes = 0
@@ -423,6 +439,7 @@ def triangle_count(
                 )
             oriented.unpersist()
             und.unpersist()
+            deg.unpersist()
             raise RuntimeError(
                 f"triangle_count: the wedge exchange would spill "
                 f"~{implied_bytes:,} B ({wedge_rows:,} wedges × "
@@ -452,4 +469,5 @@ def triangle_count(
     out = out.localCheckpoint(eager=True)
     oriented.unpersist()
     und.unpersist()
+    deg.unpersist()
     return out
