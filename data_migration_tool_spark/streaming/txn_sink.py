@@ -104,6 +104,95 @@ def exactly_once_append(
     )
 
 
+def compact_batch_dirs(
+    spark: SparkSession,
+    target_dir: str,
+    max_files_per_batch: int = 1,
+) -> list[int]:
+    """Small-file compaction for the idempotent-append layout (r13):
+    rewrite each COMMITTED ``batch_id=N`` directory down to
+    ``max_files_per_batch`` parquet files and return the compacted
+    batch ids.
+
+    A micro-batch writes with the session's shuffle parallelism, so a
+    long-running stream accumulates O(batches × partitions) small
+    files — the classic lake small-file problem, here bounded per
+    batch directory without touching the sink's exactly-once
+    contract:
+
+    * only COMMITTED batches (marker in ``_manifest/``) are compacted
+      — an uncommitted directory belongs to the crash-replay path,
+      which will overwrite it wholesale;
+    * markers are never touched, so a replayed committed batch still
+      short-circuits after compaction (``append_batch_idempotent``
+      returns False);
+    * the ``batch_id=N`` directory name — the lineage and the
+      partition value — is preserved; only the file count inside
+      changes, and row content is byte-equal (read → coalesce →
+      rewrite of the same rows).
+
+    Crash safety: the rewrite lands in a hidden ``_compact_tmp_N``
+    dir (underscore → invisible to readers), then two renames swap it
+    in. A crash between the renames leaves the batch transiently
+    invisible; the NEXT call self-heals first (restores an orphaned
+    ``_compact_old_N`` whose live dir is missing, clears leftover tmp
+    and old dirs), so re-running the compactor after any crash
+    converges. Run it from the maintenance path (not concurrently
+    with readers that cannot tolerate a brief per-batch swap window).
+    Local targets only — the same constraint as the marker
+    optimization (``_is_local_dir``); with Delta/Iceberg, OPTIMIZE
+    replaces this."""
+    import re
+    import shutil
+
+    if not _is_local_dir(target_dir):
+        raise ValueError(
+            "compact_batch_dirs: local targets only (remote layouts "
+            "should use a table format's OPTIMIZE)"
+        )
+    root = _local_fs_path(target_dir)
+
+    # self-heal any interrupted previous compaction before new work
+    for d in sorted(os.listdir(root)):
+        m = re.fullmatch(r"_compact_old_(\d+)", d)
+        if m:
+            live = os.path.join(root, f"batch_id={m.group(1)}")
+            if os.path.exists(live):
+                shutil.rmtree(os.path.join(root, d))  # swap completed
+            else:
+                os.rename(os.path.join(root, d), live)  # crash mid-swap
+        elif re.fullmatch(r"_compact_tmp_\d+", d):
+            shutil.rmtree(os.path.join(root, d))  # incomplete rewrite
+
+    compacted: list[int] = []
+    for d in sorted(os.listdir(root)):
+        m = re.fullmatch(r"batch_id=(\d+)", d)
+        if not m:
+            continue
+        bid = int(m.group(1))
+        if not os.path.exists(os.path.join(root, "_manifest", str(bid))):
+            continue  # uncommitted: the replay path owns it
+        bdir = os.path.join(root, d)
+        n_files = sum(
+            1 for f in os.listdir(bdir) if f.endswith(".parquet")
+        )
+        if n_files <= max_files_per_batch:
+            continue
+        tmp = os.path.join(root, f"_compact_tmp_{bid}")
+        old = os.path.join(root, f"_compact_old_{bid}")
+        (
+            spark.read.parquet(bdir)
+            .coalesce(max_files_per_batch)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old)
+        compacted.append(bid)
+    return compacted
+
+
 def read_appended(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read the sink's committed output: the batch_id=N partition
     directories (parquet partition discovery picks up ``batch_id`` as

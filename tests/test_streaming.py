@@ -346,6 +346,80 @@ def test_exactly_once_append_sink_replay_safe(spark, tmp_path):
     assert read_appended(spark, target).count() == 100
 
 
+def test_compact_batch_dirs(spark, tmp_path):
+    """r13 per-batch small-file compaction: committed batch dirs are
+    rewritten to one file with byte-equal content, markers and the
+    replay short-circuit survive, uncommitted dirs are untouched, and
+    a crash between the swap renames self-heals on the next call."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_migration_tool_spark.streaming.txn_sink import (
+        append_batch_idempotent,
+        compact_batch_dirs,
+        read_appended,
+    )
+
+    target = str(tmp_path / "target")
+    rows = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "id long, v string"
+    )
+    # two committed batches, written wide (many small files each)
+    assert append_batch_idempotent(rows.repartition(8), 0, target)
+    assert append_batch_idempotent(rows.repartition(8), 1, target)
+    # one UNCOMMITTED batch dir: data landed, marker missing (crash
+    # before the marker write)
+    rows.repartition(8).write.parquet(os.path.join(target, "batch_id=2"))
+
+    before = sorted(
+        (r.id, r.v, r.batch_id) for r in read_appended(spark, target).collect()
+    )
+    n_files = lambda b: sum(  # noqa: E731
+        1
+        for f in os.listdir(os.path.join(target, f"batch_id={b}"))
+        if f.endswith(".parquet")
+    )
+    assert n_files(0) == 8 and n_files(2) == 8
+
+    assert compact_batch_dirs(spark, target) == [0, 1]
+    assert n_files(0) == 1 and n_files(1) == 1
+    assert n_files(2) == 8  # uncommitted: the replay path owns it
+    after = sorted(
+        (r.id, r.v, r.batch_id) for r in read_appended(spark, target).collect()
+    )
+    assert after == before
+    # replay of a compacted committed batch still short-circuits
+    assert append_batch_idempotent(rows, 0, target) is False
+    # idempotent: nothing left to compact
+    assert compact_batch_dirs(spark, target) == []
+
+    # crash mid-swap: live dir missing, _compact_old_ orphan present →
+    # the next call restores it before doing new work
+    os.rename(
+        os.path.join(target, "batch_id=1"),
+        os.path.join(target, "_compact_old_1"),
+    )
+    assert compact_batch_dirs(spark, target) == []
+    assert os.path.isdir(os.path.join(target, "batch_id=1"))
+    assert sorted(
+        (r.id, r.v, r.batch_id) for r in read_appended(spark, target).collect()
+    ) == before
+
+    # leftover tmp debris from an interrupted rewrite is cleared
+    shutil.copytree(
+        os.path.join(target, "batch_id=0"),
+        os.path.join(target, "_compact_tmp_0"),
+    )
+    compact_batch_dirs(spark, target)
+    assert not os.path.exists(os.path.join(target, "_compact_tmp_0"))
+
+    # remote layouts are refused loudly
+    with pytest.raises(ValueError, match="local targets only"):
+        compact_batch_dirs(spark, "s3a://bucket/sink")
+
+
 def test_txn_sink_markers_only_for_local_targets(spark, tmp_path):
     """Marker files are driver-local os calls while data goes through
     Spark writers — with an hdfs://s3a://gs:// target the two would hit
