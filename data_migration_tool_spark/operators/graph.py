@@ -317,29 +317,33 @@ def triangle_count(
     60M edges, ≳100 GB ephemeral — the sf10 run died ENOSPC twice with
     no guard row while every other super-budget lane refuses loudly).
     With ``max_spill_bytes="auto"`` the operator prices the wedge
-    volume BEFORE launching it: first a free provable check — the
-    orientation bounds every out-degree by √(2E), so if even the
-    worst-case E·√(2E)/2 wedges fit under the cap the pricing
-    aggregate is skipped entirely (the common small-graph path; r13,
-    ADVICE r12) — else one out-degree aggregate over the (already
+    volume BEFORE launching it. The cap is resolved first —
+    ``disk_headroom`` × the available scratch
+    (``spark.dmt.scratchBytesPerExecutor`` if declared — set it on a
+    real cluster — else the local-volume probe, which therefore runs
+    on every auto-guarded call; it is one conf read or one JVM
+    ``getUsableSpace`` call, not a Spark job). Then a provable check
+    from the node-grain degree frame the orientation already needs:
+    under degree-ordered orientation dout(x) ≤ min(deg(x),
+    2E div deg(x)) (the handshake bound), so
+    Σ_x C(min(deg(x), 2E div deg(x)), 2) upper-bounds the wedge count
+    via one tiny aggregate — if even that fits under the cap, the
+    exact pricing pass is skipped (the common small-graph path; r13,
+    ADVICE r12). Otherwise one out-degree aggregate over the (already
     persisted) oriented edges computes the exact wedge count
     Σ_x C(dout(x), 2) in integer arithmetic, converts to bytes at the
     measured ``_WEDGE_ROW_BYTES``, and refuses loudly — with a
     ``dmt_guard_events`` row when ``audit`` is passed — if that
-    exceeds ``disk_headroom`` × the available scratch
-    (``spark.dmt.scratchBytesPerExecutor`` if declared — set it on a
-    real cluster — else the local-volume probe). An ``int`` gives a
-    static byte cap; ``None`` disables the guard. The aggregate
-    reuses the persisted oriented frame, so pricing costs at most one
-    O(E) pass, never a shuffle of wedges.
+    exceeds the cap. The bound is never used to refuse, only to skip.
+    An ``int`` gives a static byte cap; ``None`` disables the guard.
+    The exact aggregate reuses the persisted oriented frame, so
+    pricing costs at most one O(E) pass, never a shuffle of wedges.
 
     **API note (r12 → ):** the default changed from unguarded to
     ``max_spill_bytes="auto"`` — on a nearly-full scratch volume a
     small job that previously ran may now refuse with a RuntimeError;
     pass ``max_spill_bytes=None`` to restore the old behavior, or an
-    ``int`` / the conf knob to price against a declared capacity. The
-    r13 short-circuit means small graphs never even probe the volume
-    unless their worst-case wedge bound exceeds the cap.
+    ``int`` / the conf knob to price against a declared capacity.
 
     Returns one row: (n_nodes, n_edges, n_triangles) — all integers,
     so the result is exact-oracle comparable."""

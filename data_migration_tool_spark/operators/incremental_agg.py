@@ -284,6 +284,7 @@ def sweep_state_versions(state_dir: str, keep_last: int = 3) -> list[str]:
       (the next sweep finishes the job).
     """
     import os
+    import re
     import shutil
 
     if keep_last < 1:
@@ -292,10 +293,24 @@ def sweep_state_versions(state_dir: str, keep_last: int = 3) -> list[str]:
             f"{keep_last}) — retention may never delete the current "
             f"state version"
         )
+
+    def _version_key(name: str) -> tuple[int, str]:
+        # order by the NUMERIC version, not lexicographically: with
+        # unpadded names (the v{batch} convention), "v10" sorts before
+        # "v9" as a string and the sweep would delete the just-written
+        # newest version — recomputing every later trigger from stale
+        # state (and zero-padded names hit the same cliff when the
+        # counter outgrows the pad width, e.g. v100000 < v99999)
+        m = re.search(r"(\d+)$", name)
+        return (int(m.group(1)) if m else -1, name)
+
     committed = sorted(
-        v
-        for v in os.listdir(state_dir)
-        if os.path.exists(os.path.join(state_dir, v, "_SUCCESS"))
+        (
+            v
+            for v in os.listdir(state_dir)
+            if os.path.exists(os.path.join(state_dir, v, "_SUCCESS"))
+        ),
+        key=_version_key,
     )
     doomed = committed[:-keep_last]
     for v in doomed:

@@ -352,8 +352,14 @@ def resolve_entities(
     name-mapping drift repair stops short of."""
     from data_migration_tool_spark.operators.dedup import dup_clusters
 
-    names = df.select(F.col(name_col).alias("name")).distinct()
-    pairs = fuzzy_name_pairs(df, name_col, **fuzzy_kwargs)
+    # reduce the row-grain input to the name dictionary ONCE and feed
+    # that to every downstream consumer: the matcher re-distincts a
+    # dictionary instead of re-scanning the full input, and the
+    # survivorship join reads the same cache (code-review r13 — the
+    # previous shape paid the full-input scan+distinct twice, plus
+    # twice more through the sizes self-join's two references)
+    names = df.select(F.col(name_col).alias("name")).distinct().persist()
+    pairs = fuzzy_name_pairs(names, "name", **fuzzy_kwargs)
     cc = dup_clusters(
         pairs.select(
             F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
@@ -369,6 +375,14 @@ def resolve_entities(
     sizes = resolved.groupBy("canonical_name").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return resolved.join(sizes, "canonical_name").select(
-        "name", "canonical_name", "cluster_size"
+    # materialized return (the fuzzy_name_pairs convention): resolved
+    # feeds both sides of the sizes join, so a lazy return would
+    # re-evaluate the name-grain plan per reference — and the names
+    # cache must not outlive the call
+    out = (
+        resolved.join(sizes, "canonical_name")
+        .select("name", "canonical_name", "cluster_size")
+        .localCheckpoint(eager=True)
     )
+    names.unpersist()
+    return out

@@ -1085,11 +1085,18 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _latest_state() -> str:
-        committed = [
-            v
-            for v in sorted(os.listdir(state_dir))
-            if os.path.exists(os.path.join(state_dir, v, "_SUCCESS"))
-        ]
+        # numeric order, not lexicographic: the zero-padded v{bid:05d}
+        # names sort correctly as strings only until the counter
+        # outgrows the pad width (v100000 < v99999 as strings) — same
+        # ordering contract as sweep_state_versions
+        committed = sorted(
+            (
+                v
+                for v in os.listdir(state_dir)
+                if os.path.exists(os.path.join(state_dir, v, "_SUCCESS"))
+            ),
+            key=lambda n: int(n.lstrip("v")),
+        )
         return os.path.join(state_dir, committed[-1])
 
     def _apply(batch, bid):

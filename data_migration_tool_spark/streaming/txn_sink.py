@@ -132,16 +132,22 @@ def compact_batch_dirs(
       rewrite of the same rows).
 
     Crash safety: the rewrite lands in a hidden ``_compact_tmp_N``
-    dir (underscore → invisible to readers), then two renames swap it
-    in. A crash between the renames leaves the batch transiently
-    invisible; the NEXT call self-heals first (restores an orphaned
-    ``_compact_old_N`` whose live dir is missing, clears leftover tmp
-    and old dirs), so re-running the compactor after any crash
-    converges. Run it from the maintenance path (not concurrently
-    with readers that cannot tolerate a brief per-batch swap window).
-    Local targets only — the same constraint as the marker
-    optimization (``_is_local_dir``); with Delta/Iceberg, OPTIMIZE
-    replaces this."""
+    dir (underscore → invisible to readers); the batch's MARKER is
+    then removed, two renames swap the new dir in, and the marker is
+    rewritten. Removing the marker for the swap window preserves the
+    sink's core contract — correctness never depends on the marker —
+    through a crash mid-swap: the batch's directory may be missing,
+    but its marker is too, so a stream replay of the batch rewrites
+    the directory wholesale (the idempotent-overwrite path), and the
+    NEXT compactor call also self-heals first (restores an orphaned
+    ``_compact_old_N`` whose live dir is missing, re-creates the
+    marker once a live dir exists, clears leftover tmp dirs) — two
+    independent recovery paths instead of a compactor-only one. Run
+    it from the maintenance path (not concurrently with readers that
+    cannot tolerate a brief per-batch swap window). Local targets
+    only — the same constraint as the marker optimization
+    (``_is_local_dir``); with Delta/Iceberg, OPTIMIZE replaces
+    this."""
     import re
     import shutil
 
@@ -152,15 +158,28 @@ def compact_batch_dirs(
         )
     root = _local_fs_path(target_dir)
 
+    def _write_marker(bid: int) -> None:
+        marker_dir = os.path.join(root, "_manifest")
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = os.path.join(marker_dir, f"{bid}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.replace(tmp, os.path.join(marker_dir, str(bid)))
+
     # self-heal any interrupted previous compaction before new work
     for d in sorted(os.listdir(root)):
         m = re.fullmatch(r"_compact_old_(\d+)", d)
         if m:
-            live = os.path.join(root, f"batch_id={m.group(1)}")
+            bid = int(m.group(1))
+            live = os.path.join(root, f"batch_id={bid}")
             if os.path.exists(live):
                 shutil.rmtree(os.path.join(root, d))  # swap completed
             else:
                 os.rename(os.path.join(root, d), live)  # crash mid-swap
+            # the marker comes off for the swap window; once a live
+            # dir is (back) in place, restore committed status so the
+            # replay short-circuit works again
+            _write_marker(bid)
         elif re.fullmatch(r"_compact_tmp_\d+", d):
             shutil.rmtree(os.path.join(root, d))  # incomplete rewrite
 
@@ -186,8 +205,15 @@ def compact_batch_dirs(
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # marker OFF for the swap window: if we crash between the
+        # renames, the batch's replay sees no marker and rewrites the
+        # directory wholesale — the sink's own idempotent-overwrite
+        # recovery — instead of short-circuiting on a marker whose
+        # data directory is transiently missing
+        os.remove(os.path.join(root, "_manifest", str(bid)))
         os.rename(bdir, old)
         os.rename(tmp, bdir)
+        _write_marker(bid)
         shutil.rmtree(old)
         compacted.append(bid)
     return compacted

@@ -3132,6 +3132,17 @@ def test_sweep_state_versions_retention_and_replay(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         sweep_state_versions(state_dir, keep_last=0)
 
+    # NUMERIC order, not lexicographic (code-review r13): with
+    # unpadded v{batch} names, "v10" < "v9" as strings — a string
+    # sort would sweep the just-committed newest version and the
+    # stream would recompute every later trigger from stale state
+    unpadded = str(tmp_path / "unpadded")
+    os.makedirs(unpadded)
+    for i in (8, 9, 10, 11):
+        one.write.parquet(os.path.join(unpadded, f"v{i}"))
+    assert sweep_state_versions(unpadded, keep_last=2) == ["v8", "v9"]
+    assert sorted(os.listdir(unpadded)) == ["v10", "v11"]
+
 
 def test_apply_view_changes_pruned_null_bucket(spark, tmp_path):
     """NULL bucket values (a key-derived bucket of a NULL join key)

@@ -390,19 +390,31 @@ def test_compact_batch_dirs(spark, tmp_path):
         (r.id, r.v, r.batch_id) for r in read_appended(spark, target).collect()
     )
     assert after == before
+    # markers survive the swap protocol (off during, rewritten after)
+    assert os.path.exists(os.path.join(target, "_manifest", "0"))
+    assert os.path.exists(os.path.join(target, "_manifest", "1"))
     # replay of a compacted committed batch still short-circuits
     assert append_batch_idempotent(rows, 0, target) is False
     # idempotent: nothing left to compact
     assert compact_batch_dirs(spark, target) == []
 
-    # crash mid-swap: live dir missing, _compact_old_ orphan present →
-    # the next call restores it before doing new work
+    # crash mid-swap (code-review r13 protocol: the marker is OFF in
+    # that window, so BOTH recovery paths work): live dir missing,
+    # marker missing, _compact_old_ orphan present
     os.rename(
         os.path.join(target, "batch_id=1"),
         os.path.join(target, "_compact_old_1"),
     )
+    os.remove(os.path.join(target, "_manifest", "1"))
+    # recovery path A — a stream replay of the batch rewrites its
+    # directory wholesale (no marker → no short-circuit); emulate it
+    # being possible by checking the marker really is gone
+    assert not os.path.exists(os.path.join(target, "_manifest", "1"))
+    # recovery path B — the next compactor call restores the dir AND
+    # re-creates the marker before doing new work
     assert compact_batch_dirs(spark, target) == []
     assert os.path.isdir(os.path.join(target, "batch_id=1"))
+    assert os.path.exists(os.path.join(target, "_manifest", "1"))
     assert sorted(
         (r.id, r.v, r.batch_id) for r in read_appended(spark, target).collect()
     ) == before
