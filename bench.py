@@ -115,17 +115,52 @@ def resolve(
     return timings, sorted(suspect)
 
 
+STEAL_PCT_CEILING = 2.0  # hypervisor steal above this labels the record
+
+
+def read_cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat
+    cpu line — (0, 0) when unreadable (non-Linux, containers that mask
+    procfs), which downstream treats as 'no steal signal'."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0, 0
+
+
+def steal_pct(start: tuple[int, int], end: tuple[int, int]) -> float | None:
+    """Percent of the run's CPU time stolen by the hypervisor, from
+    two ``read_cpu_stat`` samples; None when the signal is absent or
+    the window is degenerate. This is the r13 complement to the two
+    canary detectors: an evening of noisy-neighbor steal inflated run
+    totals 22% while every canary median stayed INSIDE the idle band
+    (0.34-0.37 vs ceiling 0.40) — the canary is throughput-shaped and
+    barely feels steal that job-scheduling-bound queries pay in
+    full."""
+    (s0, t0), (s1, t1) = start, end
+    if t1 <= t0:
+        return None
+    return round(100.0 * (s1 - s0) / (t1 - t0), 2)
+
+
 def build_payload(
     samples: Samples,
     canary: list[float],
     errors: dict[str, str],
     sf: float,
     idle_floor: float = IDLE_FLOOR,
+    cpu_window: tuple[tuple[int, int], tuple[int, int]] | None = None,
 ) -> str:
     """The artifact line. Shape contract (pytest-pinned): always
     ``metric/value/unit/queries/sf/canary``; ``suspect`` present IFF
     non-empty (downstream readers — tools/plan_report.py, the round
-    ledger — key on its presence); ``errors`` present iff non-empty."""
+    ledger — key on its presence); ``errors`` present iff non-empty;
+    ``steal_pct`` present iff a CPU window was sampled and readable,
+    with ``steal_inflated`` set past STEAL_PCT_CEILING."""
     timings, suspect = resolve(samples, canary, idle_floor)
     total = round(sum(v for v in timings.values() if v is not None), 3)
     body = {
@@ -149,6 +184,12 @@ def build_payload(
     }
     if ambient_inflated(canary):
         body["ambient_inflated"] = True
+    if cpu_window is not None:
+        sp = steal_pct(*cpu_window)
+        if sp is not None:
+            body["steal_pct"] = sp
+            if sp > STEAL_PCT_CEILING:
+                body["steal_inflated"] = True
     if suspect:
         body["suspect"] = suspect
     if errors:
@@ -197,6 +238,7 @@ def main() -> None:
 
     samples: Samples = {}
     errors: dict[str, str] = {}
+    cpu0 = read_cpu_stat()  # steal baseline: measurement window opens
     canary: list[float] = []
 
     def _canary_sample() -> None:
@@ -250,7 +292,13 @@ def main() -> None:
             # not their plan (observed 3-4× inflation).
             gc.collect()
             with open(sidecar, "w") as fh:
-                fh.write(build_payload(samples, canary, errors, sf) + "\n")
+                fh.write(
+                    build_payload(
+                        samples, canary, errors, sf,
+                        cpu_window=(cpu0, read_cpu_stat()),
+                    )
+                    + "\n"
+                )
             since_canary += 1
             if since_canary >= CANARY_EVERY:
                 _canary_sample()
@@ -277,7 +325,9 @@ def main() -> None:
             break
         _run_pass(suspect)
 
-    payload = build_payload(samples, canary, errors, sf)
+    payload = build_payload(
+        samples, canary, errors, sf, cpu_window=(cpu0, read_cpu_stat())
+    )
     with open(sidecar, "w") as fh:
         fh.write(payload + "\n")
     # Surface any surviving suspects LOUDLY on stderr (the artifact

@@ -163,3 +163,50 @@ def test_ambient_inflated_flag():
 
     # empty canary → undecidable, not flagged
     assert not bench.ambient_inflated([])
+
+
+def test_steal_pct_detector():
+    """r13 third contention signal: hypervisor steal sampled from
+    /proc/stat around the measurement window. Motivation: an evening
+    of noisy-neighbor steal inflated run totals 22% while every canary
+    median stayed INSIDE the idle band (0.34-0.37 vs ceiling 0.40) —
+    the throughput-shaped canary barely feels steal that
+    job-scheduling-bound queries pay in full."""
+    # 3 steal jiffies over a 100-jiffy window = 3%
+    assert bench.steal_pct((10, 1000), (13, 1100)) == 3.0
+    # degenerate / absent signal → None, and the payload omits the key
+    assert bench.steal_pct((0, 0), (0, 0)) is None
+    payload = json.loads(
+        bench.build_payload(
+            {"q": [(1.0, 0)]}, [0.3], {}, 0.1, cpu_window=((0, 0), (0, 0))
+        )
+    )
+    assert "steal_pct" not in payload and "steal_inflated" not in payload
+
+    # under the ceiling: recorded, not flagged
+    payload = json.loads(
+        bench.build_payload(
+            {"q": [(1.0, 0)]}, [0.3], {}, 0.1,
+            cpu_window=((0, 1000), (10, 2000)),
+        )
+    )
+    assert payload["steal_pct"] == 1.0
+    assert "steal_inflated" not in payload
+
+    # past the 2% ceiling: recorded AND flagged
+    payload = json.loads(
+        bench.build_payload(
+            {"q": [(1.0, 0)]}, [0.3], {}, 0.1,
+            cpu_window=((0, 1000), (50, 2000)),
+        )
+    )
+    assert payload["steal_pct"] == 5.0
+    assert payload["steal_inflated"] is True
+
+    # no window passed (legacy callers): payload shape unchanged
+    payload = json.loads(bench.build_payload({"q": [(1.0, 0)]}, [0.3], {}, 0.1))
+    assert "steal_pct" not in payload
+
+    # the live reader returns a sane pair on this box
+    steal, total = bench.read_cpu_stat()
+    assert total > 0 and steal >= 0
