@@ -858,6 +858,12 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "containment", "guard", "adaptive"),
     ),
     QueryDef(
+        "masked_nation_join_integrity",
+        R.masked_nation_join_integrity,
+        R.MASKED_NATION_JOIN_SQL,
+        ("masking", "validation", "privacy"),
+    ),
+    QueryDef(
         "part_pagerank",
         R.part_pagerank,
         R.PART_PAGERANK_SQL,  # exact fixed-point iteration — hash-checkable
@@ -1004,9 +1010,10 @@ _DEFS: list[QueryDef] = [
 # three r12-new pending queries and are owed first claim), then the
 # first 6 (sorted) of the 50 r10-row queries as fill.
 _PRIORITY: tuple[str, ...] = (
-    # -- never-officially-checked: r13-new pending leads (displaces
-    # the youngest r10 fill seat, per policy (a)) --
+    # -- never-officially-checked: r13-new pending leads (displace
+    # the youngest r10 fill seats, per policy (a)) --
     "part_entity_resolution",
+    "masked_nation_join_integrity",
     # -- latest official row r9: all 44 owed, sorted --
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
@@ -1052,15 +1059,16 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r10: first 5 sorted (fill seats; the
-    # sixth, customer_retention_set_ops, yielded its seat to the
-    # r13-new part_entity_resolution and re-seats with the other 45
-    # r10-row queries heading the r14 ledger) --
+    # -- latest official row r10: first 4 sorted (fill seats; the
+    # fifth and sixth, customer_order_bookends and
+    # customer_retention_set_ops, yielded their seats to the r13-new
+    # part_entity_resolution and masked_nation_join_integrity and
+    # re-seat with the other 46 r10-row queries heading the r14
+    # ledger) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
     "corpus_stopword_filter",
     "corpus_temperature_mix",
-    "customer_order_bookends",
 )
 
 

@@ -1419,3 +1419,69 @@ LATERAL (
   LIMIT 2
 ) o
 """
+
+
+def masked_nation_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization end-to-end (r13,
+    operators/masking.py): customer and supplier nation keys are
+    independently masked with the same salt, then the two masked
+    frames are aligned BY TOKEN — proving that equality semantics
+    (joins, group-bys, referential checks) survive masking, which is
+    the property that lets a migration stage pseudonymized data and
+    still run its validation suite against it. Map-only masking (zero
+    shuffles added — the token rides the scan); one groupBy per side
+    at nation grain; full-outer token join so a side-only token (a
+    referential break) would surface as a 0-count row. The DuckDB
+    oracle recomputes every md5 token independently — a canonical-form
+    or NULL-handling divergence between engines hash-fails."""
+    from data_migration_tool_spark.operators.masking import mask_columns
+
+    salt = "dmt-mask-v1"
+    c = mask_columns(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        ),
+        ["c_nationkey"],
+        salt,
+    )
+    s = mask_columns(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        ),
+        ["s_nationkey"],
+        salt,
+    )
+    cn = c.groupBy(F.col("c_nationkey").alias("masked_nation")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("masked_nation")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "masked_nation", "full_outer")
+        .select(
+            "masked_nation",
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+MASKED_NATION_JOIN_SQL = """
+WITH cn AS (
+  SELECT md5('dmt-mask-v1:' || CAST(c_nationkey AS VARCHAR)) AS masked_nation,
+         COUNT(*) AS n_customers
+  FROM customer
+  GROUP BY 1
+),
+sn AS (
+  SELECT md5('dmt-mask-v1:' || CAST(s_nationkey AS VARCHAR)) AS masked_nation,
+         COUNT(*) AS n_suppliers
+  FROM supplier
+  GROUP BY 1
+)
+SELECT masked_nation,
+       CAST(COALESCE(cn.n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(sn.n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM cn FULL OUTER JOIN sn USING (masked_nation)
+"""

@@ -2921,6 +2921,49 @@ def test_fuzzy_name_pairs_guard_and_values(spark, tmp_path):
     ) == sorted((r.name_a, r.name_b, r.dist) for r in out)
 
 
+def test_mask_columns_semantics(spark):
+    """r13 deterministic pseudonymization: tokens are stable per
+    (salt, value) so equality joins survive masking; NULL masks to
+    NULL (outer-join semantics preserved, no invented values); a salt
+    rotation unlinks two exports; numerics canonicalize through the
+    string cast; unknown columns are refused loudly."""
+    import pytest
+
+    from data_migration_tool_spark.operators.masking import mask_columns
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "pk long, k long"
+    )
+    b = spark.createDataFrame(
+        [(100, 10), (101, 10), (102, 30)], "fk long, k long"
+    )
+    ma = mask_columns(a, ["k"], "s1")
+    mb = mask_columns(b, ["k"], "s1")
+    # joinability: the masked equi-join matches exactly the raw one
+    raw = sorted(
+        (r.pk, r.fk) for r in a.join(b, "k").select("pk", "fk").collect()
+    )
+    masked = sorted(
+        (r.pk, r.fk) for r in ma.join(mb, "k").select("pk", "fk").collect()
+    )
+    assert masked == raw == [(1, 100), (1, 101)]
+    # NULL preserved, everything else tokenized to 32-hex strings
+    rows = {r.pk: r.k for r in ma.collect()}
+    assert rows[3] is None
+    assert all(
+        v is None or (len(v) == 32 and set(v) <= set("0123456789abcdef"))
+        for v in rows.values()
+    )
+    # tokens are not the raw values, and a salt rotation unlinks
+    assert rows[1] != "10"
+    rot = {r.pk: r.k for r in mask_columns(a, ["k"], "s2").collect()}
+    assert rot[1] != rows[1]
+    # deterministic: same salt, same value, different frame → same token
+    assert {r.fk: r.k for r in mb.collect()}[100] == rows[1]
+    with pytest.raises(ValueError, match="not in frame"):
+        mask_columns(a, ["nope"], "s1")
+
+
 def test_resolve_entities_semantics(spark):
     """r13 entity resolution: transitive chains collapse to one
     entity under the component min, unmatched names resolve to
