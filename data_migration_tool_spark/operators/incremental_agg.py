@@ -318,6 +318,70 @@ def sweep_state_versions(state_dir: str, keep_last: int = 3) -> list[str]:
     return doomed
 
 
+def sweep_applied_markers(
+    spark, view_path: str, keep_last: int = 3
+) -> list[str]:
+    """Keep-last-k retention for the ``_applied/`` replay markers that
+    ``apply_view_changes_pruned`` writes — the marker-side twin of
+    ``sweep_state_versions`` (r13: the state versions got retention,
+    but a months-long stream still lands one marker file per trigger
+    forever, and the directory listing a filesystem must maintain for
+    ``_applied/`` grows without bound).
+
+    Same safety argument as the state sweep, because the marker's only
+    job is replay protection: a re-delivered batch must still FIND its
+    own marker, and foreachBatch's redelivery depth is 1 (only the
+    failed trigger re-runs), so any ``keep_last`` > 1 keeps the skip
+    behavior intact — a marker old enough to be swept belongs to a
+    batch the checkpoint has durably committed past, which can never be
+    re-delivered. Sweeping therefore changes no observable behavior on
+    the non-crash path; the conservative default matches
+    ``sweep_state_versions``. Ordering is by the NUMERIC tail of the
+    marker name (the ``batch-{id}`` convention), for the same
+    v10-sorts-before-v9 reason documented there.
+
+    Goes through the Hadoop FileSystem (not ``os``) because markers
+    are created via the Hadoop ``Path`` API and the view may live on
+    any Hadoop-supported store. Returns the swept marker names
+    (oldest first); a view with no ``_applied/`` dir is a no-op.
+    """
+    import re
+
+    if keep_last < 1:
+        raise ValueError(
+            f"sweep_applied_markers: keep_last must be >= 1 (got "
+            f"{keep_last}) — retention may never delete the newest "
+            f"batch's marker (redelivery depth is at least 1)"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{view_path}/_applied")
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+
+    def _marker_key(name: str) -> tuple[int, str]:
+        m = re.search(r"(\d+)$", name)
+        return (int(m.group(1)) if m else -1, name)
+
+    # skip hidden entries (e.g. RawLocalFileSystem's .{name}.crc
+    # checksum sidecars — deleting a marker through the checksum FS
+    # reaps its sidecar automatically, so they never need sweeping)
+    names = sorted(
+        (
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if not st.getPath().getName().startswith((".", "_"))
+        ),
+        key=_marker_key,
+    )
+    doomed = names[:-keep_last]
+    for n in doomed:
+        p = jvm.org.apache.hadoop.fs.Path(f"{view_path}/_applied/{n}")
+        fs.delete(p, False)
+    return doomed
+
+
 def apply_view_changes_pruned(
     spark,
     view_path: str,

@@ -885,6 +885,7 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay pytest: test_apply_view_changes_pruned_marker_replay)."""
     from data_migration_tool_spark.operators.incremental_agg import (
         apply_view_changes_pruned,
+        sweep_applied_markers,
     )
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -949,6 +950,9 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, view_path, retract=retract, inserts=inserts,
             bucket_col="pb", batch_marker=f"batch-{_bid}",
         )
+        # marker retention AFTER this batch's marker lands (bounded
+        # _applied/ footprint; keep_last=2 > redelivery depth 1)
+        sweep_applied_markers(spark, view_path, keep_last=2)
 
     schema = "orderkey long, o_orderstatus string, op string"
     stream = (
@@ -1133,6 +1137,9 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket_col="pb",
             batch_marker=f"batch-{bid}",
         )
+        # marker retention mirrors the state-version sweep above:
+        # bounded _applied/ footprint, keep_last=2 > redelivery depth 1
+        IA.sweep_applied_markers(spark, rows_path, keep_last=2)
 
     schema = (
         "o_orderkey long, o_orderstatus string, o_orderpriority string, "

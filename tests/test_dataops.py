@@ -3187,6 +3187,95 @@ def test_sweep_state_versions_retention_and_replay(spark, tmp_path):
     assert sorted(os.listdir(unpadded)) == ["v10", "v11"]
 
 
+def test_sweep_applied_markers_retention_and_replay(spark, tmp_path):
+    """r13 marker retention — the _applied/ twin of the state-version
+    sweep: a months-long stream lands one marker per trigger forever;
+    keep-last-k bounds the directory while the newest batches' markers
+    (the only ones a foreachBatch redelivery can ever re-check) still
+    fire the skip-if-seen path."""
+    import os
+
+    import pytest
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+        sweep_applied_markers,
+    )
+
+    path = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k long, val string, pb long"
+    ).write.partitionBy("pb").parquet(path)
+
+    # no _applied/ dir yet: no-op, not an error
+    assert sweep_applied_markers(spark, path, keep_last=2) == []
+
+    for bid in range(4):
+        apply_view_changes_pruned(
+            spark,
+            path,
+            inserts=spark.createDataFrame(
+                [(10 + bid, "x", 0)], "k long, val string, pb long"
+            ),
+            bucket_col="pb",
+            batch_marker=f"batch-{bid}",
+        )
+    marker_dir = os.path.join(path, "_applied")
+
+    def _markers():
+        # ignore RawLocalFileSystem's .crc checksum sidecars
+        return sorted(
+            n for n in os.listdir(marker_dir) if not n.startswith(".")
+        )
+
+    assert _markers() == ["batch-0", "batch-1", "batch-2", "batch-3"]
+    assert sweep_applied_markers(spark, path, keep_last=2) == [
+        "batch-0", "batch-1"
+    ]
+    assert _markers() == ["batch-2", "batch-3"]
+
+    # replay protection intact after the sweep: re-delivering the
+    # newest batch is still a no-op (its marker survived)
+    before = sorted(
+        (r.k, r.val) for r in spark.read.parquet(path).collect()
+    )
+    assert apply_view_changes_pruned(
+        spark,
+        path,
+        inserts=spark.createDataFrame(
+            [(13, "x", 0)], "k long, val string, pb long"
+        ),
+        bucket_col="pb",
+        batch_marker="batch-3",
+    ) == []
+    after = sorted(
+        (r.k, r.val) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+
+    # idempotent; numeric tail ordering (batch-10 must outrank batch-9)
+    assert sweep_applied_markers(spark, path, keep_last=2) == []
+    for bid in (9, 10):
+        apply_view_changes_pruned(
+            spark,
+            path,
+            inserts=spark.createDataFrame(
+                [(20 + bid, "y", 1)], "k long, val string, pb long"
+            ),
+            bucket_col="pb",
+            batch_marker=f"batch-{bid}",
+        )
+    assert sweep_applied_markers(spark, path, keep_last=2) == [
+        "batch-2", "batch-3"
+    ]
+    # numeric tail ordering: a string sort would keep {batch-3,
+    # batch-9} and sweep the just-written batch-10
+    assert _markers() == ["batch-10", "batch-9"]
+
+    with pytest.raises(ValueError, match="keep_last"):
+        sweep_applied_markers(spark, path, keep_last=0)
+
+
 def test_apply_view_changes_pruned_null_bucket(spark, tmp_path):
     """NULL bucket values (a key-derived bucket of a NULL join key)
     are first-class: touched-set collection must not TypeError on
