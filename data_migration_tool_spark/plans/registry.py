@@ -919,6 +919,12 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "transform"),
     ),
     QueryDef(
+        "doc_exact_substring_dedup",
+        TQ.doc_exact_substring_dedup,
+        TQ.DOC_EXACT_SUBSTRING_SQL,
+        ("text", "dedup", "transform"),
+    ),
+    QueryDef(
         "knn_label_vote",
         VQ.knn_label_vote,
         VQ.KNN_LABEL_VOTE_SQL,
@@ -1014,6 +1020,7 @@ _PRIORITY: tuple[str, ...] = (
     # the youngest r10 fill seats, per policy (a)) --
     "part_entity_resolution",
     "masked_nation_join_integrity",
+    "doc_exact_substring_dedup",
     # -- latest official row r9: all 44 owed, sorted --
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
@@ -1059,16 +1066,16 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r10: first 4 sorted (fill seats; the
-    # fifth and sixth, customer_order_bookends and
-    # customer_retention_set_ops, yielded their seats to the r13-new
-    # part_entity_resolution and masked_nation_join_integrity and
-    # re-seat with the other 46 r10-row queries heading the r14
+    # -- latest official row r10: first 3 sorted (fill seats; the
+    # fourth through sixth — corpus_temperature_mix,
+    # customer_order_bookends, customer_retention_set_ops — yielded
+    # their seats to the r13-new part_entity_resolution,
+    # masked_nation_join_integrity, and doc_exact_substring_dedup and
+    # re-seat with the other 47 r10-row queries heading the r14
     # ledger) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
     "corpus_stopword_filter",
-    "corpus_temperature_mix",
 )
 
 

@@ -2719,6 +2719,159 @@ GROUP BY b.doc_id
 """
 
 
+def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with FIRST-OCCURRENCE retention — the
+    remove-all-but-one flavor of span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    ExactSubstr keeps one copy of every duplicated span; the existing
+    ``doc_span_dedup_clean`` is the C4 boilerplate flavor that drops
+    >=3-doc blocks from EVERY document, including the first).
+
+    Semantics: every OVERLAPPING 5-token window is fingerprinted; for
+    each window text that occurs more than once in the corpus, the
+    canonical occurrence is the (min doc_id, then min pos) one; every
+    other occurrence marks its 5 token positions as duplicated.
+    Overlapping duplicated windows merge naturally into maximal spans
+    (position-set union + gaps-and-islands). Output per doc: original
+    token count, tokens removed, merged span count, and the md5 of the
+    re-stitched surviving text (NULL when nothing survives).
+
+    Scale shape (100 TB): the window frame carries (doc_id, pos,
+    md5(gram)) — 16-byte keys, never text — through ONE map-combined
+    groupBy at gram grain (min-struct canonical + count, skew-robust
+    where a hot boilerplate gram would serialize a row_number window
+    partition); the verdict join back is gram-keyed (AQE skew-splits
+    hot grams); covered positions explode 5× the duplicated windows
+    only, then everything returns to doc grain where the stitch is an
+    in-memory sort_array per doc. Text itself rides at most one
+    shuffle (the final doc-grain reassembly), same posture as
+    ``doc_span_dedup_clean``.
+    """
+    K = 5
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select("doc_id", TX.tokens("text").alias("t"))
+    tok = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    grams = base.filter(F.size("t") >= K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (K - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, K))),
+            )
+        ).alias("pos", "g"),
+    )
+    canon = grams.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    covered = (
+        grams.join(canon.filter(F.col("cnt") > 1), "g")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("c.doc_id"))
+                & (F.col("pos") == F.col("c.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    rem = (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+            F.count_distinct("grp").cast("bigint").alias("n_spans"),
+        )
+    )
+    keptagg = (
+        tok.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.getField("tok"),
+                    ),
+                )
+            ).alias("clean_md5")
+        )
+    )
+    return (
+        base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(rem, "doc_id", "left")
+        .join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            "clean_md5",
+        )
+    )
+
+
+DOC_EXACT_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t
+  FROM documents WHERE length(text) > 0
+),
+tok AS (
+  SELECT doc_id, gs - 1 AS pos, t[gs] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) u(gs)
+),
+grams AS (
+  SELECT doc_id, gs - 1 AS pos,
+         md5(array_to_string(t[gs : gs + 4], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 4)) u(gs)
+  WHERE len(t) >= 5
+),
+ranked AS (
+  SELECT doc_id, pos, g,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + gs AS pos
+  FROM ranked, unnest(generate_series(0, 4)) u(gs)
+  WHERE rn > 1
+),
+rem AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_removed,
+         CAST(count(DISTINCT pos - rn) AS BIGINT) AS n_spans
+  FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM covered
+  )
+  GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS clean_md5
+  FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(r.n_spans, 0) AS n_spans,
+       k.clean_md5
+FROM toks b
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN kept k ON b.doc_id = k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs (band-blocked, exact for hamming <= bands-1)
 # ---------------------------------------------------------------------------

@@ -1504,6 +1504,110 @@ def test_span_dedup_clean_semantics(spark, tmp_path):
     assert out[5].clean_n_tokens == 0 and out[5].clean_md5 is None
 
 
+def _exact_substr_brute(docs, K=5):
+    """Python reference for doc_exact_substring_dedup: overlapping
+    K-token windows, canonical (min doc_id, min pos) occurrence kept,
+    every other occurrence covers its K positions; islands merge."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs}
+    occ = defaultdict(list)
+    for d, t in toks.items():
+        for p in range(len(t) - K + 1):
+            occ[" ".join(t[p : p + K])].append((d, p))
+    covered = defaultdict(set)
+    for lst in occ.values():
+        lst.sort()
+        for d, p in lst[1:]:
+            covered[d].update(range(p, p + K))
+    out = {}
+    for d, t in toks.items():
+        cov = sorted(covered.get(d, ()))
+        spans = sum(
+            1 for i, p in enumerate(cov) if i == 0 or p != cov[i - 1] + 1
+        )
+        kept = [tok for i, tok in enumerate(t) if i not in covered.get(d, ())]
+        clean = (
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None
+        )
+        out[d] = (len(t), len(cov), spans, clean)
+    return out
+
+
+def test_exact_substring_dedup_semantics(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import doc_exact_substring_dedup
+
+    docs = [
+        (1, "a b c d e f g h i j"),  # canonical owner of every window
+        (2, "x a b c d e f y z w"),  # two overlapping dup windows -> 1 span
+        (3, "a b c d e q r s t u a b c d e"),  # cross-doc AND intra-doc dup
+        (4, "short one two"),  # < 5 tokens: no windows, untouched
+        (5, "a b c d e"),  # fully duplicated -> NULL hash
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in doc_exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    ref = _exact_substr_brute(docs)
+    for d in ref:
+        r = out[d]
+        assert (r.n_tokens, r.n_removed, r.n_spans, r.clean_md5) == ref[d], d
+
+    # pin the interesting cases explicitly, independent of the brute
+    assert out[1].n_removed == 0  # first occurrence retained
+    assert out[2].n_removed == 6 and out[2].n_spans == 1  # overlap merged
+    assert out[3].n_removed == 10 and out[3].n_spans == 2  # intra-doc too
+    assert out[4].n_removed == 0
+    assert out[5].clean_md5 is None and out[5].n_removed == 5
+
+
+def test_exact_substring_dedup_random_vs_brute(spark, tmp_path):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import doc_exact_substring_dedup
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab forces collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_spans, r.clean_md5)
+        for r in doc_exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out == _exact_substr_brute(docs)
+
+
 def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
