@@ -153,6 +153,90 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    audit=None,
+) -> DataFrame:
+    """Hard-negative mining: for each query, the k most-similar corpus
+    vectors whose ``label_col`` DIFFERS from the query's — the
+    embedding-model training staple (contrastive/triplet losses want
+    negatives that are hard, i.e. near the anchor, not random). Plain
+    ``brute_force_topk`` + post-filter is NOT equivalent: a query with
+    more than k same-label neighbors above the first negative would
+    lose negatives it owes.
+
+    Same execution shape as ``brute_force_topk`` (queries broadcast as
+    a matrix with their labels; corpus streams once through the Arrow
+    block-mat-mul scorer; the per-pair label mask is a numpy compare
+    inside the batch, costing nothing over the unfiltered kernel; each
+    batch emits its local top-k under the global (sim DESC, id ASC)
+    tie policy, so the final window shuffles k×|queries| rows per
+    partition). Output (query_id, neighbor_id, rank).
+    """
+    rows = (
+        queries.select(id_col, vec_col, label_col)
+        .limit(MAX_BROADCAST_VECTORS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise RuntimeError(
+            f"hard_negative_topk: >{MAX_BROADCAST_VECTORS:,} vectors on "
+            "the broadcast (query) side — pass the SMALL side as queries"
+        )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_labels = np.array([r[2] for r in rows], dtype=np.int64)
+
+    def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf.iloc[:, 1].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+            c_labels = pdf.iloc[:, 2].to_numpy(dtype=np.int64)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norms, q_norms)
+            out = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = (c_labels != q_labels[qi]) & (c_ids != q_ids[qi])
+                cand_sim, cand_ids = col[mask], c_ids[mask]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -cand_sim))[:k]
+                    cand_sim, cand_ids = cand_sim[order], cand_ids[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": cand_ids,
+                            "sim": cand_sim,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = (
+        _spread(corpus, factor=1)
+        .select(id_col, vec_col, label_col)
+        .mapInPandas(score, _SIM_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -931,6 +931,12 @@ _DEFS: list[QueryDef] = [
         ("ann", "eval"),
     ),
     QueryDef(
+        "ann_hard_negatives",
+        VQ.ann_hard_negatives,
+        VQ.ANN_HARD_NEGATIVES_SQL,
+        ("ann", "training"),
+    ),
+    QueryDef(
         "doc_simhash_near_dups",
         TQ.doc_simhash_near_dups,
         TQ.DOC_SIMHASH_NEAR_DUPS_SQL,
@@ -1021,6 +1027,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_entity_resolution",
     "masked_nation_join_integrity",
     "doc_exact_substring_dedup",
+    "ann_hard_negatives",
     # -- latest official row r9: all 44 owed, sorted --
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
@@ -1066,16 +1073,15 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r10: first 3 sorted (fill seats; the
-    # fourth through sixth — corpus_temperature_mix,
-    # customer_order_bookends, customer_retention_set_ops — yielded
-    # their seats to the r13-new part_entity_resolution,
-    # masked_nation_join_integrity, and doc_exact_substring_dedup and
-    # re-seat with the other 47 r10-row queries heading the r14
-    # ledger) --
+    # -- latest official row r10: first 2 sorted (fill seats; the
+    # third through sixth — corpus_stopword_filter,
+    # corpus_temperature_mix, customer_order_bookends,
+    # customer_retention_set_ops — yielded their seats to the r13-new
+    # part_entity_resolution, masked_nation_join_integrity,
+    # doc_exact_substring_dedup, and ann_hard_negatives and re-seat
+    # with the other 48 r10-row queries heading the r14 ledger) --
     "corpus_budget_allocation",
     "corpus_pmi_bigrams",
-    "corpus_stopword_filter",
 )
 
 

@@ -1235,6 +1235,59 @@ WHERE p.rn = 1
 """
 
 
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for the first 50 vectors: the 5
+    most-similar corpus vectors with a DIFFERENT label — the training
+    companion to ``knn_label_vote`` (that query asks "does the space
+    cluster by label"; this one harvests the label-crossing pairs a
+    contrastive loss trains against). Post-filtering a plain top-k is
+    not equivalent: a query surrounded by >k same-label neighbors
+    would lose negatives — the label mask must live inside the scorer
+    (``similarity.hard_negative_topk``, same broadcast-queries /
+    stream-corpus-once block-mat-mul shape as ``knn_brute_force``).
+
+    Output stays float-free (ids/ranks/labels only), the family's
+    cross-engine contract.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    nn = SIM.hard_negative_topk(q, e, k=5)
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            "rank",
+            "neighbor_id",
+            "neg_label",
+        )
+    )
+
+
+ANN_HARD_NEGATIVES_SQL = """
+SELECT query_id AS vec_id, true_label, rank, neighbor_id, neg_label
+FROM (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS neg_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(
+                      q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id AND q.label <> c.label
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact fixed-point power-iteration PCA (top component, hash-gated)
 # ---------------------------------------------------------------------------

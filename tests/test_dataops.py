@@ -196,6 +196,32 @@ def test_brute_force_topk(spark):
     assert got[0] == (1, 1)  # nearest to e_x is the 0.9/0.1 vector
 
 
+def test_hard_negative_topk_mask_inside_scorer(spark):
+    # query 0 (label 1) is surrounded by TWO closer same-label vectors
+    # (1, 2); its true hard negatives are 3 then 4. Post-filtering a
+    # plain top-2 would return NOTHING (both top-2 share the label) —
+    # the label mask must live inside the scorer.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.01, 0.0], 1),
+        (2, [0.98, 0.02, 0.0], 1),
+        (3, [0.9, 0.1, 0.0], 2),
+        (4, [0.8, 0.2, 0.0], 2),
+        (5, [0.0, 1.0, 0.0], 3),
+    ]
+    v = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    res = SIM.hard_negative_topk(v.filter(F.col("vec_id") == 0), v, k=2)
+    got = sorted((r["rank"], r["neighbor_id"]) for r in res.collect())
+    assert got == [(1, 3), (2, 4)]
+    # post-filter inequivalence witness: the unfiltered top-2 is all
+    # same-label, so filtering it afterwards yields zero negatives
+    plain = SIM.brute_force_topk(v.filter(F.col("vec_id") == 0), v, k=2)
+    top2 = {r["neighbor_id"] for r in plain.collect()}
+    assert top2 == {1, 2}
+
+
 def test_ivf_routes_to_cell(spark):
     v = _vecs(spark)
     centroids = v.filter(F.col("vec_id").isin(0, 2, 4))
