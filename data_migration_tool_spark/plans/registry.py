@@ -925,6 +925,12 @@ _DEFS: list[QueryDef] = [
         ("text", "dedup", "transform"),
     ),
     QueryDef(
+        "doc_exact_substring_incremental",
+        TQ.doc_exact_substring_incremental,
+        TQ.DOC_EXACT_SUBSTRING_INCR_SQL,
+        ("text", "dedup", "incremental"),
+    ),
+    QueryDef(
         "knn_label_vote",
         VQ.knn_label_vote,
         VQ.KNN_LABEL_VOTE_SQL,
@@ -1028,6 +1034,7 @@ _PRIORITY: tuple[str, ...] = (
     "masked_nation_join_integrity",
     "doc_exact_substring_dedup",
     "ann_hard_negatives",
+    "doc_exact_substring_incremental",
     # -- latest official row r9: all 44 owed, sorted --
     "doc_bpe_token_counts",
     "doc_chunk_overlap",
@@ -1073,15 +1080,16 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "sketch_hll_daily_rollup",
     "token_countmin_sketch",
-    # -- latest official row r10: first 2 sorted (fill seats; the
-    # third through sixth — corpus_stopword_filter,
-    # corpus_temperature_mix, customer_order_bookends,
-    # customer_retention_set_ops — yielded their seats to the r13-new
-    # part_entity_resolution, masked_nation_join_integrity,
-    # doc_exact_substring_dedup, and ann_hard_negatives and re-seat
-    # with the other 48 r10-row queries heading the r14 ledger) --
+    # -- latest official row r10: first 1 sorted (fill seat; the
+    # second through sixth — corpus_pmi_bigrams,
+    # corpus_stopword_filter, corpus_temperature_mix,
+    # customer_order_bookends, customer_retention_set_ops — yielded
+    # their seats to the five r13-new queries
+    # (part_entity_resolution, masked_nation_join_integrity,
+    # doc_exact_substring_dedup, ann_hard_negatives,
+    # doc_exact_substring_incremental) and re-seat with the other 49
+    # r10-row queries heading the r14 ledger) --
     "corpus_budget_allocation",
-    "corpus_pmi_bigrams",
 )
 
 

@@ -2750,8 +2750,25 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 5
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     base = d.select("doc_id", TX.tokens("text").alias("t"))
-    tok = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    grams = base.filter(F.size("t") >= K).select(
+    grams = _xsub_grams(base, K)
+    canon = grams.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    noncanon = grams.join(canon.filter(F.col("cnt") > 1), "g").filter(
+        ~(
+            (F.col("doc_id") == F.col("c.doc_id"))
+            & (F.col("pos") == F.col("c.pos"))
+        )
+    )
+    return _xsub_finish(base, _xsub_covered(noncanon, K))
+
+
+def _xsub_grams(base: DataFrame, K: int = 5) -> DataFrame:
+    """(doc_id, pos, g=md5 of the K-token window) for every
+    overlapping window — 16-byte keys, the text never leaves the
+    doc-grain scan."""
+    return base.filter(F.size("t") >= K).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -2760,19 +2777,14 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "g"),
     )
-    canon = grams.groupBy("g").agg(
-        F.min(F.struct("doc_id", "pos")).alias("c"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    covered = (
-        grams.join(canon.filter(F.col("cnt") > 1), "g")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("c.doc_id"))
-                & (F.col("pos") == F.col("c.pos"))
-            )
-        )
-        .select(
+
+
+def _xsub_covered(occurrences: DataFrame, K: int = 5) -> DataFrame:
+    """Explode each duplicated window occurrence into its K covered
+    token positions; the distinct is the position-set union that
+    merges overlapping windows."""
+    return (
+        occurrences.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (K - 1))
@@ -2780,6 +2792,12 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _xsub_finish(base: DataFrame, covered: DataFrame) -> DataFrame:
+    """Span stats + cleaned-text re-stitch at doc grain (shared tail of
+    the batch and incremental exact-substring queries)."""
+    tok = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
     wd = W.partitionBy("doc_id").orderBy("pos")
     rem = (
         covered.withColumn("grp", F.col("pos") - F.row_number().over(wd))
@@ -2816,6 +2834,129 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_md5",
         )
     )
+
+
+def doc_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact-substring dedup against a STORED gram index —
+    the third member of the incremental-index family
+    (``doc_lsh_incremental``: MinHash bands; ``media_phash_incremental``:
+    dHash bands; here: the 16-byte window fingerprints of the standing
+    corpus). The corpus is the first 4/5 of doc ids (integer-exact
+    split scalar); the batch is the appended last fifth.
+
+    Append contract and exactness: batch doc_ids sort AFTER every
+    indexed id, so for any window text present in the index the full
+    run's canonical occurrence is a corpus one — every batch
+    occurrence of an indexed gram is covered unconditionally (a bare
+    semi-join, no canonical comparison needed); windows new in the
+    batch elect their canonical within the batch alone. The output
+    therefore equals the FULL corpus run restricted to batch docs —
+    the same restriction contract the LSH/dHash twins gate on. A batch
+    that straddled the id range would break this (a batch doc could be
+    the global canonical for a corpus window), which is why the
+    incremental form is an append-only operator; the batch query is
+    the re-dedup-everything path.
+
+    Scale shape (100 TB): only the BATCH is tokenized and hashed; the
+    standing corpus participates as distinct 16-byte gram keys (the
+    index a foreachBatch ingest would maintain by unioning each
+    batch's new grams). The index side of the semi/anti joins is
+    gram-keyed and map-side combinable; everything downstream runs at
+    batch grain.
+    """
+    K = 5
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    split = d.agg(
+        F.expr("max(doc_id) * 4 div 5").alias("s")
+    ).first()["s"]
+    corpus = d.filter(F.col("doc_id") <= F.lit(split))
+    batch = d.filter(F.col("doc_id") > F.lit(split))
+    index = (
+        _xsub_grams(
+            corpus.select("doc_id", TX.tokens("text").alias("t")), K
+        )
+        .select("g")
+        .distinct()
+    )
+    b_base = batch.select("doc_id", TX.tokens("text").alias("t"))
+    b_grams = _xsub_grams(b_base, K)
+    hit = b_grams.join(index, "g", "left_semi")
+    miss = b_grams.join(index, "g", "left_anti")
+    canon = miss.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup_new = miss.join(canon.filter(F.col("cnt") > 1), "g").filter(
+        ~(
+            (F.col("doc_id") == F.col("c.doc_id"))
+            & (F.col("pos") == F.col("c.pos"))
+        )
+    )
+    covered = _xsub_covered(
+        hit.select("doc_id", "pos").unionByName(
+            dup_new.select("doc_id", "pos")
+        ),
+        K,
+    )
+    return _xsub_finish(b_base, covered)
+
+
+DOC_EXACT_SUBSTRING_INCR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t
+  FROM documents WHERE length(text) > 0
+),
+tok AS (
+  SELECT doc_id, gs - 1 AS pos, t[gs] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) u(gs)
+),
+grams AS (
+  SELECT doc_id, gs - 1 AS pos,
+         md5(array_to_string(t[gs : gs + 4], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 4)) u(gs)
+  WHERE len(t) >= 5
+),
+ranked AS (
+  SELECT doc_id, pos, g,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + gs AS pos
+  FROM ranked, unnest(generate_series(0, 4)) u(gs)
+  WHERE rn > 1
+),
+rem AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_removed,
+         CAST(count(DISTINCT pos - rn) AS BIGINT) AS n_spans
+  FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM covered
+  )
+  GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS clean_md5
+  FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(r.n_spans, 0) AS n_spans,
+       k.clean_md5
+FROM toks b
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN kept k ON b.doc_id = k.doc_id
+WHERE b.doc_id > (SELECT max(doc_id) * 4 // 5 FROM documents
+                  WHERE length(text) > 0)
+"""
 
 
 DOC_EXACT_SUBSTRING_SQL = f"""

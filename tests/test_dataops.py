@@ -1634,6 +1634,56 @@ def test_exact_substring_dedup_random_vs_brute(spark, tmp_path):
     assert out == _exact_substr_brute(docs)
 
 
+def test_exact_substring_incremental_equals_full_restricted(spark, tmp_path):
+    """The family contract (same as the LSH/dHash twins): incremental
+    output == full-corpus run restricted to batch docs, under the
+    append contract (batch ids sort after every indexed id)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_migration_tool_spark.plans.textq import (
+        doc_exact_substring_incremental,
+    )
+
+    rng = random.Random(131)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(50)
+    ]
+    # planted cross-boundary dup: batch doc 49 repeats corpus doc 0's
+    # opening span; batch-only dup: 48 and 47 share a fresh span
+    docs[0] = (0, "p q r s t u v " + docs[0][1])
+    docs[49] = (49, docs[49][1] + " p q r s t u v")
+    docs[48] = (48, "n1 n2 n3 n4 n5 " + docs[48][1])
+    docs[47] = (47, docs[47][1] + " n1 n2 n3 n4 n5")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    split = 49 * 4 // 5  # the query's integer-exact split scalar
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_spans, r.clean_md5)
+        for r in doc_exact_substring_incremental(spark, str(tmp_path)).collect()
+    }
+    full = _exact_substr_brute(docs)
+    expected = {d: v for d, v in full.items() if d > split}
+    assert out == expected
+    # the planted dups actually fired: 49's corpus-indexed span is
+    # covered; 48 loses the batch-only span to canonical owner 47
+    assert out[49][1] >= 7 and out[48][1] >= 5 and full[47][1] == out[47][1]
+    assert all(d > split for d in out)
+
+
 def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
