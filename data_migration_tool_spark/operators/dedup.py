@@ -578,20 +578,48 @@ def _containment_frames(
         F.count(F.lit(1)).alias("n_sh"),
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-        ),
-    )
     ceil_tn = f"({num} * n_sh + {den - 1}) div {den}"
-    # df rides the prefix projection so the guard can price the join
-    # with ONE aggregate over it: Σ df over (doc, shingle) prefix rows
-    # IS Σ_s prefix_count(s)·df(s), no pc-histogram join needed
+    # Prefix selection as ONE doc-grain aggregate (r13 opt, guide
+    # §2.4): the former row_number window needed a full sort of the
+    # (shingle, df) frame inside the id exchange PLUS a second join
+    # against docsets to fetch n_sh. collect_list + in-row array_sort
+    # ranks the same (df, shingle) pairs per document (struct ordering
+    # = field order, so ties break identically), n_sh falls out of the
+    # same aggregate, and slice() keeps exactly the rows rk ≤ n_sh −
+    # ceil(t·n) + 2 the window kept (greatest(0, ·) mirrors the
+    # no-rows case). One exchange + bounded per-doc sorts instead of
+    # exchange + global sort + join. df rides the projection so the
+    # guard still prices the join with ONE aggregate over it: Σ df
+    # over (doc, shingle) prefix rows IS Σ_s prefix_count(s)·df(s).
+    ranked_sets = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ranked"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+    )
     prefix = (
-        ranked.join(docsets.select(id_col, "n_sh"), id_col)
-        .filter(F.col("rk") <= F.col("n_sh") - F.expr(ceil_tn) + F.lit(2))
-        .select(F.col(id_col).alias("id_a"), "shingle", "df")
+        ranked_sets.select(
+            F.col(id_col).alias("id_a"),
+            F.explode(
+                F.slice(
+                    "ranked",
+                    1,
+                    F.greatest(
+                        F.lit(0),
+                        F.col("n_sh") - F.expr(ceil_tn) + F.lit(2),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select(
+            "id_a",
+            F.col("r.shingle").alias("shingle"),
+            F.col("r.df").alias("df"),
+        )
     )
     return sh, docsets, dfreq, prefix
 

@@ -73,15 +73,15 @@ def pagerank(
     ef = e.join(out_deg, "src").persist()
     ef.count()
     e.unpersist()
+    # dangling short-circuit: same argument as ``pagerank_exact`` —
+    # with zero dangling nodes m ≡ 0.0 and IEEE x + 0.0 = x for the
+    # positive ranks here, so dropping the term is bit-identical
+    n_dangling = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
 
     for _ in range(iters):
-        # dangling mass (nodes without out-edges) as a lazy 1-row
-        # broadcast — folded into the round's single job instead of a
-        # separate driver action per iteration
-        dangling = ranks.join(
-            out_deg, ranks.node == out_deg.src, "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
             ef.join(rank_side, ef.src == rank_side.node)
@@ -89,19 +89,38 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        new_ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left_outer"
+        )
+        if n_dangling:
+            # dangling mass (nodes without out-edges) as a lazy 1-row
+            # broadcast — folded into the round's single job instead
+            # of a separate driver action per iteration
+            dangling = ranks.join(
+                out_deg, ranks.node == out_deg.src, "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            ranks = (
+                new_ranks.crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("m") / F.lit(float(n))
+                        + F.lit(damping)
+                        * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            ranks = new_ranks.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("m") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+            ).localCheckpoint()
     ef.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
@@ -164,6 +183,18 @@ def pagerank_exact(
     ef = e.join(out_deg, "src").persist()
     ef.count()
     e.unpersist()
+    # Dangling-node short-circuit (r13 opt, guide §1.2 — don't compute
+    # what you can prove is zero): when EVERY node has an out-edge
+    # (symmetric graphs — co-occurrence, similarity — always qualify),
+    # the dangling mass m is identically 0 in every round, so the
+    # per-round anti-join + aggregate + 1-row broadcast subtree is
+    # dead weight. One node-grain anti-join count over the two cached
+    # frames decides it up front; the m ≡ 0 arithmetic is exactly the
+    # recurrence's (0·85) div (100·n) = 0 term, so results are
+    # bit-identical (oracle-proved).
+    n_dangling = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).count()
     base = (scale * 15) // (100 * n)
 
     from contextlib import nullcontext
@@ -183,9 +214,6 @@ def pagerank_exact(
 
     with scope:
         for it in range(iters):
-            dangling = ranks.join(
-                out_deg, ranks.node == out_deg.src, "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("m"))
             rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
                 ef.join(rank_side, ef.src == rank_side.node)
@@ -196,10 +224,18 @@ def pagerank_exact(
                 .groupBy("dst")
                 .agg(F.sum("c").cast("long").alias("contrib"))
             )
-            ranks = (
-                nodes.join(contribs, nodes.node == contribs.dst, "left_outer")
-                .crossJoin(F.broadcast(dangling))
-                .select(
+            new_ranks = nodes.join(
+                contribs, nodes.node == contribs.dst, "left_outer"
+            )
+            if n_dangling:
+                dangling = ranks.join(
+                    out_deg, ranks.node == out_deg.src, "left_anti"
+                ).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("long")
+                    .alias("m")
+                )
+                ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
                     "node",
                     (
                         F.lit(base)
@@ -209,7 +245,16 @@ def pagerank_exact(
                     .cast("long")
                     .alias("rank"),
                 )
-            )
+            else:
+                ranks = new_ranks.select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.coalesce(F.col("contrib"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("rank"),
+                )
             # checkpoint cadence: each localCheckpoint is an eager
             # Spark job, but the plan DOUBLES per un-checkpointed
             # round (ranks is referenced twice: contrib join +

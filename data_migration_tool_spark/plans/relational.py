@@ -1159,17 +1159,26 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled rank, ties broken by node id."""
     from data_migration_tool_spark.operators.graph import pagerank_exact
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Edge derivation as groupBy(order) + in-row pair expansion (r13
+    # opt, guide §2.4 remove shuffles): the former DISTINCT-then-
+    # self-join shape paid a (orderkey, partkey) distinct exchange
+    # plus the join's own orderkey exchange before the operator's
+    # edge distinct. collect_set is per-order dedup (≡ the old
+    # distinct, key-local) and the double explode emits exactly the
+    # same ordered (src ≠ dst) pairs map-side — one exchange where
+    # there were two, identical edge multiset after the operator's
+    # distinct (oracle hash-proved). Per-order sets are basket-sized,
+    # so the k² in-row expansion is bounded.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     edges = (
-        a.join(b, "l_orderkey")
+        grouped.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
     )
     # parts are dimension-scale under any lineitem volume -> broadcast
     # ranks, and size the loop's node-grain shuffles to the catalog

@@ -1373,9 +1373,13 @@ def orders_join_ivm_retract_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     pb = (F.col("orderkey") % 20).alias("pb")
     root = tempfile.mkdtemp(prefix="dmt_ivm_pruned_")
     path = f"{root}/view"
+    # rebalance-by-bucket before the partitioned write (r13 opt, guide
+    # §6): one file per bucket at test scale instead of n_tasks × 20,
+    # which the pruned apply's touched-bucket reads and the final view
+    # scan would otherwise re-pay in listing/open cost
     base_o.join(base_l, ["orderkey"]).select(
         "orderkey", "o_orderstatus", "rev", pb
-    ).write.partitionBy("pb").parquet(path)
+    ).hint("rebalance", "pb").write.partitionBy("pb").parquet(path)
 
     retract = join_retract(
         base_o, del_o, base_l, del_l, ["orderkey"]

@@ -1256,6 +1256,41 @@ def test_pagerank_exact_matches_python_integer_recurrence(spark):
         assert abs(got[v] / scale - fr[v]) < 1e-9
 
 
+def test_pagerank_exact_no_dangling_short_circuit(spark):
+    """The r13 zero-dangling fast path (m ≡ 0 ⇒ the per-round
+    anti-join/aggregate/broadcast subtree is skipped) must stay
+    bit-identical to the full recurrence — pinned on a symmetric graph
+    where every node has an out-edge, against the same pure-Python
+    integer replay the dangling test uses."""
+    from data_migration_tool_spark.operators.graph import pagerank_exact
+
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (3, 4), (4, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    iters, scale = 6, 10**12
+    got = {r.node: r.rank for r in pagerank_exact(df, iters=iters).collect()}
+
+    n = 5
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {v: scale // n for v in range(n)}
+    base = (scale * 15) // (100 * n)
+    for _ in range(iters):
+        m = sum(rank[v] for v in range(n) if v not in out)
+        assert m == 0  # the fixture's point: no dangling mass anywhere
+        contrib = {v: 0 for v in range(n)}
+        for s, ds in out.items():
+            c = (rank[s] * 85) // (100 * len(ds))
+            for d in ds:
+                contrib[d] += c
+        rank = {
+            v: base + (m * 85) // (100 * n) + contrib[v] for v in range(n)
+        }
+    assert got == rank
+
+
 def test_triangle_count_known_graph(spark):
     from data_migration_tool_spark.operators.graph import triangle_count
 
