@@ -173,8 +173,24 @@ class AuditLog:
         return os.path.join(self.root, table)
 
     def insert_rows(self, table: str, rows: list[dict]) -> None:
-        """JSON-row append (reference ``insert_rows_json``)."""
+        """JSON-row append (reference ``insert_rows_json``).
+
+        Known-schema appends are written directly with pyarrow — a
+        driver-local file create, ~ms — instead of a Spark job (~0.5 s
+        per append even on the LocalRelation fast path; audit-heavy
+        operators fire several appends per call, all driver-side fixed
+        cost, guide §5). The arrow schema comes from the same Spark
+        schema (``to_arrow_schema``, timestamps as UTC micros), so
+        Spark's directory read unifies arrow- and Spark-written parts.
+        Unknown tables (schema inferred from dicts) keep the Spark
+        writer, as does any arrow conversion surprise."""
         schema = KNOWN_SCHEMAS.get(table)
+        if schema is not None:
+            try:
+                self._insert_rows_arrow(table, rows, schema)
+                return
+            except Exception:  # noqa: BLE001 — fall back to the Spark writer
+                pass
         if schema is not None:
             data = [tuple(r.get(f.name) for f in schema.fields) for r in rows]
             df = self.spark.createDataFrame(data, schema)
@@ -185,6 +201,24 @@ class AuditLog:
         # (measured; plain write is ~0.5 s). Empty partitions produce no
         # files, so small appends still emit only 1-2 files each.
         df.write.mode("append").parquet(self.path(table))
+
+    def _insert_rows_arrow(self, table: str, rows: list[dict], schema) -> None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = [
+            pa.array([r.get(f.name) for r in rows], type=f.type)
+            for f in arrow_schema
+        ]
+        tbl = pa.Table.from_arrays(cols, schema=arrow_schema)
+        dirpath = self.path(table)
+        os.makedirs(dirpath, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        pq.write_table(tbl, os.path.join(dirpath, fname), compression="snappy")
 
     def insert_df(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))

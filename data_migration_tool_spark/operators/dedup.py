@@ -218,10 +218,20 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     band_rows: int = 4,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline → (id_a, id_b, jaccard) pairs over the
-    threshold. Candidates come from LSH buckets; Jaccard is exact."""
-    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
+    threshold. Candidates come from LSH buckets; Jaccard is exact.
+
+    ``shingles``: a precomputed (and caller-persisted) ``shingle_set``
+    of ``df`` — lets a caller that runs several shingle consumers over
+    the same corpus (e.g. the recall gates' exact + LSH arms) pay the
+    corpus explode once (guide §1.2: don't compute things twice)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_set(df, id_col, text_col, shingle_n).persist()
+    )
     bands = minhash_signatures(sh, id_col, num_hashes, band_rows)
     # persisted: consumed twice by the verify stage (candidate-id
     # broadcast prune + the pair joins) — without this the band
@@ -418,6 +428,7 @@ def ngram_jaccard_pairs(
     linear_budget: int = 32,
     max_blowup: int = 8,
     audit=None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path.
@@ -445,10 +456,18 @@ def ngram_jaccard_pairs(
       is opt-in rather than silent.
     - an ``int`` keeps the legacy static-cap semantics; ``None``
       disables the guard (explicit opt-in to quadratic cost).
+
+    ``shingles``: a precomputed (and caller-persisted) ``shingle_set``
+    of ``df`` — callers running several shingle consumers over the same
+    corpus (the recall gates) pay the corpus explode once.
     """
     # persist: sh feeds four plan branches (both join sides + two size
     # lookups) — uncached, the explode+distinct recomputes per branch
-    sh = shingle_set(df, id_col, text_col, shingle_n).persist()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_set(df, id_col, text_col, shingle_n).persist()
+    )
     if candidate_pairs is not None:
         return jaccard_verify(candidate_pairs, sh, id_col).filter(
             F.col("jaccard") >= threshold

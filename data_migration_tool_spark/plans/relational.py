@@ -1277,17 +1277,24 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same integers with a declarative three-way self-join."""
     from data_migration_tool_spark.operators.graph import triangle_count
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Edge derivation as groupBy(order) + in-row pair expansion (r13
+    # opt, guide §2.4 — same rework as ``part_pagerank``): the former
+    # distinct-then-self-join paid a (orderkey, partkey) distinct
+    # exchange plus the join's orderkey exchange; collect_set is the
+    # per-order dedup done key-local and the double explode emits the
+    # same src < dst pairs map-side. One exchange where there were
+    # two; the operator's own edge distinct dedups across orders
+    # exactly as before (oracle hash-proved).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     edges = (
-        a.join(b, "l_orderkey")
+        grouped.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
     )
     return triangle_count(edges)
 

@@ -1438,15 +1438,21 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-flips if a banding change degrades recall below the declared
     contract."""
     d = load_table(spark, sf_dir, "documents")
+    # one shingle build for BOTH arms (r13 opt, guide §1.2): the exact
+    # and LSH pipelines consume the identical shingle_set(d); sharing
+    # the persisted frame removes a full corpus explode+shuffle from
+    # the gate (values unchanged — shingle_set is a pure per-row
+    # function, oracle hash-proved)
+    sh = DD.shingle_set(d).persist()
     # explicit opt-in to the exact quadratic path: this gate EXISTS to
     # price banding misses against ground truth, so the derived "auto"
     # guard (which would rightly refuse the exact join at sf0.1) is
     # overridden with the legacy bounded cap
     exact = DD.ngram_jaccard_pairs(
-        d, threshold=0.5, max_join_pairs=50_000_000
+        d, threshold=0.5, max_join_pairs=50_000_000, shingles=sh
     ).select("id_a", "id_b")
     lsh = (
-        DD.minhash_lsh_dedup(d, threshold=0.5)
+        DD.minhash_lsh_dedup(d, threshold=0.5, shingles=sh)
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
@@ -1518,11 +1524,20 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure banding misses, same as the full gate."""
     d = load_table(spark, sf_dir, "documents")
     sample = d.filter(F.col("doc_id") % 5 == 0)
+    # one shingle build for both arms (r13 opt, guide §1.2):
+    # shingle_set is per-row, so the sample's shingles are exactly the
+    # full frame filtered on doc_id — the exact arm reuses the LSH
+    # arm's persisted corpus shingles instead of re-exploding the
+    # sample (oracle hash-proved)
+    sh = DD.shingle_set(d).persist()
     exact = DD.ngram_jaccard_pairs(
-        sample, threshold=0.5, max_join_pairs=50_000_000
+        sample,
+        threshold=0.5,
+        max_join_pairs=50_000_000,
+        shingles=sh.filter(F.col("doc_id") % 5 == 0),
     ).select("id_a", "id_b")
     lsh = (
-        DD.minhash_lsh_dedup(d, threshold=0.5)
+        DD.minhash_lsh_dedup(d, threshold=0.5, shingles=sh)
         .filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
