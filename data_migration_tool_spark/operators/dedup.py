@@ -263,9 +263,29 @@ def dup_clusters(
     large-star/small-star (same fixpoint contract, O(log n) rounds);
     the interface and the oracle stay the same.
     """
-    fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    rev = pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    # both edge directions from ONE scan of the pair plan (r13 opt,
+    # guide §1.2): the former fwd ∪ rev union evaluated the (often
+    # expensive — a full LSH verify) pair pipeline once per branch
+    # inside the materializing distinct; the in-row explode emits the
+    # same two directed rows per pair map-side. Same edge set after
+    # the distinct — oracle hash-proved on every cluster query.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("u"), F.col("id_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
     # round 0 fused into initialization: label = min(id, neighbors) —
     # same groupBy shuffle the plain node-distinct would cost, but
     # diameter-1 components (pairs, stars: the overwhelming majority of

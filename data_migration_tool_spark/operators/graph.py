@@ -175,14 +175,26 @@ def pagerank_exact(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
-    out_deg.count()  # materialize the fact-scale aggregation at session parallelism
     # fold the static out-degree onto the edge table once (see
     # ``pagerank``): the loop's per-round contribution plan is one
     # broadcast probe over the cached edges instead of two joins —
-    # measured 7.4 s -> 4.5 s over 6 rounds at sf0.1
+    # measured 7.4 s -> 4.5 s over 6 rounds at sf0.1. ef.count()
+    # populates BOTH caches (out_deg is an input), still at session
+    # parallelism — the former separate out_deg.count() was a
+    # redundant driver action (r13).
     ef = e.join(out_deg, "src").persist()
     ef.count()
     e.unpersist()
+    # In-edge coverage short-circuit (r13 opt, guide §2.4 — remove a
+    # per-round shuffle): when EVERY node has an in-edge (symmetric
+    # graphs always qualify: any node appears as both src and dst),
+    # the per-destination contribution aggregate already emits one row
+    # per node, so the nodes-frame left-outer join that backfills
+    # contribution-less nodes is dead weight — its only effect is
+    # coalesce(NULL, 0) on rows that cannot exist. One node-grain
+    # distinct count over the cached edges decides it up front;
+    # results are bit-identical (the oracle proves it).
+    full_coverage = ef.select("dst").distinct().count() == n
     # Dangling-node short-circuit (r13 opt, guide §1.2 — don't compute
     # what you can prove is zero): when EVERY node has an out-edge
     # (symmetric graphs — co-occurrence, similarity — always qualify),
@@ -224,9 +236,17 @@ def pagerank_exact(
                 .groupBy("dst")
                 .agg(F.sum("c").cast("long").alias("contrib"))
             )
-            new_ranks = nodes.join(
-                contribs, nodes.node == contribs.dst, "left_outer"
-            )
+            if full_coverage:
+                # contribs has exactly one row per node — rename in
+                # place instead of joining the nodes frame (the
+                # coalesce(contrib, 0) backfill can never fire)
+                new_ranks = contribs.select(
+                    F.col("dst").alias("node"), "contrib"
+                )
+            else:
+                new_ranks = nodes.join(
+                    contribs, nodes.node == contribs.dst, "left_outer"
+                ).select("node", "contrib")
             if n_dangling:
                 dangling = ranks.join(
                     out_deg, ranks.node == out_deg.src, "left_anti"
