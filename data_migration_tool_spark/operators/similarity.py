@@ -885,7 +885,13 @@ def hyperplane_lsh_bucket(vec_col, signs: list[list[int]]):
     def bucket_of(v):
         total = F.lit(0).cast("bigint")
         for b, row in enumerate(signs):
-            arr = F.array(*[F.lit(float(s)) for s in row])
+            # one parsed literal per hyperplane instead of one py4j
+            # round trip per coordinate (r13 — n_bits × dim F.lit
+            # calls cost ~1 s of driver time per plan BUILD; repr()
+            # round-trips ±1.0 exactly, D pins DOUBLE)
+            arr = F.expr(
+                "array(" + ",".join(repr(float(s)) + "D" for s in row) + ")"
+            )
             dot = F.aggregate(
                 F.zip_with(v, arr, lambda x, s: x * s),
                 F.lit(0.0),
