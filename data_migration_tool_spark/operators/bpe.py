@@ -126,7 +126,13 @@ def bpe_train(
     (left, right) so the learned merge sequence is deterministic at any
     parallelism and any engine."""
     spark = df.sparkSession
-    vocab = word_freq_table(df, text_col).localCheckpoint()
+    # Lazy checkpoints (r13, guide §1.2/§5): each round's argmax action
+    # materializes the previous round's merged vocab as part of the SAME
+    # job, so k rounds cost k jobs instead of 2k — and the final merge
+    # (whose vocab no round ever reads) is never materialized at all.
+    # Lineage still truncates at every materialized checkpoint, so round
+    # N's plan stays O(1).
+    vocab = word_freq_table(df, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         pairs = vocab.select(
@@ -144,7 +150,7 @@ def bpe_train(
         merges.append((rank, left, right, int(top["freq"])))
         vocab = vocab.withColumn(
             "syms", _apply_merge(F.col("syms"), left, right)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, freq BIGINT"
     )
