@@ -645,19 +645,50 @@ def _int_dist_sq(a, b) -> F.Column:
     )
 
 
+def _cents_literal(cents_rows: list[tuple[int, list[int]]]) -> F.Column:
+    """The k×dim centroid table as ONE parsed ``array<struct<cell,cq>>``
+    literal (r13: the PQ-codebook trick — a single ``F.expr`` parse
+    instead of k·dim py4j ``F.lit`` round trips)."""
+    rows = ",".join(
+        "named_struct('cell',{},'cq',array({}))".format(
+            int(c), ",".join(f"{int(v)}L" for v in q)
+        )
+        for c, q in cents_rows
+    )
+    return F.expr(f"array({rows})")
+
+
+def _assign_min_struct(cents_rows: list[tuple[int, list[int]]]) -> F.Column:
+    """In-row argmin over the centroid literal: ``struct(d, cell)`` is
+    ordered field-by-field, so ``array_min`` IS ``ORDER BY d, cell
+    LIMIT 1`` — ties to the lowest cell id, same contract as the old
+    window form."""
+    return F.array_min(
+        F.transform(
+            _cents_literal(cents_rows),
+            lambda c: F.struct(
+                _int_dist_sq(F.col("q"), c["cq"]).alias("d"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+
+
 def _assign_exact(qv: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid by integer squared-L2, ties to the lowest cell
-    id. Centroids are always k rows → broadcast; the crossJoin is a
-    map-side k-way compare, no shuffle of the corpus."""
-    c = F.broadcast(
-        cents.select(F.col("cell").alias("__cell"), F.col("q").alias("__cq"))
-    )
-    d = qv.crossJoin(c).withColumn("__d", _int_dist_sq(F.col("q"), F.col("__cq")))
-    w = Window.partitionBy("vec_id").orderBy("__d", "__cell")
-    return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "q", F.col("__cell").alias("cell"), F.col("__d").alias("dist_sq"))
+    id. Centroids are k rows BY CONTRACT, so they ride into the plan as
+    a collected in-row literal (r13; was broadcast-crossJoin + a
+    row_number window): the k-way compare and the argmin both happen
+    inside one projection — no broadcast exchange, no corpus shuffle,
+    no window sort. Driver transfer is O(k·dim) integers."""
+    best = _assign_min_struct(
+        [(r["cell"], list(r["q"])) for r in cents.collect()]
+    ).alias("__best")
+    return qv.select("vec_id", "q", best).select(
+        "vec_id",
+        "q",
+        F.col("__best.cell").alias("cell"),
+        F.col("__best.d").alias("dist_sq"),
     )
 
 
@@ -682,38 +713,66 @@ def kmeans_fit_exact(
     centroid. Returns (cell, q array<long>).
 
     Scale shape identical to ``kmeans_fit``: iters × (one corpus scan
-    with a broadcast k-way compare + one (cell × dim)-grain shuffle);
-    centroids never leave the cluster, lineage truncated per round."""
-    qv = corpus.select(id_col, quantize_vec(vec_col).alias("q")).withColumnRenamed(
-        id_col, "vec_id"
+    with an in-row k-way compare + one (cell × dim)-grain shuffle).
+    r13: the centroids live on the DRIVER between rounds (k·dim
+    integers — the same O(round-result) transfer as BPE's per-round
+    argmax), so each round is ONE job whose only exchanges are the
+    (cell × dim)-grain means — the per-round broadcast, window sort,
+    empty-cell anti-join, and eager checkpoint of the old loop are
+    gone. The quantized corpus is persisted for the loop's span (iters
+    scans of cache instead of iters parquet+quantize passes); shuffles
+    are scoped to the state grain (cell × dim rows), not the session
+    default."""
+    from data_migration_tool_spark.partitioning import (
+        scoped_shuffle_partitions,
     )
-    cents = (
-        qv.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("__h")
-        .limit(k)
-        .withColumn("cell", F.row_number().over(Window.orderBy("__h")) - 1)
-        .select("cell", "q")
-        .localCheckpoint()
+
+    spark = corpus.sparkSession
+    qv = (
+        corpus.select(id_col, quantize_vec(vec_col).alias("q"))
+        .withColumnRenamed(id_col, "vec_id")
+        .persist()
     )
-    for _ in range(iters):
-        assigned = _assign_exact(qv, cents)
-        dim_means = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.expr("sum(x) div count(x)").alias("m"))
-        )
-        new_cents = (
-            dim_means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("p"))
-            .select("cell", F.transform("p", lambda s: s["m"]).alias("q"))
-        )
-        kept = cents.join(
-            new_cents.select(F.col("cell").alias("__seen")),
-            cents.cell == F.col("__seen"),
-            "left_anti",
-        )
-        cents = new_cents.unionByName(kept).localCheckpoint()
-    return cents
+    try:
+        with scoped_shuffle_partitions(spark, 8):
+            init = (
+                qv.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+                .orderBy("__h")
+                .limit(k)
+                .withColumn(
+                    "cell", F.row_number().over(Window.orderBy("__h")) - 1
+                )
+                .select("cell", "q")
+                .collect()
+            )
+            cents = [(r["cell"], list(r["q"])) for r in init]
+            for _ in range(iters):
+                nc = (
+                    qv.select(
+                        _assign_min_struct(cents)["cell"].alias("cell"), "q"
+                    )
+                    .select("cell", F.posexplode("q").alias("pos", "x"))
+                    .groupBy("cell", "pos")
+                    .agg(F.expr("sum(x) div count(x)").alias("m"))
+                    .groupBy("cell")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "m"))
+                        ).alias("p")
+                    )
+                    .select(
+                        "cell", F.transform("p", lambda s: s["m"]).alias("q")
+                    )
+                    .collect()
+                )
+                # empty cells keep their previous centroid
+                newmap = {r["cell"]: list(r["q"]) for r in nc}
+                cents = [(c, newmap.get(c, q)) for c, q in cents]
+    finally:
+        qv.unpersist()
+    return spark.createDataFrame(
+        [(c, q) for c, q in cents], "cell INT, q ARRAY<BIGINT>"
+    )
 
 
 def ivf_exact_topk(
@@ -732,7 +791,17 @@ def ivf_exact_topk(
     qv = corpus.select(id_col, quantize_vec(vec_col).alias("q")).withColumnRenamed(
         id_col, "vec_id"
     )
-    assigned = _assign_exact(qv, cents).select("vec_id", "q", "cell")
+    # The lazy checkpoint is a materialization barrier (r13): ``assigned``
+    # feeds BOTH join sides, and the in-row argmin would otherwise be
+    # re-inlined into each side's project AND the join's inferred
+    # isnotnull filters — 4 evaluations of the k×dim scan per corpus
+    # row. Checkpointed, the assignment computes once (same bytes the
+    # old row_number window shuffled, now stored instead of sorted).
+    assigned = (
+        _assign_exact(qv, cents)
+        .select("vec_id", "q", "cell")
+        .localCheckpoint(eager=False)
+    )
     qs = queries.select(F.col(id_col).alias("query_id")).join(
         assigned.select(
             F.col("vec_id").alias("query_id"),
