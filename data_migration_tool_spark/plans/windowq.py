@@ -888,12 +888,55 @@ def customer_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFra
     list node (no cycles — UNION ALL is safe). The DuckDB oracle runs
     the IDENTICAL statement, so this also pins cross-engine recursive
     semantics. Depth = max orders per customer (~41 in TPC-H data,
-    SF-independent), far under Spark's recursion limit."""
+    SF-independent), far under Spark's recursion limit.
+
+    r13 (guide §1.2, don't recompute): the successor table is
+    MATERIALIZED (lazy localCheckpoint) before the recursion. Spark
+    inlines a non-recursive CTE into every reference, and the loop
+    body references ``nexts`` once per iteration — ~41 iterations each
+    re-ran the orders scan + LEAD/LAG window (measured 4.32 s; with
+    the walk joining the materialized table instead: 1.94 s,
+    rows identical). DuckDB materializes the CTE once either way, so
+    the oracle statement is unchanged."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
-    return spark.sql(_ORDER_CHAIN_RECURSIVE_SQL.format(orders="rec_orders"))
+    spark.sql(
+        _ORDER_CHAIN_NEXTS_SQL.format(orders="rec_orders")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("rec_nexts_mat")
+    return spark.sql(_ORDER_CHAIN_WALK_SQL.format(nexts="rec_nexts_mat"))
 
 
 CUSTOMER_ORDER_CHAINS_SQL = _ORDER_CHAIN_RECURSIVE_SQL.format(orders="orders")
+
+# Spark-side split of _ORDER_CHAIN_RECURSIVE_SQL (r13): the successor
+# CTE runs alone (then materializes), the recursive walk joins the
+# materialized view. Any edit here must keep the pieces textually in
+# sync with the combined oracle statement above.
+_ORDER_CHAIN_NEXTS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LEAD(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS next_key,
+       LAG(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS prev_key
+FROM {orders} WHERE o_custkey < 100
+"""
+
+_ORDER_CHAIN_WALK_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT o_custkey, o_orderkey, next_key, 1 AS step,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS cum_spend
+  FROM {nexts} WHERE prev_key IS NULL
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.step + 1,
+         CAST(c.cum_spend + CAST(n.o_totalprice AS DECIMAL(18,2))
+              AS DECIMAL(38,2))
+  FROM chain c JOIN {nexts} n ON n.o_orderkey = c.next_key
+)
+SELECT o_custkey, o_orderkey, step,
+       CAST(CAST(cum_spend AS STRING) AS DOUBLE) AS cum_spend
+FROM chain
+"""
 
 
 def doc_semantic_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
