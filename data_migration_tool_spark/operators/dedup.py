@@ -178,13 +178,25 @@ def jaccard_verify(
     docs' shingles instead of the whole corpus index. At 100 TB the
     candidate set is orders of magnitude smaller than the corpus (the
     LSH contract), which turns the verify stage from corpus-scale
-    shuffles into candidate-scale ones."""
+    shuffles into candidate-scale ones.
+
+    The pruned frame persists for the span of the plan: it feeds FOUR
+    branches (both pair-join sides + the two size lookups), and when
+    the caller passes an unmaterialized corpus-scale shingle plan
+    (e.g. ``minhash_lsh_incremental``'s union of standing + new
+    shingles), each branch would otherwise re-run the full corpus
+    explode+hash — measured as 5 separate parquet scans of the corpus
+    in ``doc_lsh_incremental``'s before-plan. The cache is
+    candidate-scale by the LSH contract, so it is always small
+    relative to the corpus (guide §1.2)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingles = shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+    shingles = shingles.join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    ).persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -1455,10 +1467,26 @@ def minhash_lsh_incremental(
         .distinct()
         .persist()
     )
-    # verify shingles come from the union corpus; jaccard_verify prunes
-    # to candidate-touched ids via broadcast semi-join before any join
+    # Verify shingles come from the union corpus, pruned to candidate-
+    # touched ids BEFORE the shingle explode (r13, guide §2.3 shuffle
+    # fewer bytes): jaccard_verify's own semi-join prune sits ABOVE the
+    # explode — Catalyst cannot push a join below a Generate — so
+    # without this the whole standing corpus was re-tokenized and
+    # re-hashed for the verify stage (5 corpus-scale scans in the
+    # before-plan). Pruning at document grain makes the verify-side
+    # shingle work candidate-scale, which is the incremental contract's
+    # whole point. Semantically identical: jaccard_verify only ever
+    # reads candidate-touched ids.
+    touched = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     all_sh = shingle_set(
-        corpus_docs, id_col, text_col, shingle_n
+        corpus_docs.join(F.broadcast(touched), id_col, "left_semi"),
+        id_col,
+        text_col,
+        shingle_n,
     ).unionByName(new_sh)
     return jaccard_verify(cand, all_sh, id_col).filter(
         F.col("jaccard") >= threshold

@@ -731,7 +731,11 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators.multimodal import dhash_images
 
     media = _phash_corpus(spark, sf_dir)
-    sigs = dhash_images(media, grid_w=8, grid_h=8)
+    # persisted per the hamming_near_dup_pairs caller contract: the
+    # band self-join references the signature frame twice, and each
+    # reference would otherwise re-run the whole encode+decode+hash
+    # pipeline. The cache is (media_id, dhash) — 16 bytes per image.
+    sigs = dhash_images(media, grid_w=8, grid_h=8).persist()
     return hamming_near_dup_pairs(
         sigs,
         id_col="media_id",
@@ -799,7 +803,11 @@ def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators import dedup as DD
     from data_migration_tool_spark.operators.multimodal import dhash_images
 
-    media = _phash_corpus(spark, sf_dir)
+    # persisted: the batch/standing filters are two references of the
+    # same Python encode stage — uncached it would synthesize every
+    # blob twice. The batch signature frame is likewise referenced
+    # twice inside the incremental join (new×index ∪ new×new).
+    media = _phash_corpus(spark, sf_dir).persist()
     batch = media.filter(F.col("media_id") % 7 == 0)
     standing = media.filter(F.col("media_id") % 7 != 0)
     idx = DD.hamming_index(
@@ -810,7 +818,7 @@ def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
     )
     return DD.hamming_near_dups_incremental(
-        dhash_images(batch),
+        dhash_images(batch).persist(),
         idx,
         id_col="media_id",
         sig_col="dhash",

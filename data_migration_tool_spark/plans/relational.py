@@ -1069,17 +1069,25 @@ SELECT o_custkey, 'churned' AS status FROM (
 
 def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the 20 part pairs most often bought
-    in the same order. Pairs are generated by an order-keyed self-join
-    (each order's lines are few — the join is basket-local, cost
-    Σ basket², never |lineitem|²), partial-aggregated before the one
-    pair-grain shuffle, then TakeOrdered top-k — no global sort."""
+    in the same order. Pairs are generated basket-locally (cost
+    Σ basket², never |lineitem|²): one groupBy(order) with an in-row
+    collect_set does the per-order part dedup key-local, and a double
+    explode with part_a < part_b emits each basket's pairs map-side —
+    the r13 rework (guide §2.4) of the former distinct + order-keyed
+    self-join, which paid a (orderkey, partkey) distinct exchange on
+    EACH join side plus the join itself. One basket exchange + the
+    pair-grain aggregate exchange where there were four; identical
+    pair multiset (collect_set ≡ the old distinct within an order),
+    oracle hash-proved. TakeOrdered top-k — no global sort."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     return (
-        a.join(b, "l_orderkey")
+        grouped.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -3053,7 +3053,16 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to ``doc_minhash_lsh_dedup``; see
     operators.dedup.simhash_near_dups for the scale shape."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.simhash_near_dups(d, bits=32, bands=4, max_hamming=3)
+    # composed from the two public operators rather than the
+    # simhash_near_dups wrapper so the signature frame can persist per
+    # the hamming_near_dup_pairs caller contract: the band self-join
+    # references it twice, and uncached each reference re-runs the
+    # full tokenize+vote pipeline. The cache is (doc_id, simhash) —
+    # 16 bytes per document.
+    sig = DD.simhash(d, bits=32).persist()
+    return DD.hamming_near_dup_pairs(
+        sig, sig_col="simhash", bits=32, bands=4, max_hamming=3
+    )
 
 
 _SIMHASH32_VOTES = ",\n".join(

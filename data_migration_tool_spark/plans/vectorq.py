@@ -1358,12 +1358,20 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (true eigh) stays rows-only — this query pins the top component
     exactly.
 
-    Scale shape: the Gramian self-join is d^2 rows per vector keyed on
-    vec_id (map-side explode, one groupBy at (i,j) grain — d^2 = 4096
-    groups regardless of corpus size); the 12-round iteration runs on
-    the collected d x d integer matrix — O(d^2) driver state, the same
-    budget pca_fit already spends, zero per-round cluster work; the
-    projection is one broadcast join + one vec_id groupBy.
+    Scale shape (r13 rework, guide §2.4 — remove shuffles): the
+    quantized vectors persist ONCE as per-row arrays; the Gramian is
+    an in-row double posexplode of that array (pair generation
+    map-side — the former vec_id-keyed self-join paid two cache scans
+    plus a join exchange) into one groupBy at (i,j) grain — d^2 =
+    4096 groups regardless of corpus size, map-side partials; the
+    12-round iteration runs on the collected d x d integer matrix —
+    O(d^2) driver state, the same budget pca_fit already spends, zero
+    per-round cluster work; the projection is a PURE MAP pass — the
+    converged direction is a d-element parsed literal array and
+    pc1_raw = aggregate(zip_with(qs, x, *), +) evaluates in-row, so
+    the final plan has zero joins and zero exchanges (int64 addition
+    is associative: same sum as the former vec_id groupBy,
+    oracle hash-proved).
     int64 headroom: |M| <= n^2 * q_max^2 needs n <= ~2e5 at these
     scales — past that, lift the scatter matrix into decimal(38,0)
     (both engines) exactly as the drift numerators do. The bound is
@@ -1371,20 +1379,17 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n and max|q|), so crossing it refuses loudly instead of silently
     wrapping."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("val").cast("double") * _PCA_Q)
-            .cast("long")
-            .alias("q"),
-        )
-        .persist()
-    )
+    qrow = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> "
+            f"CAST(FLOOR(CAST(v AS DOUBLE) * {_PCA_Q}) AS BIGINT))"
+        ).alias("qs"),
+    ).persist()
     n = emb.count()
     _stats = (
-        ex.groupBy("pos")
+        qrow.select(F.posexplode("qs").alias("pos", "q"))
+        .groupBy("pos")
         .agg(
             F.sum("q").cast("long").alias("s"),
             F.max(F.abs(F.col("q"))).alias("qm"),
@@ -1397,11 +1402,10 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         max((r["qm"] for r in _stats), default=0),
         "embedding_pca_power_exact family",
     )
-    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
-    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
     g = {
         (r["i"], r["j"]): r["g"]
-        for r in a.join(b, "vec_id")
+        for r in qrow.select(F.posexplode("qs").alias("i", "qi"), "qs")
+        .select("i", "qi", F.posexplode("qs").alias("j", "qj"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g"))
         .collect()
@@ -1417,15 +1421,15 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = [sum(m[(i, j)] * x[j] for j in range(d)) for i in range(d)]
         mx = max(max(abs(v) for v in y), 1)
         x = [_tdiv(v * _PCA_S, mx) for v in y]
-    xdf = spark.createDataFrame(
-        [(i, x[i]) for i in range(d)], "pos int, xv long"
+    xarr = "array(" + ", ".join(f"{v}L" for v in x) + ")"
+    out = qrow.select(
+        "vec_id",
+        F.expr(
+            f"CAST(aggregate(zip_with(qs, {xarr}, (q, xv) -> q * xv), "
+            f"0L, (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("pc1_raw"),
     )
-    out = (
-        ex.join(F.broadcast(xdf), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("q") * F.col("xv")).cast("long").alias("pc1_raw"))
-    )
-    ex.unpersist()
+    qrow.unpersist()
     return out
 
 
@@ -1493,24 +1497,24 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``embedding_pca_project``) is the only rows-only survivor and the
     top-2 subspace is gate-certified.
 
-    Scale shape: identical to the rank-1 query — d² gram groupBy at
-    (i,j) grain, O(d²) driver iteration (400 rounds × 64² int ops),
-    one broadcast join + vec_id groupBy for the projections."""
+    Scale shape: identical to the rank-1 query after its r13 rework —
+    per-row quantized arrays persisted once, in-row double-posexplode
+    Gramian (no vec_id self-join) into the d² (i,j) groupBy, O(d²)
+    driver iteration (400 rounds × 64² int ops), and a pure-map
+    projection against the two parsed literal direction arrays (zero
+    joins/exchanges in the final plan)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("val").cast("double") * _PCA_Q)
-            .cast("long")
-            .alias("q"),
-        )
-        .persist()
-    )
+    qrow = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> "
+            f"CAST(FLOOR(CAST(v AS DOUBLE) * {_PCA_Q}) AS BIGINT))"
+        ).alias("qs"),
+    ).persist()
     n = emb.count()
     _stats = (
-        ex.groupBy("pos")
+        qrow.select(F.posexplode("qs").alias("pos", "q"))
+        .groupBy("pos")
         .agg(
             F.sum("q").cast("long").alias("s"),
             F.max(F.abs(F.col("q"))).alias("qm"),
@@ -1523,11 +1527,10 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         max((r["qm"] for r in _stats), default=0),
         "embedding_pca_power_exact family",
     )
-    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
-    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qj"))
     g = {
         (r["i"], r["j"]): r["g"]
-        for r in a.join(b, "vec_id")
+        for r in qrow.select(F.posexplode("qs").alias("i", "qi"), "qs")
+        .select("i", "qi", F.posexplode("qs").alias("j", "qj"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g"))
         .collect()
@@ -1555,18 +1558,20 @@ def embedding_pca_power2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         orv = [_tdiv(y[i] - c * v[i], _PCA_S) for i in range(d)]
         mx = max(max(abs(t) for t in orv), 1)
         x2 = [_tdiv(t * _PCA_S, mx) for t in orv]
-    xdf = spark.createDataFrame(
-        [(i, v[i], x2[i]) for i in range(d)], "pos int, v1 long, v2 long"
+    v1arr = "array(" + ", ".join(f"{t}L" for t in v) + ")"
+    v2arr = "array(" + ", ".join(f"{t}L" for t in x2) + ")"
+    out = qrow.select(
+        "vec_id",
+        F.expr(
+            f"CAST(aggregate(zip_with(qs, {v1arr}, (q, xv) -> q * xv), "
+            f"0L, (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("pc1_raw"),
+        F.expr(
+            f"CAST(aggregate(zip_with(qs, {v2arr}, (q, xv) -> q * xv), "
+            f"0L, (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("pc2_raw"),
     )
-    out = (
-        ex.join(F.broadcast(xdf), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("q") * F.col("v1")).cast("long").alias("pc1_raw"),
-            F.sum(F.col("q") * F.col("v2")).cast("long").alias("pc2_raw"),
-        )
-    )
-    ex.unpersist()
+    qrow.unpersist()
     return out
 
 
