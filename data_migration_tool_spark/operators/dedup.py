@@ -301,12 +301,18 @@ def dup_clusters(
     # round 0 fused into initialization: label = min(id, neighbors) —
     # same groupBy shuffle the plain node-distinct would cost, but
     # diameter-1 components (pairs, stars: the overwhelming majority of
-    # near-dup clusters) arrive converged, halving loop rounds
+    # near-dup clusters) arrive converged, halving loop rounds.
+    # Checkpoints are LAZY (r13, the BPE-train trick, guide §5): each
+    # round's convergence count materializes that round's checkpoint
+    # inside the SAME job, so a round costs 1 driver-scheduled job
+    # instead of 2 (lineage still truncates at every materialized
+    # checkpoint; values are unchanged — the fixpoint doesn't see the
+    # job boundary).
     labels = (
         edges.groupBy(F.col("u").alias("id"))
         .agg(F.min("v").alias("_mv"))
         .select("id", F.least(F.col("id"), F.col("_mv")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         own = labels.select("id", "label", F.lit(True).alias("own"))
@@ -321,7 +327,7 @@ def dup_clusters(
                 F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
             )
             .select("id", "label", (F.col("label") < F.col("prev")).alias("moved"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("moved").count()
         labels = new_labels.drop("moved", "prev")
@@ -353,6 +359,10 @@ def dup_clusters_two_star(
     shrinks as stars collapse; ``localCheckpoint`` truncates lineage.
     Convergence is an edge-set fingerprint (count + hash sum), one
     cheap agg per side."""
+    # lazy checkpoints throughout (r13, guide §5): the fingerprint agg
+    # that follows each checkpoint materializes it within the same job
+    # — 1 job per round instead of 2; the checkpointed blocks then
+    # serve the round's two bidirectional references
     edges = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("a"),
@@ -360,7 +370,7 @@ def dup_clusters_two_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fp = edges.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
@@ -398,7 +408,7 @@ def dup_clusters_two_star(
             .union(sm.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_fp = edges.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
