@@ -479,6 +479,10 @@ def emb_lsh_near_dups(
     signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
     stats = e.agg(F.count(F.lit(1)).alias("n_vecs"))
     mask_expr = _lsh_mask_expr()
+    # persisted: the frame feeds both self-join sides, and uncached
+    # each side re-runs the 16x64 hyperplane dot-product expression
+    # over the corpus (guide §1.2). The cache is (vec_id, embedding,
+    # bucket) — the same bytes the bucket-keyed join shuffles anyway.
     b = (
         e.select(
             "vec_id",
@@ -491,6 +495,7 @@ def emb_lsh_near_dups(
             "embedding",
             F.col("b_full").bitwiseAND(F.col("mask")).alias("bucket"),
         )
+        .persist()
     )
     if max_bucket_size is not None:
         # hot-bucket valve (default OFF: exact LSH semantics, matching
