@@ -393,20 +393,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     (Arrow batches through :func:`decode_media`), scalar decoded fields
     joined back to every row. Same dedup-before-decode shape as
     :func:`extract_features` — at 100 TB duplicate media decode cost
-    collapses to one per distinct blob.
-
-    The hashed frame feeds BOTH join sides (distinct-blob decode and
-    the per-row meta join-back), so without materialization Spark
-    computes the upstream ``media`` plan twice — and that upstream is
-    the expensive stage of every consumer (a Python encode here, a
-    full transcode chain in ``media_transcode_chain``). One persist
-    turns that into one pass (guide §1.2); the cache holds blobs, so
-    at lake scale it spills to disk like any shuffle would, bounded by
-    corpus size — still strictly cheaper than re-running the producing
-    stage."""
-    hashed = media.withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    ).persist()
+    collapses to one per distinct blob."""
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = spread_for_cpu(
         hashed.select("content_sha", "content").dropDuplicates(
             ["content_sha"]
@@ -573,14 +561,10 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     no float-accumulation-order dependence).
 
     Same dedup-before-decode shape as ``extract_media_features``:
-    distinct blobs resize once, results join back by content hash; the
-    hashed frame is persisted for the same reason (it feeds both join
-    sides — uncached, the upstream encode would run twice)."""
+    distinct blobs resize once, results join back by content hash."""
     import struct as _struct
 
-    hashed = media.withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    ).persist()
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = spread_for_cpu(
         hashed.select("content_sha", "content").dropDuplicates(
             ["content_sha"]
@@ -818,12 +802,8 @@ def dhash_images(
     the band-blocked pair join. Same dedup-before-decode shape as the
     rest of the lane: distinct blobs hash once, results join back by
     content hash — at 100 TB the decode+hash cost is per DISTINCT
-    image and embarrassingly parallel. The hashed frame persists for
-    the span of the plan: it feeds both join sides, and uncached the
-    upstream blob producer would run twice (guide §1.2)."""
-    hashed = media.withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    ).persist()
+    image and embarrassingly parallel."""
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = spread_for_cpu(
         hashed.select("content_sha", "content").dropDuplicates(
             ["content_sha"]
@@ -877,11 +857,7 @@ def transcode_images(
         # factor would otherwise surface as ZeroDivisionError deep in
         # the executors' mapInPandas task
         raise ValueError(f"factor must be a positive int, got {factor!r}")
-    # persisted: feeds both join sides — uncached, the upstream blob
-    # producer (an encode stage in every consumer) runs twice
-    hashed = media.withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    ).persist()
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = spread_for_cpu(
         hashed.select("content_sha", "content").dropDuplicates(
             ["content_sha"]
@@ -940,14 +916,10 @@ def frame_audio(media: DataFrame, frame_size: int = 8) -> DataFrame:
     walk to the data chunk, int16 samples, per-frame integer
     sum-of-squares (exact); RMS derives as sqrt(sq_sum/n) so no float
     accumulation order is involved. Frames explode executor-side in
-    the same Arrow pass as the decode; dedup-before-decode as usual,
-    with the hashed frame persisted because it feeds both join
-    sides (uncached, the upstream encode would run twice)."""
+    the same Arrow pass as the decode; dedup-before-decode as usual."""
     import struct as _struct
 
-    hashed = media.withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    ).persist()
+    hashed = media.withColumn("content_sha", F.sha2(F.col("content"), 256))
     distinct_blobs = spread_for_cpu(
         hashed.select("content_sha", "content").dropDuplicates(
             ["content_sha"]

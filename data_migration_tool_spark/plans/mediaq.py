@@ -94,15 +94,34 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(enc, "media_id long, kind string, content binary")
 
 
+def _consume_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """persist → consume → unpersist (the house persist discipline): a
+    cache left behind after a builder returns has no reachable
+    unpersist and pins blocks for the whole session — one bench pass
+    over this family measured GBs of leaked blob cache inflating later
+    queries 3-30×. The query output here is always SMALL (per-media
+    scalar rows / pair lists), so one eager ``localCheckpoint``
+    materializes it — consuming every cache exactly once — and the
+    caches release before return. The expensive shared stage (the
+    Python encode each operator references from both join sides) still
+    runs once per query, which is the point of the persists."""
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode → feature pipeline: content hashed, distinct blobs
     PARSED once (BMP/WAV header+payload, Arrow batches), scalar decoded
     fields joined back. At 100 TB the dedup-before-decode join is the
     whole point — duplicate media decode cost collapses to one per
     distinct blob."""
-    media = media_from_documents(spark, sf_dir)
+    # persist → consume → unpersist (_consume_release): the operator
+    # references the encoded corpus from both join sides
+    media = media_from_documents(spark, sf_dir).persist()
     feats = extract_media_features(media)
-    return feats.select(
+    out = feats.select(
         "media_id",
         "kind",
         "n_bytes",
@@ -117,6 +136,7 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("fps").cast("long").alias("fps"),
     )
+    return _consume_release(out, media)
 
 
 MEDIA_FEATURES_SQL = """
@@ -233,10 +253,10 @@ def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel sum, and derived mean all hash-match."""
     media = media_from_documents(spark, sf_dir).filter(
         F.col("kind") == "image"
-    )
+    ).persist()
     from data_migration_tool_spark.operators.multimodal import resize_images
 
-    return resize_images(media, factor=2)
+    return _consume_release(resize_images(media, factor=2), media)
 
 
 MEDIA_RESIZE_SQL = """
@@ -268,10 +288,12 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass. Integer sum-of-squares is exact; RMS derives from it,
     so the arithmetic oracle regenerating the synthetic PCM stream
     hash-matches every frame."""
-    media = media_from_documents(spark, sf_dir).filter(F.col("kind") == "audio")
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "audio"
+    ).persist()
     from data_migration_tool_spark.operators.multimodal import frame_audio
 
-    return frame_audio(media, frame_size=8)
+    return _consume_release(frame_audio(media, frame_size=8), media)
 
 
 MEDIA_AUDIO_FRAMES_SQL = """
@@ -348,15 +370,18 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
             )
 
-    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    media = d.mapInPandas(
+        enc, "media_id long, kind string, content binary"
+    ).persist()
     feats = extract_media_features(media)
-    return feats.select(
+    out = feats.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
+    return _consume_release(out, media)
 
 
 MEDIA_JPEG_DECODE_SQL = """
@@ -413,15 +438,18 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
             )
 
-    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    media = d.mapInPandas(
+        enc, "media_id long, kind string, content binary"
+    ).persist()
     feats = extract_media_features(media)
-    return feats.select(
+    out = feats.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
+    return _consume_release(out, media)
 
 
 MEDIA_PNG_DECODE_SQL = """
@@ -481,20 +509,27 @@ def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
             )
 
-    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    # both chain stages persist: each is referenced from two join
+    # sides by its consumer, and each reference would otherwise re-run
+    # the full upstream codec chain (before-plan: 7 MapInPandas nodes /
+    # 4 source scans for this query). Released in _consume_release.
+    media = d.mapInPandas(
+        enc, "media_id long, kind string, content binary"
+    ).persist()
     thumbs = transcode_images(media, factor=2, out_format="png").select(
         "media_id",
         F.lit("image").alias("kind"),
         F.col("out_content").alias("content"),
-    )
+    ).persist()
     feats = extract_media_features(thumbs)
-    return feats.select(
+    out = feats.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
+    return _consume_release(out, thumbs, media)
 
 
 def media_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,7 +675,10 @@ def media_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "kind": ["image"] * len(ids), "content": blobs}
             )
 
-    media = d.mapInPandas(enc, "media_id long, kind string, content binary")
+    # chain persists, as in media_transcode_chain (released below)
+    media = d.mapInPandas(
+        enc, "media_id long, kind string, content binary"
+    ).persist()
     thumbs = transcode_images(
         media, factor=2, out_format="jpeg", jpeg_quality=100
     ).select(
@@ -648,14 +686,16 @@ def media_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.col("out_content").alias("content"),
     )
+    thumbs = thumbs.persist()
     feats = extract_media_features(thumbs)
-    return feats.select(
+    out = feats.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
+    return _consume_release(out, thumbs, media)
 
 
 MEDIA_TRANSCODE_JPEG_SQL = """
@@ -730,20 +770,26 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_migration_tool_spark.operators.multimodal import dhash_images
 
-    media = _phash_corpus(spark, sf_dir)
-    # persisted per the hamming_near_dup_pairs caller contract: the
-    # band self-join references the signature frame twice, and each
-    # reference would otherwise re-run the whole encode+decode+hash
-    # pipeline. The cache is (media_id, dhash) — 16 bytes per image.
+    media = _phash_corpus(spark, sf_dir).persist()
+    # persist → consume → unpersist (the house persist discipline —
+    # a cache left behind after return has no reachable unpersist and
+    # pins blocks for the session): the band self-join references the
+    # signature frame twice, and each reference would otherwise re-run
+    # the whole encode+decode+hash pipeline. The cache is (media_id,
+    # dhash) — 16 bytes per image; the pair output is eagerly
+    # materialized (pair-scale) so the cache can be released here.
     sigs = dhash_images(media, grid_w=8, grid_h=8).persist()
-    return hamming_near_dup_pairs(
+    out = hamming_near_dup_pairs(
         sigs,
         id_col="media_id",
         sig_col="dhash",
         bits=64,
         bands=4,
         max_hamming=1,
-    )
+    ).localCheckpoint(eager=True)
+    sigs.unpersist()
+    media.unpersist()
+    return out
 
 
 def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,10 +849,13 @@ def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators import dedup as DD
     from data_migration_tool_spark.operators.multimodal import dhash_images
 
-    # persisted: the batch/standing filters are two references of the
-    # same Python encode stage — uncached it would synthesize every
-    # blob twice. The batch signature frame is likewise referenced
-    # twice inside the incremental join (new×index ∪ new×new).
+    # persist → consume → unpersist: the batch/standing filters are two
+    # references of the same Python encode stage — uncached it would
+    # synthesize every blob twice. The batch signature frame is
+    # likewise referenced twice inside the incremental join (new×index
+    # ∪ new×new). The pair output is eagerly materialized (pair-scale)
+    # so both caches release before return instead of pinning
+    # blob-scale blocks for the session.
     media = _phash_corpus(spark, sf_dir).persist()
     batch = media.filter(F.col("media_id") % 7 == 0)
     standing = media.filter(F.col("media_id") % 7 != 0)
@@ -817,15 +866,19 @@ def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=64,
         bands=4,
     )
-    return DD.hamming_near_dups_incremental(
-        dhash_images(batch).persist(),
+    batch_sigs = dhash_images(batch).persist()
+    out = DD.hamming_near_dups_incremental(
+        batch_sigs,
         idx,
         id_col="media_id",
         sig_col="dhash",
         bits=64,
         bands=4,
         max_hamming=1,
-    )
+    ).localCheckpoint(eager=True)
+    batch_sigs.unpersist()
+    media.unpersist()
+    return out
 
 
 MEDIA_PHASH_NEAR_DUPS_SQL = """
@@ -945,9 +998,11 @@ def media_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_from_documents(spark, sf_dir).filter(
         F.col("kind") == "audio"
-    )
+    ).persist()
     frames = frame_audio(media, frame_size=8)
-    return vad_segments(frames, energy_num=400_000, energy_den=1)
+    return _consume_release(
+        vad_segments(frames, energy_num=400_000, energy_den=1), media
+    )
 
 
 MEDIA_VAD_SEGMENTS_SQL = """

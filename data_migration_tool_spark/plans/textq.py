@@ -1442,7 +1442,10 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and LSH pipelines consume the identical shingle_set(d); sharing
     # the persisted frame removes a full corpus explode+shuffle from
     # the gate (values unchanged — shingle_set is a pure per-row
-    # function, oracle hash-proved)
+    # function, oracle hash-proved). persist → consume → unpersist:
+    # the 1-row gate verdict is materialized eagerly below so the
+    # corpus-scale shingle cache releases before return instead of
+    # pinning blocks for the session.
     sh = DD.shingle_set(d).persist()
     # explicit opt-in to the exact quadratic path: this gate EXISTS to
     # price banding misses against ground truth, so the derived "auto"
@@ -1456,7 +1459,7 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
-    return (
+    out = (
         exact.join(lsh, ["id_a", "id_b"], "left_outer")
         .agg(
             F.lit(16).alias("num_hashes"),
@@ -1478,7 +1481,10 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
         .withColumn("meets_bound", F.col("recall") >= 0.70)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 MINHASH_RECALL_SQL = f"""
@@ -1528,7 +1534,8 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_set is per-row, so the sample's shingles are exactly the
     # full frame filtered on doc_id — the exact arm reuses the LSH
     # arm's persisted corpus shingles instead of re-exploding the
-    # sample (oracle hash-proved)
+    # sample (oracle hash-proved). persist → consume → unpersist, same
+    # as the full gate: the verdict materializes eagerly below.
     sh = DD.shingle_set(d).persist()
     exact = DD.ngram_jaccard_pairs(
         sample,
@@ -1542,7 +1549,7 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
-    return (
+    out = (
         exact.join(lsh, ["id_a", "id_b"], "left_outer")
         .agg(
             F.lit(5).alias("sample_mod"),
@@ -1562,7 +1569,10 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
         .withColumn("meets_bound", F.col("recall") >= 0.70)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 MINHASH_RECALL_SAMPLED_SQL = f"""
@@ -2566,9 +2576,11 @@ def split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(pref < "e6", "train").when(pref < "f3", "val").otherwise(
         "test"
     )
-    # persist: ss feeds three branches (totals + both join sides) — the
-    # distinct (split, shingle) set would otherwise recompute the
-    # corpus-scale explode per branch
+    # persist → consume → unpersist: ss feeds three branches (totals +
+    # both join sides) — the distinct (split, shingle) set would
+    # otherwise recompute the corpus-scale explode per branch. The
+    # 3-row matrix materializes eagerly below so the cache releases
+    # before return.
     ss = (
         d.select(
             split.alias("split"),
@@ -2588,7 +2600,7 @@ def split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = F.broadcast(tot.select(F.col("split").alias("split_a"), F.col("n").alias("n_a")))
     tb = F.broadcast(tot.select(F.col("split").alias("split_b"), F.col("n").alias("n_b")))
-    return (
+    out = (
         shared.join(ta, "split_a")
         .join(tb, "split_b")
         .select(
@@ -2602,7 +2614,10 @@ def split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.least("n_a", "n_b").cast("double")
             ).alias("containment"),
         )
+        .localCheckpoint(eager=True)
     )
+    ss.unpersist()
+    return out
 
 
 SPLIT_LEAKAGE_SQL = f"""
@@ -3058,11 +3073,14 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hamming_near_dup_pairs caller contract: the band self-join
     # references it twice, and uncached each reference re-runs the
     # full tokenize+vote pipeline. The cache is (doc_id, simhash) —
-    # 16 bytes per document.
+    # 16 bytes per document. persist → consume → unpersist: the pair
+    # output materializes eagerly so the cache releases before return.
     sig = DD.simhash(d, bits=32).persist()
-    return DD.hamming_near_dup_pairs(
+    out = DD.hamming_near_dup_pairs(
         sig, sig_col="simhash", bits=32, bands=4, max_hamming=3
-    )
+    ).localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 _SIMHASH32_VOTES = ",\n".join(

@@ -479,11 +479,15 @@ def emb_lsh_near_dups(
     signs = SIM.hyperplane_signs(n_bits=SIM.LSH_MAX_BITS, dim=64)
     stats = e.agg(F.count(F.lit(1)).alias("n_vecs"))
     mask_expr = _lsh_mask_expr()
-    # persisted: the frame feeds both self-join sides, and uncached
-    # each side re-runs the 16x64 hyperplane dot-product expression
-    # over the corpus (guide §1.2). The cache is (vec_id, embedding,
-    # bucket) — the same bytes the bucket-keyed join shuffles anyway.
-    b = (
+    # persist → consume → unpersist: the frame feeds both self-join
+    # sides, and uncached each side re-runs the 16x64 hyperplane
+    # dot-product expression over the corpus (guide §1.2). The cache
+    # is (vec_id, embedding, bucket) — the same bytes the bucket-keyed
+    # join shuffles anyway — and releases before return (the pair
+    # output materializes eagerly; a cache left behind has no
+    # reachable unpersist and would pin corpus-scale blocks for the
+    # session).
+    bk = (
         e.select(
             "vec_id",
             "embedding",
@@ -497,6 +501,7 @@ def emb_lsh_near_dups(
         )
         .persist()
     )
+    b = bk
     if max_bucket_size is not None:
         # hot-bucket valve (default OFF: exact LSH semantics, matching
         # the SQL oracle) — see similarity.cap_bucket_size
@@ -507,12 +512,15 @@ def emb_lsh_near_dups(
     c = b.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"), "bucket"
     )
-    return (
+    out = (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_similarity("v_a", "v_b") >= 0.45)
         .select("id_a", "id_b", "bucket")
+        .localCheckpoint(eager=True)
     )
+    bk.unpersist()
+    return out
 
 
 def _lsh_pair_ctes() -> str:
