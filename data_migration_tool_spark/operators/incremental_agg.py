@@ -235,6 +235,7 @@ def join_retract(
     base_b: DataFrame,
     del_b: DataFrame,
     on: list[str],
+    retained_a: DataFrame | None = None,
 ) -> DataFrame:
     """The DELETE side of join-view maintenance: rows to RETRACT from
     the materialized view when ``del_a ⊆ A`` and ``del_b ⊆ B`` are
@@ -252,8 +253,17 @@ def join_retract(
     Scale shape: same as ``join_delta`` — each term carries a delta
     side, cost O(δ·matched); the one full-base participant
     (``A.exceptAll(δA)``) is a broadcast-anti against the (small)
-    delta, not a second base join."""
-    retained_a = base_a.exceptAll(del_a)
+    delta, not a second base join.
+
+    ``retained_a``: callers that can express A − δA directly — e.g. a
+    CDC feed where δA is a predicate slice of A, so the retained side
+    is just the complementary filter — pass it here and skip the
+    ``exceptAll`` entirely (r13, guide §2.4: Spark plans EXCEPT ALL as
+    a full two-sided shuffle with count bookkeeping, two exchanges the
+    filter form never pays). Must equal ``base_a.exceptAll(del_a)`` as
+    a multiset; the default derives it."""
+    if retained_a is None:
+        retained_a = base_a.exceptAll(del_a)
     return del_a.join(base_b, on).unionByName(retained_a.join(del_b, on))
 
 

@@ -1271,11 +1271,18 @@ def orders_join_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins_l = l.filter(F.col("orderkey") % 15 == 0)
 
     view0 = base_o.join(base_l, ["orderkey"])
+    # join_retract is called WITHOUT retained_a on purpose: this query
+    # is the oracle gate for the operator's default exceptAll path.
     view1 = view0.exceptAll(
         join_retract(base_o, del_o, base_l, del_l, ["orderkey"])
     )
-    kept_o = base_o.exceptAll(del_o)
-    kept_l = base_l.exceptAll(del_l)
+    # The kept frames feeding join_delta are fixture prep, not the
+    # operator under test — filter complements replace their
+    # exceptAlls (r13, guide §2.4: multiset-identical for predicate
+    # slices over non-null keys, minus 4 exchanges; oracle
+    # hash-proved).
+    kept_o = base_o.filter(F.col("orderkey") % 10 != 3)
+    kept_l = base_l.filter(F.col("orderkey") % 15 != 3)
     view2 = view1.unionByName(
         join_delta(kept_o, ins_o, kept_l, ins_l, ["orderkey"])
     )
@@ -1381,11 +1388,19 @@ def orders_join_ivm_retract_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         "orderkey", "o_orderstatus", "rev", pb
     ).hint("rebalance", "pb").write.partitionBy("pb").parquet(path)
 
+    # The retained/kept frames are FILTER COMPLEMENTS, not exceptAlls
+    # (r13, guide §2.4): del_o/del_l are predicate slices of their
+    # bases (orderkey%10==3 / %15==3 over non-null keys), so
+    # base.exceptAll(del) equals base.filter(NOT pred) as a multiset —
+    # and Spark plans EXCEPT ALL as a two-sided full shuffle with
+    # count bookkeeping (4 exchanges here) that the filter form never
+    # pays. Oracle hash-proved identical.
     retract = join_retract(
-        base_o, del_o, base_l, del_l, ["orderkey"]
+        base_o, del_o, base_l, del_l, ["orderkey"],
+        retained_a=base_o.filter(F.col("orderkey") % 10 != 3),
     ).select("orderkey", "o_orderstatus", "rev", pb)
-    kept_o = base_o.exceptAll(del_o)
-    kept_l = base_l.exceptAll(del_l)
+    kept_o = base_o.filter(F.col("orderkey") % 10 != 3)
+    kept_l = base_l.filter(F.col("orderkey") % 15 != 3)
     inserts = join_delta(
         kept_o, ins_o, kept_l, ins_l, ["orderkey"]
     ).select("orderkey", "o_orderstatus", "rev", pb)
