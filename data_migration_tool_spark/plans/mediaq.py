@@ -111,12 +111,14 @@ def _consume_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
     return out
 
 
-def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode → feature pipeline: content hashed, distinct blobs
-    PARSED once (BMP/WAV header+payload, Arrow batches), scalar decoded
-    fields joined back. At 100 TB the dedup-before-decode join is the
-    whole point — duplicate media decode cost collapses to one per
-    distinct blob."""
+def _feature_extract_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """``media_feature_extract``'s frame BEFORE the eager materialize —
+    split out so plan-shape tests can pin the Arrow map nodes that
+    ``_consume_release``'s localCheckpoint hides from the query-level
+    explain (the returned query plan is a Scan ExistingRDD). Returns
+    (out, caches); callers own releasing the caches."""
     # persist → consume → unpersist (_consume_release): the operator
     # references the encoded corpus from both join sides
     media = media_from_documents(spark, sf_dir).persist()
@@ -136,7 +138,17 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("fps").cast("long").alias("fps"),
     )
-    return _consume_release(out, media)
+    return out, [media]
+
+
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → feature pipeline: content hashed, distinct blobs
+    PARSED once (BMP/WAV header+payload, Arrow batches), scalar decoded
+    fields joined back. At 100 TB the dedup-before-decode join is the
+    whole point — duplicate media decode cost collapses to one per
+    distinct blob."""
+    out, caches = _feature_extract_pipeline(spark, sf_dir)
+    return _consume_release(out, *caches)
 
 
 MEDIA_FEATURES_SQL = """
@@ -321,26 +333,12 @@ FROM vals
 """
 
 
-def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPRESSED-container decode under the exact-hash gate (r9).
-
-    Every document becomes a real baseline JPEG (the pure-numpy codec,
-    ``operators/jpeg.py``): 32×16 grayscale, quality 100, one constant
-    value per 8×8 tile, v(bx,by) = (doc_id·37 + bx·11 + by·29) % 256.
-    At unit quantization a constant tile is DC-only and round-trips
-    BIT-EXACTLY (the 4×2 tile grid still exercises differential-DC
-    prediction, Huffman coding, and byte stuffing; every 5th image adds
-    DRI/RST resync, which is lossless by construction), so the DuckDB
-    oracle can predict the DECODED mean luma analytically: Σv/8, exact
-    in double (denominator a power of two). Encoder, entropy decoder,
-    and oracle are three independent code paths — a hash PASS certifies
-    a genuine JPEG parse, not a shared stub. The lossy general case
-    (gradients, noise, 4:2:0, low quality) is bounded in
-    tests/test_jpeg.py; THIS query pins the exact lane officially.
-
-    Scale shape: same as media_feature_extract — encode and decode are
-    Arrow-batched mapInPandas stages; dedup-before-decode keys on the
-    content hash so duplicate blobs decode once."""
+def _jpeg_decode_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """``media_jpeg_decode``'s frame BEFORE the eager materialize (see
+    ``_feature_extract_pipeline`` — same plan-shape-test rationale).
+    Returns (out, caches); callers own releasing the caches."""
     from data_migration_tool_spark.operators.jpeg import encode_jpeg
 
     d = _spread_seed(
@@ -381,7 +379,31 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
-    return _consume_release(out, media)
+    return out, [media]
+
+
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container decode under the exact-hash gate (r9).
+
+    Every document becomes a real baseline JPEG (the pure-numpy codec,
+    ``operators/jpeg.py``): 32×16 grayscale, quality 100, one constant
+    value per 8×8 tile, v(bx,by) = (doc_id·37 + bx·11 + by·29) % 256.
+    At unit quantization a constant tile is DC-only and round-trips
+    BIT-EXACTLY (the 4×2 tile grid still exercises differential-DC
+    prediction, Huffman coding, and byte stuffing; every 5th image adds
+    DRI/RST resync, which is lossless by construction), so the DuckDB
+    oracle can predict the DECODED mean luma analytically: Σv/8, exact
+    in double (denominator a power of two). Encoder, entropy decoder,
+    and oracle are three independent code paths — a hash PASS certifies
+    a genuine JPEG parse, not a shared stub. The lossy general case
+    (gradients, noise, 4:2:0, low quality) is bounded in
+    tests/test_jpeg.py; THIS query pins the exact lane officially.
+
+    Scale shape: same as media_feature_extract — encode and decode are
+    Arrow-batched mapInPandas stages; dedup-before-decode keys on the
+    content hash so duplicate blobs decode once."""
+    out, caches = _jpeg_decode_pipeline(spark, sf_dir)
+    return _consume_release(out, *caches)
 
 
 MEDIA_JPEG_DECODE_SQL = """
@@ -468,23 +490,13 @@ GROUP BY doc_id
 """
 
 
-def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL image-preprocessing chain under the exact-hash gate
-    (r9): encode PNG (24×16 grayscale, v(x,y) = (doc_id·23 + x·5 +
-    y·19) % 256) → ``transcode_images`` (decode, 2×2 exact-integer
-    block-mean downscale, re-encode PNG) → decode the TRANSCODED blob
-    via the standard feature pipeline. Every stage is lossless or
-    exact-integer (floor division), so the DuckDB oracle predicts the
-    final decoded values of the 12×8 output analytically: group source
-    pixels by (x div 2, y div 2), block value = SUM(v) // 4, mean =
-    Σblocks / 96 — one correctly-rounded double division on both
-    engines. A hash PASS certifies four real codec passes (encode,
-    decode, re-encode, re-decode) plus the resize arithmetic, end to
-    end.
-
-    Scale shape: three Arrow-batched mapInPandas stages with
-    dedup-before-work hash joins between them; per-distinct-blob cost,
-    embarrassingly parallel."""
+def _transcode_chain_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """``media_transcode_chain``'s frame BEFORE the eager materialize
+    (see ``_feature_extract_pipeline`` — same plan-shape-test
+    rationale). Returns (out, caches); callers own releasing the
+    caches."""
     from data_migration_tool_spark.operators.multimodal import (
         transcode_images,
     )
@@ -529,7 +541,28 @@ def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_channels").cast("long").alias("n_channels"),
         F.col("mean_luma").cast("double").alias("mean_luma"),
     )
-    return _consume_release(out, thumbs, media)
+    return out, [thumbs, media]
+
+
+def media_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL image-preprocessing chain under the exact-hash gate
+    (r9): encode PNG (24×16 grayscale, v(x,y) = (doc_id·23 + x·5 +
+    y·19) % 256) → ``transcode_images`` (decode, 2×2 exact-integer
+    block-mean downscale, re-encode PNG) → decode the TRANSCODED blob
+    via the standard feature pipeline. Every stage is lossless or
+    exact-integer (floor division), so the DuckDB oracle predicts the
+    final decoded values of the 12×8 output analytically: group source
+    pixels by (x div 2, y div 2), block value = SUM(v) // 4, mean =
+    Σblocks / 96 — one correctly-rounded double division on both
+    engines. A hash PASS certifies four real codec passes (encode,
+    decode, re-encode, re-decode) plus the resize arithmetic, end to
+    end.
+
+    Scale shape: three Arrow-batched mapInPandas stages with
+    dedup-before-work hash joins between them; per-distinct-blob cost,
+    embarrassingly parallel."""
+    out, caches = _transcode_chain_pipeline(spark, sf_dir)
+    return _consume_release(out, *caches)
 
 
 def media_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:

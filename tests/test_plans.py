@@ -108,13 +108,33 @@ def test_q1_single_shuffle_with_map_side_combine(spark):
     assert simple.index("Project") > simple.index("Exchange")
 
 
+def _pipeline_plan(spark, pipeline_fn, mode: str = "formatted") -> str:
+    """Explain a builder's PRE-materialization frame. The media
+    builders return an eager localCheckpoint (the r13 persist→consume→
+    release discipline), so their query-level plan is a Scan
+    ExistingRDD; the plan-shape pins live on the pipeline frame the
+    checkpoint consumed. Unpersists the pipeline's (unmaterialized)
+    caches before returning."""
+    out, caches = pipeline_fn(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    plan = out._jdf.queryExecution().explainString(jmode)
+    for c in caches:
+        c.unpersist()
+    return plan
+
+
 def test_arrow_kernels_where_intended(spark):
     """The ANN/media paths DO use Arrow-batched Python — assert the node
     type is the Arrow map, not row-at-a-time BatchEvalPython."""
-    for name in ("knn_brute_force", "media_feature_extract", "knn_label_vote"):
+    from data_migration_tool_spark.plans.mediaq import _feature_extract_pipeline
+
+    for name in ("knn_brute_force", "knn_label_vote"):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+    plan = _pipeline_plan(spark, _feature_extract_pipeline)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_q18_preaggregates_before_join(spark):
@@ -464,11 +484,16 @@ def test_codec_lanes_pin_parallelism_past_aqe(spark):
     serializing the per-blob Python decode work (the r10 starvation
     fix; measured 4-6x on the media gate queries). Both the generator
     seed spread and the post-dedup spread must survive in the plan."""
-    for name in ("media_jpeg_decode", "media_transcode_chain"):
-        plan = _plan(spark, name)
-        assert "REPARTITION_BY_NUM" in plan, name
+    from data_migration_tool_spark.plans.mediaq import (
+        _jpeg_decode_pipeline,
+        _transcode_chain_pipeline,
+    )
+
+    for fn in (_jpeg_decode_pipeline, _transcode_chain_pipeline):
+        plan = _pipeline_plan(spark, fn)
+        assert "REPARTITION_BY_NUM" in plan, fn.__name__
     # the dedup-before-decode pipeline spreads its distinct blobs too:
     # transcode chains carry at least two pinned exchanges (seed +
     # post-dedup), visible as multiple RoundRobin/hash REPARTITION marks
-    plan = _plan(spark, "media_transcode_chain")
+    plan = _pipeline_plan(spark, _transcode_chain_pipeline)
     assert plan.count("REPARTITION_BY_NUM") >= 2
