@@ -620,19 +620,25 @@ def _containment_frames(
     den: int,
 ):
     """Shared inverted-index frames for the containment family:
-    (sh, docsets, dfreq, prefix).
+    (sh, docsets, dfreq, prefix, ranked_sets).
 
     ``sh`` is PERSISTED — it feeds the docsets aggregate, the df
-    histogram, the ranked window, and the verify join's probe side
+    histogram, the ranked aggregate, and the verify join's probe side
     (4-5 plan branches; uncached the explode recomputes per branch).
-    ``prefix`` is deliberately NOT persisted: the r10 double-persist
-    (sh AND prefix) cost more than the one window recompute it saved
-    (measured at sf0.1 warm: 4.1 s double-persist vs 2.9 s sh-only —
-    materializing the window output into cache breaks the pipelining
-    of window → candidate join), so the pricing aggregate and the
-    candidate join each evaluate the prefix definition over the cached
-    sh. The caller owns sh's lifecycle (unpersist before any recursion
-    or refusal so degrade levels don't stack caches)."""
+    ``ranked_sets`` is ALSO persisted (r13, guide §1.2 don't compute
+    twice): the guard's pricing aggregate and the candidate join both
+    consume the prefix, and the prefix pipeline's expensive part — the
+    corpus-scale ``sh ⋈ dfreq`` shuffle join plus the doc-grain
+    groupBy — sat UPSTREAM of both, so it ran twice per query. Caching
+    the doc-grain ranked frame (same bytes as sh, reshaped) makes the
+    second consumer a cache read. ``prefix`` itself (the post-explode
+    rows) stays NOT persisted: the r10 double-persist of the exploded
+    form cost more than it saved (measured 4.1 s vs 2.9 s —
+    materializing the exploded rows breaks explode → join pipelining);
+    the cheap explode re-runs per consumer over the cached ranked
+    frame. The caller owns BOTH caches' lifecycles (unpersist before
+    any recursion, refusal, or return so degrade levels don't stack
+    corpus-scale caches)."""
     sh = shingle_set(df, id_col, text_col, shingle_n).persist()
     docsets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("sset"),
@@ -661,6 +667,7 @@ def _containment_frames(
             ).alias("ranked"),
             F.count(F.lit(1)).alias("n_sh"),
         )
+        .persist()
     )
     prefix = (
         ranked_sets.select(
@@ -682,7 +689,7 @@ def _containment_frames(
             F.col("r.df").alias("df"),
         )
     )
-    return sh, docsets, dfreq, prefix
+    return sh, docsets, dfreq, prefix, ranked_sets
 
 
 def _containment_verify(
@@ -783,13 +790,13 @@ def containment_pairs(
 
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
-    sh, docsets, dfreq, prefix = _containment_frames(
+    sh, docsets, dfreq, prefix, ranked = _containment_frames(
         df, id_col, text_col, shingle_n, num, den
     )
     if max_candidates is not None:
         # the guard aggregate and the candidate join both evaluate the
-        # prefix over the cached sh (NOT a second persist — see
-        # _containment_frames for the measured trade)
+        # prefix over the cached ranked frame (the corpus-scale join +
+        # groupBy upstream computes once — see _containment_frames)
         g = prefix.agg(
             F.sum("df").alias("v"), F.count_distinct("id_a").alias("n")
         ).first()
@@ -846,6 +853,7 @@ def containment_pairs(
                     # drop this level's cache before recursing — degrade
                     # levels must not stack persisted shingle frames
                     sh.unpersist()
+                    ranked.unpersist()
                     return containment_pairs(
                         sliced,
                         id_col=id_col,
@@ -879,6 +887,7 @@ def containment_pairs(
                     f"domains void the prefix filter's asymptotic bound",
                 )
             sh.unpersist()
+            ranked.unpersist()
             raise RuntimeError(
                 f"containment_pairs: prefix-filtered join would generate "
                 f"~{int(implied):,} candidates (> {why}; mean posting "
@@ -896,6 +905,7 @@ def containment_pairs(
         sh, docsets, prefix, id_col, threshold
     ).localCheckpoint(eager=True)
     sh.unpersist()
+    ranked.unpersist()
     return out
 
 
@@ -966,7 +976,7 @@ def containment_pairs_adaptive(
 
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
-    sh, docsets, dfreq, prefix = _containment_frames(
+    sh, docsets, dfreq, prefix, ranked = _containment_frames(
         df, id_col, text_col, shingle_n, num, den
     )
     g = prefix.agg(
@@ -994,6 +1004,7 @@ def containment_pairs_adaptive(
                 "candidate volume over the full-corpus budget",
             )
         sh.unpersist()
+        ranked.unpersist()
         raise RuntimeError(
             f"containment_pairs_adaptive: weighted verify volume "
             f"(candidates × avg shingles/doc) {int(implied):,} exceeds "
@@ -1012,6 +1023,7 @@ def containment_pairs_adaptive(
             .localCheckpoint(eager=True)
         )
         sh.unpersist()
+        ranked.unpersist()
         return out
     k = 256 >> j
     if audit is not None:
@@ -1028,11 +1040,12 @@ def containment_pairs_adaptive(
             f"{k}/256 (ladder: implied ≤ cap·4^{j})",
         )
     sh.unpersist()
+    ranked.unpersist()
     sliced = df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
         < format(k, "02x")
     )
-    sh2, docsets2, dfreq2, prefix2 = _containment_frames(
+    sh2, docsets2, dfreq2, prefix2, ranked2 = _containment_frames(
         sliced, id_col, text_col, shingle_n, num, den
     )
     g2 = prefix2.agg(
@@ -1059,6 +1072,7 @@ def containment_pairs_adaptive(
                 "does not hold on this corpus",
             )
         sh2.unpersist()
+        ranked2.unpersist()
         raise RuntimeError(
             f"containment_pairs_adaptive: the rate-{k}/256 slice still "
             f"implies {int(implied2):,} candidates (> full-corpus cap "
@@ -1071,6 +1085,7 @@ def containment_pairs_adaptive(
         .localCheckpoint(eager=True)
     )
     sh2.unpersist()
+    ranked2.unpersist()
     return out
 
 
