@@ -171,10 +171,20 @@ def retract_partials(
         (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx")),
         F.lit(False),
     )
-    unchanged = merged.filter(F.col("dn").isNull()).select(*keys, *STATE_COLS)
-    adjusted = merged.filter(F.col("dn").isNotNull() & ~touched).select(
+    # Unchanged and arithmetically-adjusted groups FUSE into one
+    # projection (r13, guide §1.2): for a group the delete batch never
+    # touched, every delta column is NULL from the left join, so
+    # n − coalesce(dn, 0) ≡ n (and likewise for the sums) — the
+    # subtract-with-NULL-coalesce covers both cases bit-identically.
+    # The former unchanged/adjusted split referenced the state⋈delta
+    # join subtree from three union branches; per-trigger stream IVM
+    # paid the join (and the delete-partials shuffle under it) three
+    # times. Two references remain: this projection + touched_keys.
+    untouched = merged.filter(~touched).select(
         *keys,
-        (F.col("n") - F.col("dn")).cast(stypes["n"]).alias("n"),
+        (F.col("n") - F.coalesce(F.col("dn"), F.lit(0)))
+        .cast(stypes["n"])
+        .alias("n"),
         (F.col("sx") - F.coalesce(F.col("dsx"), F.lit(0)))
         .cast(stypes["sx"])
         .alias("sx"),
@@ -194,7 +204,7 @@ def retract_partials(
         *keys,
         *[F.col(c).cast(stypes[c]).alias(c) for c in STATE_COLS],
     )
-    return unchanged.unionByName(adjusted).unionByName(recomputed)
+    return untouched.unionByName(recomputed)
 
 
 def join_delta(
@@ -399,6 +409,7 @@ def apply_view_changes_pruned(
     inserts: DataFrame | None = None,
     bucket_col: str = "dmt_bucket",
     batch_marker: str | None = None,
+    retract_anti_keys: list[str] | None = None,
 ) -> list:
     """Apply Δ⁻ retractions and Δ⁺ inserts to an ON-DISK view stored
     partitioned by a key-derived bucket column, rewriting ONLY the
@@ -525,7 +536,25 @@ def apply_view_changes_pruned(
         cur = spark.read.parquet(view_path).filter(pred)
         new = cur
         if retract is not None:
-            new = new.exceptAll(retract.select(*cur.columns))
+            if retract_anti_keys:
+                # WHOLE-KEY retraction (r13, guide §3.1): when the
+                # caller guarantees the retraction removes EVERY view
+                # row of each retracted key (CDC deleting whole
+                # entities — the stream IVM contract), a broadcast
+                # left-anti on the (batch-scale) distinct key set is
+                # multiset-identical to the exceptAll and removes its
+                # two-sided shuffle of the touched-bucket slice: the
+                # slice streams map-side past the broadcast set. Keys
+                # must be non-null (anti join NULL semantics would
+                # retain NULL-keyed rows); the default exceptAll path
+                # below stays the general contract and its oracle gate
+                # (orders_join_ivm_retract_pruned exercises it).
+                kd = retract.select(*retract_anti_keys).distinct()
+                new = new.join(
+                    F.broadcast(kd), retract_anti_keys, "left_anti"
+                )
+            else:
+                new = new.exceptAll(retract.select(*cur.columns))
         if inserts is not None:
             new = new.unionByName(inserts.select(*cur.columns))
         new = new.localCheckpoint(eager=True)

@@ -957,9 +957,16 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         inserts = i.join(li_static, ["orderkey"]).select(
             "orderkey", "o_orderstatus", "rev", pb
         )
+        # retract_anti_keys: the CDC deletes WHOLE orders, so every
+        # view row of a retracted orderkey goes — the broadcast-anti
+        # fast path is multiset-identical to the exceptAll and saves
+        # its two-sided slice shuffle per trigger (r13; oracle
+        # hash-proved, the general exceptAll path stays gated by
+        # orders_join_ivm_retract_pruned)
         apply_view_changes_pruned(
             spark, view_path, retract=retract, inserts=inserts,
             bucket_col="pb", batch_marker=f"batch-{_bid}",
+            retract_anti_keys=["orderkey"],
         )
         # marker retention AFTER this batch's marker lands (bounded
         # _applied/ footprint; keep_last=2 > redelivery depth 1)
@@ -1152,6 +1159,8 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # footprint, replay protection intact (keep_last=2 > the
         # foreachBatch redelivery depth of 1)
         IA.sweep_state_versions(state_dir, keep_last=2)
+        # whole-key CDC deletes (one row per orderkey in the row
+        # table) — broadcast-anti fast path, see orders_stream_join_ivm
         IA.apply_view_changes_pruned(
             spark,
             rows_path,
@@ -1159,6 +1168,7 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             inserts=i.select(*o.columns, pb),
             bucket_col="pb",
             batch_marker=f"batch-{bid}",
+            retract_anti_keys=["o_orderkey"],
         )
         # marker retention mirrors the state-version sweep above:
         # bounded _applied/ footprint, keep_last=2 > redelivery depth 1
