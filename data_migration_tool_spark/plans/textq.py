@@ -1454,13 +1454,24 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = DD.ngram_jaccard_pairs(
         d, threshold=0.5, max_join_pairs=50_000_000, shingles=sh
     ).select("id_a", "id_b")
-    lsh = (
-        DD.minhash_lsh_dedup(d, threshold=0.5, shingles=sh)
-        .select("id_a", "id_b")
+    # The LSH arm joins the BANDING CANDIDATES, not the verified pairs
+    # (r13, guide §1.2): LSH-verified = candidates ∩ {J ≥ t} and the
+    # exact arm IS {J ≥ t} (same double-division Jaccard), so
+    # exact ⟕ candidates marks exactly the pairs the verified join
+    # marked — while the whole jaccard_verify stage (candidate-id
+    # broadcast prune + two shingle joins + two size joins,
+    # re-deriving intersections the exact arm already computed)
+    # drops out of the gate. What the gate certifies is unchanged:
+    # recall of the (16, 4) banding against ground truth. The verify
+    # arithmetic itself stays oracle-gated by doc_minhash_lsh_dedup.
+    cand = (
+        DD.lsh_candidate_pairs(
+            DD.minhash_signatures(sh, "doc_id", 16, 4), "doc_id"
+        )
         .withColumn("hit", F.lit(1))
     )
     out = (
-        exact.join(lsh, ["id_a", "id_b"], "left_outer")
+        exact.join(cand, ["id_a", "id_b"], "left_outer")
         .agg(
             F.lit(16).alias("num_hashes"),
             F.lit(4).alias("band_rows"),
@@ -1543,14 +1554,21 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_join_pairs=50_000_000,
         shingles=sh.filter(F.col("doc_id") % 5 == 0),
     ).select("id_a", "id_b")
-    lsh = (
-        DD.minhash_lsh_dedup(d, threshold=0.5, shingles=sh)
+    # banding candidates instead of verified pairs, restricted to
+    # sampled endpoints BEFORE the comparison join (see the full
+    # gate): hits are identical (verified = candidates ∩ exact, and
+    # the exact arm is the sample's ground truth), and the full-corpus
+    # verify stage — the most expensive part of the old LSH arm —
+    # drops out entirely.
+    cand = (
+        DD.lsh_candidate_pairs(
+            DD.minhash_signatures(sh, "doc_id", 16, 4), "doc_id"
+        )
         .filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
-        .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
     out = (
-        exact.join(lsh, ["id_a", "id_b"], "left_outer")
+        exact.join(cand, ["id_a", "id_b"], "left_outer")
         .agg(
             F.lit(5).alias("sample_mod"),
             F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
