@@ -275,8 +275,7 @@ def pagerank_exact(
                     .cast("long")
                     .alias("rank"),
                 )
-            # checkpoint cadence: each localCheckpoint is an eager
-            # Spark job, but the plan DOUBLES per un-checkpointed
+            # checkpoint cadence: the plan DOUBLES per un-checkpointed
             # round (ranks is referenced twice: contrib join +
             # dangling-mass aggregate), so larger cadences trade a few
             # cheap node-grain jobs for exponential plan growth and
@@ -284,9 +283,14 @@ def pagerank_exact(
             # cadence 1 = 7.2 s, 2 = 11.9 s, 3 = 17.0 s — keep the
             # default 1 unless a profile says otherwise. Values are
             # identical either way — the fixed-point arithmetic
-            # doesn't see the plan.
+            # doesn't see the plan. Checkpoints are LAZY (r13, the
+            # cluster-loop/BPE-train trick, guide §5): lineage still
+            # truncates at every checkpoint node, but materialization
+            # happens inside the consuming job (the next round's
+            # broadcast build, or the caller's first action) instead
+            # of one driver-scheduled eager job per round.
             if (it + 1) % checkpoint_every == 0 or it == iters - 1:
-                ranks = ranks.localCheckpoint()
+                ranks = ranks.localCheckpoint(eager=False)
     ef.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
