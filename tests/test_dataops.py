@@ -3287,6 +3287,58 @@ def test_apply_view_changes_pruned_marker_replay(spark, tmp_path):
     assert os.path.exists(os.path.join(path, "_applied", "b2"))
 
 
+def test_apply_view_changes_pruned_anti_keys_matches_exceptall(
+    spark, tmp_path
+):
+    """r13: the whole-key broadcast-anti fast path (retract_anti_keys)
+    must be multiset-identical to the default exceptAll path when the
+    retraction removes EVERY view row of each retracted key — the
+    stream-IVM CDC contract. The view deliberately carries multiple
+    rows per key (a join view's shape) and duplicate (k, val) rows so
+    multiset semantics are actually exercised."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    rows = [
+        (k, f"v{k}_{i}", k % 3) for k in range(6) for i in range(2)
+    ] + [(2, "v2_0", 2), (5, "v5_1", 2)]  # duplicate rows on keys 2, 5
+    view = spark.createDataFrame(rows, "k long, val string, pb long")
+    path_a = str(tmp_path / "via_exceptall")
+    path_b = str(tmp_path / "via_antikeys")
+    view.write.partitionBy("pb").parquet(path_a)
+    view.write.partitionBy("pb").parquet(path_b)
+
+    # whole-key retraction: every row of keys 2 and 5
+    retract = view.filter(F.col("k").isin(2, 5))
+    ins = spark.createDataFrame(
+        [(100, "new", 0)], "k long, val string, pb long"
+    )
+    touched_a = apply_view_changes_pruned(
+        spark, path_a, retract=retract, inserts=ins, bucket_col="pb"
+    )
+    touched_b = apply_view_changes_pruned(
+        spark,
+        path_b,
+        retract=retract,
+        inserts=ins,
+        bucket_col="pb",
+        retract_anti_keys=["k"],
+    )
+    assert touched_a == touched_b
+
+    key = lambda r: (r["k"], r["val"], r["pb"])  # noqa: E731
+    ca = Counter(map(key, spark.read.parquet(path_a).collect()))
+    cb = Counter(map(key, spark.read.parquet(path_b).collect()))
+    assert ca == cb
+    assert all(k != 2 and k != 5 for k, _, _ in ca)
+    assert (100, "new", 0) in ca
+
+
 def test_apply_view_changes_pruned_refuses_to_empty_view(spark, tmp_path):
     """r13 (ADVICE r12): a batch that would retract the view's last
     remaining rows is refused BEFORE any deletion — an
