@@ -71,6 +71,17 @@ def shingle_set(
 # oracles can embed the same table.
 MINHASH_P = 4294967311
 
+# The ONE (num_hashes, band_rows) banding the production dedup path
+# runs — ``minhash_signatures``/``minhash_lsh_dedup``/
+# ``minhash_lsh_incremental`` default to these, and the recall gates
+# (plans/textq.py) certify exactly this banding by referencing the
+# same constants (r14, ADVICE r13: the gates previously hardcoded
+# (16, 4) literals, so a change to the dedup defaults would have left
+# them silently certifying the OLD banding). Oracle SQL literals are
+# derived from these too.
+NUM_HASHES = 16
+BAND_ROWS = 4
+
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     """(seed, a, b) rows for the affine family, identical across engines."""
@@ -85,8 +96,8 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    band_rows: int = 4,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """(id, band, band_key): k affine min-hashes grouped into bands of
     ``band_rows``, each band keyed by the md5 of its ordered min-hash
@@ -227,8 +238,8 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    band_rows: int = 4,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -471,6 +482,7 @@ def ngram_jaccard_pairs(
     max_blowup: int = 8,
     audit=None,
     shingles: DataFrame | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard via the inverted index (no LSH). Use for
     verification / small sets; ``minhash_lsh_dedup`` is the scale path.
@@ -502,6 +514,25 @@ def ngram_jaccard_pairs(
     ``shingles``: a precomputed (and caller-persisted) ``shingle_set``
     of ``df`` — callers running several shingle consumers over the same
     corpus (the recall gates) pay the corpus explode once.
+
+    ``prefix_filter`` (r14, guide §3 — prune pairs before the
+    quadratic stage): generate candidates from each document's PREFIX
+    under the global (df, shingle) order instead of the full inverted
+    index, then verify exactly. LOSSLESS for Jaccard ≥ threshold — the
+    standard prefix-filtering theorem: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉,
+    and if the globally-smallest common shingle sat past A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles, the ≥ ⌈t·|A|⌉ common shingles would
+    have to fit in the ⌈t·|A|⌉ − 1 slots after it (pigeonhole) — so
+    every qualifying pair shares a shingle inside BOTH prefixes, and
+    the symmetric size bound den·min ≥ num·max prunes further (⌈·⌉
+    computed in exact integers from the threshold's fraction — a float
+    overshoot would SHORTEN the prefix and lose pairs). Verification
+    computes the identical double-division Jaccard from the full
+    per-doc shingle arrays (array_intersect of per-row sets ≡ the
+    shingle-equality join's count), so the output is byte-identical to
+    the direct path; only pair GENERATION changes. The result frame is
+    EAGERLY materialized (candidate-scale) so the operator can release
+    its corpus-scale shingle/ranked caches before returning.
     """
     # persist: sh feeds four plan branches (both join sides + two size
     # lookups) — uncached, the explode+distinct recomputes per branch
@@ -585,6 +616,89 @@ def ngram_jaccard_pairs(
                 f"to the LSH path, raise the guard, or use "
                 f"minhash_lsh_dedup()."
             )
+    if prefix_filter:
+        from fractions import Fraction
+
+        frac = Fraction(str(threshold))
+        num, den = frac.numerator, frac.denominator
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # doc-grain ranked sets under the global (df, shingle) order —
+        # one aggregate, same shape as the containment family's ranked
+        # frame; persisted because it feeds the prefix explode (both
+        # self-join sides) AND the verify join (full arrays + sizes).
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "shingle"))
+                ).alias("ranked"),
+                F.count(F.lit(1)).alias("n_sh"),
+            )
+            .persist()
+        )
+        # prefix length n_sh − ⌈t·n_sh⌉ + 1, ⌈t·n⌉ = (num·n + den − 1) div den
+        plen = F.expr(
+            f"n_sh - ((({num}) * n_sh + {den - 1}) div {den}) + 1"
+        )
+        prefix = ranked.select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.explode(
+                F.slice("ranked", F.lit(1), F.greatest(F.lit(0), plen))
+            ).alias("ps"),
+        ).select(id_col, "n_sh", F.col("ps.shingle").alias("shingle"))
+        pa = prefix.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("pn_a"), "shingle"
+        )
+        pb = prefix.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("pn_b"), "shingle"
+        )
+        cands = (
+            pa.join(pb, "shingle")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                # size bound: J ≥ t ⇒ den·min(|A|,|B|) ≥ num·max(|A|,|B|)
+                & (
+                    F.lit(den) * F.least("pn_a", "pn_b")
+                    >= F.lit(num) * F.greatest("pn_a", "pn_b")
+                )
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        full_a = ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.transform("ranked", lambda x: x["shingle"]).alias("set_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        full_b = ranked.select(
+            F.col(id_col).alias("id_b"),
+            F.transform("ranked", lambda x: x["shingle"]).alias("set_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        n_common = F.size(F.array_intersect("set_a", "set_b"))
+        out = (
+            cands.join(full_a, "id_a")
+            .join(full_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    n_common.cast("double")
+                    / (F.col("n_a") + F.col("n_b") - n_common).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            # candidate-scale; materialize so the corpus-scale caches
+            # release NOW instead of leaking past return (house persist
+            # discipline — the r13 leaked-persist lesson)
+            .localCheckpoint(eager=True)
+        )
+        ranked.unpersist()
+        if shingles is None:
+            sh.unpersist()
+        return out
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = (
@@ -1430,8 +1544,8 @@ def lsh_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    band_rows: int = 4,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """The storable LSH index of a corpus: (id, band, band_key).
 
@@ -1455,8 +1569,8 @@ def minhash_lsh_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    band_rows: int = 4,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs TOUCHING the new batch,

@@ -283,14 +283,23 @@ def pagerank_exact(
             # cadence 1 = 7.2 s, 2 = 11.9 s, 3 = 17.0 s — keep the
             # default 1 unless a profile says otherwise. Values are
             # identical either way — the fixed-point arithmetic
-            # doesn't see the plan. Checkpoints are LAZY (r13, the
-            # cluster-loop/BPE-train trick, guide §5): lineage still
-            # truncates at every checkpoint node, but materialization
-            # happens inside the consuming job (the next round's
-            # broadcast build, or the caller's first action) instead
-            # of one driver-scheduled eager job per round.
+            # doesn't see the plan. Intermediate checkpoints are LAZY
+            # (r13, the cluster-loop/BPE-train trick, guide §5):
+            # lineage still truncates at every checkpoint node and
+            # materialization happens inside the consuming job. The
+            # FINAL iteration's checkpoint is EAGER (r14, ADVICE r13):
+            # no action runs inside this loop (F.broadcast is a hint,
+            # not a job), so an all-lazy chain defers EVERY round's
+            # materialization past the ef/out_deg/nodes unpersists
+            # below — whether the caller's first action then still
+            # hits the cached edge blocks depends on a RACE against
+            # the asynchronous unpersist (measured at sf0.1 the race
+            # happened to win: walls flat, 35 vs 36 jobs — but that is
+            # unspecified behavior, not a contract). One eager job
+            # here pins the documented semantics: the whole round
+            # chain materializes while the caches are provably alive.
             if (it + 1) % checkpoint_every == 0 or it == iters - 1:
-                ranks = ranks.localCheckpoint(eager=False)
+                ranks = ranks.localCheckpoint(eager=(it == iters - 1))
     ef.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
@@ -521,20 +530,52 @@ def triangle_count(
                 f"max_spill_bytes, or max_spill_bytes=None to opt into "
                 f"the unpriced shuffle."
             )
+    # Wedge generation stays the e1 ⋈ e2 self-join (r14: two
+    # alternatives were MEASURED and rejected — (a) groupBy(a) +
+    # collect_set + in-row posexplode/slice pair expansion (the r13
+    # edge-derivation trick) lost to the self-join here because both
+    # self-join sides are the SAME projection of the persisted
+    # oriented frame, so Spark plans a ReusedExchange and the join is
+    # pure codegen over one shuffle, while the adjacency form pays an
+    # ObjectHashAggregate + array materialization + double Generate
+    # (interleaved mins 4.5-4.9 s self-join vs 5.1-6.2 s adjacency at
+    # sf0.1); (b) broadcasting the closing edge list (~900k rows at
+    # sf0.1) serialized a 30-60 MB relation build onto the driver per
+    # run — 6.2-8.4 s vs 5.1-6.2 s shuffled. Keep the planner's
+    # shuffle join; the disk-pricing guard above prices exactly this
+    # plan.
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y1"))
     e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y2"))
     wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
-    # close the wedge with an edge between y1,y2 in EITHER orientation
-    closing = oriented.select(
-        F.least("a", "b").alias("y1"), F.greatest("a", "b").alias("y2")
+    # close the wedge with an edge between y1,y2 — und IS that edge set
+    # in (lo, hi) form already (r14: the former least/greatest
+    # projection over oriented recomputed what the persisted und holds)
+    closing = und.select(
+        F.col("u").alias("y1"), F.col("v").alias("y2"), F.lit(1).alias("hit")
     )
-    tri = wedges.join(
-        closing.withColumn("hit", F.lit(1)), ["y1", "y2"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    stats = und.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-    out = stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    n_edges_known = (
+        n_edges_early if max_spill_bytes is not None else None
+    )
+    tri = wedges.join(closing, ["y1", "y2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    if n_edges_known is not None:
+        # census scalars as driver literals (both counts already ran
+        # for the guard) — the final job is the wedge count alone,
+        # not three crossJoined aggregates
+        n_nodes_known = deg.count()
+        out = tri.select(
+            F.lit(n_nodes_known).cast("long").alias("n_nodes"),
+            F.lit(n_edges_known).cast("long").alias("n_edges"),
+            "n_triangles",
+        )
+    else:
+        stats = und.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+        ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        out = stats.crossJoin(tri).select(
+            "n_nodes", "n_edges", "n_triangles"
+        )
     # materialize the 1-row census and release the two edge-scale
     # cached frames NOW — the pricing pass above populates both caches
     # unconditionally, and a lazy return would park them until GC

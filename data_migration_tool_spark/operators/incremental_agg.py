@@ -104,6 +104,7 @@ def retract_partials(
     keys: list[str],
     measure: str,
     dec: str = "decimal(12,2)",
+    anti_keys: list[str] | None = None,
 ) -> DataFrame:
     """Maintain per-key partial states under DELETES (``deletes ⊆
     base``, multiset semantics) — the non-invertible complement of
@@ -134,6 +135,28 @@ def retract_partials(
     NULL measures produces dn=0 with NULL dsx/dsxx, and ``sx − NULL``
     would otherwise silently NULL that group's sums (the state tracks
     non-null measures only, so such deletes correctly change nothing).
+
+    Build-time materialization (r14): constructing the result runs two
+    SMALL jobs — an eager localCheckpoint of the key-grain state⋈delta
+    join (it feeds two branches) and a 1-row extreme-touch probe that
+    drops the whole O(base) recompute subtree from the plan when no
+    deleted row equals its group's current extreme (the common case).
+    Both are O(|keys| + Δ), never O(base).
+
+    ``anti_keys`` contract (r14, guide §3.1 — the ``retract_anti_keys``
+    trick applied to the extreme-recompute slice): when the deletes are
+    WHOLE-ENTITY retractions — every base row of each ``anti_keys``
+    tuple present in ``deletes`` is being deleted (one-row-per-key
+    bases trivially qualify) — the touched-group retained rows can be
+    derived as a broadcast left-anti on the (batch-scale) distinct
+    delete-key set instead of ``exceptAll``'s two-sided shuffle of the
+    touched slice: multiset-identical under the contract, map-side in
+    execution. ``base`` and ``deletes`` must then CARRY the ``anti_keys``
+    columns; key values must be non-null (enforced with a raise_error
+    guard while the broadcast set builds — anti-join NULL semantics
+    would silently retain the rows). Omit when uncertain: the default
+    ``exceptAll`` path is the general multiset contract (and stays the
+    oracle-gated path via ``orders_rollup_minmax_retract``).
     """
     from functools import reduce as _reduce
     from operator import and_ as _and
@@ -167,6 +190,14 @@ def retract_partials(
     merged = state.join(dp, jcond, "left").drop(
         *[f"_dk{i}" for i in range(len(keys))]
     )
+    # Materialize the key-grain state⋈delta join ONCE (r14, guide
+    # §1.2/§5): it feeds two branches (untouched projection +
+    # touched-key set), so un-checkpointed the delete-partials shuffle
+    # under it ran twice per call; the frame is |keys|-grain — tiny by
+    # the module's whole contract — so the checkpoint is O(keys). LAZY
+    # + the probe below materializes it: one job, not two (the
+    # BPE-train trick).
+    merged = merged.localCheckpoint(eager=False)
     touched = F.coalesce(
         (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx")),
         F.lit(False),
@@ -195,11 +226,55 @@ def retract_partials(
         F.col("mx"),
     )
     touched_keys = merged.filter(touched).select(*keys)
-    retained_rows = _semi_nullsafe(
-        base.select(*keys, measure), touched_keys
-    ).exceptAll(
-        _semi_nullsafe(deletes.select(*keys, measure), touched_keys)
-    )
+    # Extreme-touch probe (r14, guide §1.2 — don't compute what you can
+    # prove is empty): deleting a group's CURRENT extreme is the rare
+    # case (the delete must contain the exact min/max row), yet the
+    # retained-rows recompute subtree — whose semi-filtered scan of
+    # ``base`` is the only O(base) term in this operator — sat in the
+    # plan unconditionally. One driver count over the already-
+    # checkpointed key-grain frame decides it: zero touched groups →
+    # the recompute branch (and with it the base scan) drops out of
+    # the plan entirely; partials(∅) ∪ untouched ≡ untouched, so the
+    # result is bit-identical (oracle-gated on both shapes).
+    if merged.filter(touched).limit(1).count() == 0:
+        return untouched
+    if anti_keys:
+        # whole-entity retraction: retained = touched-key base rows
+        # whose anti_keys tuple is not in the delete set — broadcast
+        # anti (map-side) instead of exceptAll's two-sided shuffle.
+        kd = deletes.select(*anti_keys).distinct()
+        kd = kd.select(
+            *[
+                F.when(
+                    F.col(k).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            "retract_partials: NULL value in anti_keys "
+                            f"column '{k}' — anti-join NULL semantics "
+                            "would silently retain the rows this key "
+                            "should retract; use the default exceptAll "
+                            "path for NULL-keyed deletes"
+                        )
+                    ).cast(dict(kd.dtypes)[k]),
+                )
+                .otherwise(F.col(k))
+                .alias(k)
+                for k in anti_keys
+            ]
+        )
+        retained_rows = (
+            _semi_nullsafe(
+                base.select(*keys, measure, *anti_keys), touched_keys
+            )
+            .join(F.broadcast(kd), anti_keys, "left_anti")
+            .select(*keys, measure)
+        )
+    else:
+        retained_rows = _semi_nullsafe(
+            base.select(*keys, measure), touched_keys
+        ).exceptAll(
+            _semi_nullsafe(deletes.select(*keys, measure), touched_keys)
+        )
     recomputed = partials(retained_rows, keys, measure, dec).select(
         *keys,
         *[F.col(c).cast(stypes[c]).alias(c) for c in STATE_COLS],
@@ -432,26 +507,28 @@ def apply_view_changes_pruned(
       PARTITION-PRUNED scan (PartitionFilters at the file source, the
       untouched directories not even listed into the plan);
     * multiset-subtract Δ⁻ and append Δ⁺ on that slice only;
-    * write back under ``partitionOverwriteMode=dynamic``, which
-      replaces exactly the partitions present in the written frame —
-      the touched ones — and leaves every other directory untouched
-      on disk.
+    * write the new slice to ``<view_path>/_staging_apply`` (one job;
+      underscore-prefixed so readers never see it) and commit with
+      per-bucket delete+rename — the same per-partition move Spark's
+      dynamic-overwrite commit performs. Untouched directories are
+      never read, listed into the plan, or moved.
 
-    The new slice is ``localCheckpoint``-materialized before the write
-    (touched-partition-scale, not view-scale) because Spark refuses to
-    overwrite a path it is concurrently reading. Cost is O(Δ +
+    r14 (VERDICT r13 #1 — per-trigger sink cost): this replaced the
+    dynamic-partition-overwrite form, which paid three jobs per apply:
+    an eager ``localCheckpoint`` of the slice (only because the
+    overwrite cannot read the path it rewrites), a distinct-collect
+    for the surviving-bucket set (now a staging directory listing),
+    and the overwrite re-reading the checkpoint blocks. Cost is O(Δ +
     touched-partition rows) end to end, never O(view). Returns the
     sorted touched-bucket values (empty list → no-op, nothing read or
     written).
 
-    Whole-bucket retraction trap: dynamic partition overwrite replaces
-    only partitions PRESENT in the written frame, so a touched bucket
-    whose rows are ALL retracted would silently keep its old files
-    (caught building the r12 gate query — pb = orderkey % 30 made
-    every delete-touched bucket empty and the apply became a no-op on
-    them). Touched buckets absent from the new slice are therefore
-    deleted explicitly through the Hadoop FS, which also keeps the
-    "retract a whole day → drop that day's partition" case O(1).
+    Whole-bucket retraction: a touched bucket with no staged dir (all
+    rows retracted) is deleted rather than replaced, which keeps the
+    "retract a whole day → drop that day's partition" case O(1) — and
+    unlike raw dynamic overwrite (which silently keeps the old files
+    of a now-empty partition, the r12 trap), emptiness is explicit
+    here.
     Exception (r13, ADVICE r12): a batch that would delete the LAST
     remaining data partition is refused with a RuntimeError before
     any deletion — an all-partitions-deleted parquet dir (only
@@ -463,6 +540,17 @@ def apply_view_changes_pruned(
     plain identifiers): the emptied-dir path is built as
     ``{bucket_col}={value}`` without Hadoop's percent-escaping, which
     a key-DERIVED bucket satisfies by construction.
+
+    ``retract_anti_keys`` contract: pass it ONLY when (a) the
+    retraction removes EVERY view row of each listed key tuple (whole-
+    entity CDC deletes — a partial-key retract would silently
+    over-delete sibling rows sharing the key), and (b) the key columns
+    are non-null in both the view and the deltas. (a) is the caller's
+    promise and cannot be checked here; (b) IS enforced — a NULL key
+    value raises while the broadcast key set builds (anti-join NULL
+    semantics would otherwise silently retain the rows). When either
+    half is uncertain, omit the parameter: the default ``exceptAll``
+    path is the general multiset contract.
 
     Replay protection: pass ``batch_marker`` (any stable id — a
     foreachBatch ``batch_id``) and the apply becomes SKIP-IF-SEEN: a
@@ -544,12 +632,41 @@ def apply_view_changes_pruned(
                 # left-anti on the (batch-scale) distinct key set is
                 # multiset-identical to the exceptAll and removes its
                 # two-sided shuffle of the touched-bucket slice: the
-                # slice streams map-side past the broadcast set. Keys
-                # must be non-null (anti join NULL semantics would
-                # retain NULL-keyed rows); the default exceptAll path
-                # below stays the general contract and its oracle gate
+                # slice streams map-side past the broadcast set. The
+                # default exceptAll path below stays the general
+                # contract and its oracle gate
                 # (orders_join_ivm_retract_pruned exercises it).
+                #
+                # NULL keys would be silently RETAINED by anti-join
+                # NULL semantics (a NULL never equals anything), so a
+                # violating caller gets enforcement, not corruption
+                # (r14, ADVICE r13): each key column is wrapped in a
+                # raise_error guard that fires while the broadcast
+                # relation builds — batch-scale, zero extra jobs. The
+                # whole-key half of the contract (deletes remove EVERY
+                # view row of each key) is not checkable here; see the
+                # docstring's retract_anti_keys contract.
                 kd = retract.select(*retract_anti_keys).distinct()
+                kd = kd.select(
+                    *[
+                        F.when(
+                            F.col(k).isNull(),
+                            F.raise_error(
+                                F.lit(
+                                    "apply_view_changes_pruned: NULL "
+                                    f"value in retract_anti_keys column "
+                                    f"'{k}' — anti-join NULL semantics "
+                                    "would silently retain the rows this "
+                                    "key should retract; use the default "
+                                    "exceptAll path for NULL-keyed CDC"
+                                )
+                            ).cast(dict(kd.dtypes)[k]),
+                        )
+                        .otherwise(F.col(k))
+                        .alias(k)
+                        for k in retract_anti_keys
+                    ]
+                )
                 new = new.join(
                     F.broadcast(kd), retract_anti_keys, "left_anti"
                 )
@@ -557,45 +674,58 @@ def apply_view_changes_pruned(
                 new = new.exceptAll(retract.select(*cur.columns))
         if inserts is not None:
             new = new.unionByName(inserts.select(*cur.columns))
-        new = new.localCheckpoint(eager=True)
-        present = {
-            r[0] for r in new.select(bucket_col).distinct().collect()
+        # ONE write job + a driver-side FS commit (r14, VERDICT r13 #1
+        # — per-trigger sink cost): the former sequence paid THREE jobs
+        # per apply — an eager localCheckpoint of the new slice (needed
+        # only because dynamic partition overwrite cannot read the path
+        # it rewrites), a distinct-collect to learn which buckets
+        # remained non-empty, and the overwrite itself re-reading the
+        # checkpoint blocks. Writing the slice to an underscore-prefixed
+        # STAGING dir under the view (invisible to Spark's file index,
+        # same filesystem so renames are metadata ops) needs no
+        # checkpoint (different output path), derives the present-bucket
+        # set from the staging directory listing instead of a Spark job,
+        # and commits by per-bucket delete+rename — the same
+        # per-partition move Spark's own dynamic-overwrite commit
+        # performs, now without the extra materialization. Crash
+        # windows are the class the marker protocol already documents
+        # (partial per-partition commit ≙ dynamic overwrite's own
+        # non-atomic multi-partition commit).
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(view_path)
+        fs = root.getFileSystem(hconf)
+
+        def _part_name(b) -> str:
+            return "__HIVE_DEFAULT_PARTITION__" if b is None else str(b)
+
+        # sweep crash debris from a prior interrupted apply, then write
+        staging = f"{view_path}/_staging_apply"
+        staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+        if fs.exists(staging_path):
+            fs.delete(staging_path, True)
+        # REBALANCE by the bucket before the write (r13 opt; guide §6
+        # output sizing): without it every write task holding rows of
+        # k touched buckets emits k part files — n_tasks × |touched|
+        # small files that every later pruned read and final-view scan
+        # re-pays in listing + open cost. The AQE rebalance clusters
+        # rows by bucket at the advisory partition size, so a bucket
+        # gets ~1 file at test scale while an oversized bucket still
+        # SPLITS across tasks instead of serializing into one
+        # straggler writer.
+        new.hint("rebalance", bucket_col).write.mode("overwrite").partitionBy(
+            bucket_col
+        ).parquet(staging)
+        present_dirs = {
+            st.getPath().getName()
+            for st in fs.listStatus(staging_path)
+            if st.isDirectory()
+            and st.getPath().getName().startswith(f"{bucket_col}=")
         }
-        old_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # REBALANCE by the bucket before the dynamic overwrite
-            # (r13 opt; guide §6 output sizing): without it every
-            # write task holding rows of k touched buckets emits k
-            # part files — n_tasks × |touched| small files that every
-            # later pruned read, dynamic-overwrite commit, and
-            # final-view scan re-pays in listing + open cost (the
-            # stream IVM queries measured 640-file views at bench
-            # scale). The AQE rebalance clusters rows by bucket at
-            # the advisory partition size, so a bucket gets ~1 file
-            # at test scale while an oversized bucket still SPLITS
-            # across tasks instead of serializing into one straggler
-            # writer (the guard against repartition(bucket)'s
-            # one-task-per-bucket skew at 100 TB).
-            new.hint("rebalance", bucket_col).write.mode(
-                "overwrite"
-            ).partitionBy(bucket_col).parquet(view_path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
-            )
-        emptied = [b for b in touched if b not in present]
-        if emptied:
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-
-            def _part_name(b) -> str:
-                return (
-                    "__HIVE_DEFAULT_PARTITION__" if b is None else str(b)
-                )
-
+        doomed = {
+            f"{bucket_col}={_part_name(b)}" for b in touched
+        } - present_dirs
+        if doomed:
             # Refuse to empty the view ENTIRELY (r13, ADVICE r12): a
             # partitioned parquet dir whose every data partition is
             # deleted keeps only _applied/ and _SUCCESS, and the next
@@ -603,17 +733,18 @@ def apply_view_changes_pruned(
             # unreadable on-disk state no maintenance call should
             # create. The marker is intentionally NOT written, so a
             # retry refuses identically instead of silently skipping.
-            root = jvm.org.apache.hadoop.fs.Path(view_path)
-            fs = root.getFileSystem(hconf)
-            doomed = {f"{bucket_col}={_part_name(b)}" for b in emptied}
-            survivors = [
+            # Checked BEFORE any view mutation (the staging write
+            # touched nothing the readers see), so a refused batch
+            # leaves the view byte-identical.
+            survivors = present_dirs | {
                 st.getPath().getName()
                 for st in fs.listStatus(root)
                 if st.isDirectory()
                 and st.getPath().getName().startswith(f"{bucket_col}=")
                 and st.getPath().getName() not in doomed
-            ]
+            }
             if not survivors:
+                fs.delete(staging_path, True)
                 raise RuntimeError(
                     f"apply_view_changes_pruned: this batch would "
                     f"retract the view's last remaining rows, leaving "
@@ -623,11 +754,25 @@ def apply_view_changes_pruned(
                     f"maintaining it to empty, or include the batch's "
                     f"inserts in the same apply."
                 )
-            for b in emptied:
-                p = jvm.org.apache.hadoop.fs.Path(
-                    f"{view_path}/{bucket_col}={_part_name(b)}"
-                )
-                p.getFileSystem(hconf).delete(p, True)
+        # commit: replace every touched bucket dir (delete old, move
+        # staged in when the bucket survived; plain delete when it
+        # emptied — "retract a whole day → drop that day's partition"
+        # stays O(1))
+        for b in touched:
+            name = f"{bucket_col}={_part_name(b)}"
+            dst = jvm.org.apache.hadoop.fs.Path(f"{view_path}/{name}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if name in present_dirs:
+                src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}")
+                if not fs.rename(src, dst):
+                    raise RuntimeError(
+                        f"apply_view_changes_pruned: commit rename "
+                        f"failed for {name} — view at {view_path} may "
+                        f"hold a partially-committed batch; re-apply "
+                        f"the batch (the marker was not written)"
+                    )
+        fs.delete(staging_path, True)
         _mark()
         return touched
     finally:

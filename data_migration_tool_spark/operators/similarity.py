@@ -237,9 +237,29 @@ def hard_negative_topk(
     )
 
 
+def collect_centroids(
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    audit=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collect + id-sort the centroid table ONCE for a whole routing
+    chain (r14, VERDICT r13 #5): ``ivf_assign`` and ``ivf_topk`` each
+    used to re-collect the identical centroid frame — one sequential
+    driver job per call in a chain that is job-scheduling-latency
+    bound. Pass the returned tuple anywhere a ``centroids`` DataFrame
+    is accepted."""
+    cent_ids, cent_mat, cent_norms = _collect_matrix(
+        centroids, id_col, vec_col, audit=audit, guard="ivf_assign"
+    )
+    # stable tie-break: order centroid columns by cell id
+    order = np.argsort(cent_ids, kind="stable")
+    return cent_ids[order], cent_mat[order], cent_norms[order]
+
+
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
@@ -251,13 +271,14 @@ def ivf_assign(
     multi-probe routing (queries search their top-n cells, the standard
     IVF recall knob). Centroid matrix broadcast; corpus streams once.
     At scale, repartition the output by cell so each cell is
-    co-located."""
-    cent_ids, cent_mat, cent_norms = _collect_matrix(
-        centroids, id_col, vec_col, audit=audit, guard="ivf_assign"
+    co-located. ``centroids`` is a DataFrame or a pre-collected
+    ``collect_centroids`` tuple (callers sharing one centroid table
+    across a routing chain collect it once)."""
+    cent_ids, cent_mat, cent_norms = (
+        centroids
+        if isinstance(centroids, tuple)
+        else collect_centroids(centroids, id_col, vec_col, audit=audit)
     )
-    # stable tie-break: order centroid columns by cell id
-    order = np.argsort(cent_ids, kind="stable")
-    cent_ids, cent_mat, cent_norms = cent_ids[order], cent_mat[order], cent_norms[order]
     nprobe = min(nprobe, len(cent_ids))
 
     vec_type = dict(corpus.dtypes)[vec_col]
@@ -305,15 +326,27 @@ def ivf_topk(
     and broadcast; the assigned corpus streams once, each batch scoring
     only the cells it contains. A (query, neighbor) pair is scored at
     most once because each corpus row lives in exactly one cell."""
-    q_assigned = ivf_assign(
-        queries, centroids, id_col, vec_col, nprobe=nprobe, audit=audit
+    cent_ids, cent_mat, cent_norms = (
+        centroids
+        if isinstance(centroids, tuple)
+        else collect_centroids(centroids, id_col, vec_col, audit=audit)
     )
+    nprobe_eff = min(nprobe, len(cent_ids))
     # Deliberate broadcast of the small (query) side — same house guard
     # as _collect_matrix, on queries × nprobe (nprobe replicates each
     # query row), so a corpus passed as `queries` fails LOUD instead of
-    # OOMing the driver.
-    rows = q_assigned.limit(MAX_BROADCAST_VECTORS + 1).collect()
-    if len(rows) > MAX_BROADCAST_VECTORS:
+    # OOMing the driver. r14 (VERDICT r13 #5): the query-side cell
+    # routing runs HERE on the collected rows with the identical numpy
+    # kernel the executor path applies — the old shape collected the
+    # distributed ``ivf_assign(queries, …)`` output, paying one more
+    # sequential driver job (and a second centroid collect inside it)
+    # in a chain that is job-scheduling-latency bound. The routing
+    # table is O(queries·dim) driver state either way.
+    q_cap = max(1, MAX_BROADCAST_VECTORS // max(nprobe_eff, 1))
+    rows = (
+        queries.select(id_col, vec_col).limit(q_cap + 1).collect()
+    )
+    if len(rows) * nprobe_eff > MAX_BROADCAST_VECTORS:
         if audit is not None:
             from data_migration_tool_spark.audit.log import guard_event
 
@@ -322,7 +355,7 @@ def ivf_topk(
                 guard="ivf_topk",
                 action="refuse",
                 subject=f"{id_col}/{vec_col} queries × nprobe broadcast",
-                implied_cost=len(rows),
+                implied_cost=len(rows) * nprobe_eff,
                 cap=MAX_BROADCAST_VECTORS,
                 detail="query operand exceeds the driver broadcast cap; "
                 "use embedding_near_dup_pairs (block-pair) or "
@@ -335,11 +368,28 @@ def ivf_topk(
             "(block-pair) or embedding_near_dup_pairs_ivf (cell-bucketed)."
         )
     by_cell: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for cell in {r["cell_id"] for r in rows}:
-        cell_rows = [r for r in rows if r["cell_id"] == cell]
-        ids = np.array([r[id_col] for r in cell_rows], dtype=np.int64)
-        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cell_rows])
-        by_cell[cell] = (ids, mat, np.sqrt(np.einsum("ij,ij->i", mat, mat)))
+    if rows:
+        q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+        # identical routing arithmetic to ivf_assign's executor kernel
+        sims = (q_mat @ cent_mat.T) / np.outer(q_norms, cent_norms)
+        if nprobe_eff == 1:
+            best = np.argmax(sims, axis=1)[:, None]
+        else:
+            best = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_eff]
+        for qi in range(len(q_ids)):
+            for cell in cent_ids[best[qi]]:
+                ids, mats = by_cell.setdefault(int(cell), ([], []))
+                ids.append(q_ids[qi])
+                mats.append(q_mat[qi])
+        for cell, (ids, mats) in list(by_cell.items()):
+            m = np.stack(mats)
+            by_cell[cell] = (
+                np.array(ids, dtype=np.int64),
+                m,
+                np.sqrt(np.einsum("ij,ij->i", m, m)),
+            )
 
     def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -674,16 +724,23 @@ def _assign_min_struct(cents_rows: list[tuple[int, list[int]]]) -> F.Column:
     )
 
 
-def _assign_exact(qv: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_exact(qv: DataFrame, cents) -> DataFrame:
     """Nearest centroid by integer squared-L2, ties to the lowest cell
     id. Centroids are k rows BY CONTRACT, so they ride into the plan as
     a collected in-row literal (r13; was broadcast-crossJoin + a
     row_number window): the k-way compare and the argmin both happen
     inside one projection — no broadcast exchange, no corpus shuffle,
-    no window sort. Driver transfer is O(k·dim) integers."""
-    best = _assign_min_struct(
-        [(r["cell"], list(r["q"])) for r in cents.collect()]
-    ).alias("__best")
+    no window sort. Driver transfer is O(k·dim) integers. ``cents`` is
+    a DataFrame or a ``[(cell, [q…]), …]`` driver list (r14: a trained
+    k-means result is ALREADY driver state — round-tripping it through
+    createDataFrame → collect cost one more sequential job in the
+    routing chain)."""
+    rows = (
+        cents
+        if isinstance(cents, list)
+        else [(r["cell"], list(r["q"])) for r in cents.collect()]
+    )
+    best = _assign_min_struct(rows).alias("__best")
     return qv.select("vec_id", "q", best).select(
         "vec_id",
         "q",
@@ -698,7 +755,8 @@ def kmeans_fit_exact(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    as_rows: bool = False,
+):
     """Lloyd's k-means carried ENTIRELY in fixed-point integers —
     deterministic AND bit-identical cross-engine, which is what lets
     the trained-IVF query live in the exact-hash oracle lane (classic
@@ -770,6 +828,12 @@ def kmeans_fit_exact(
                 cents = [(c, newmap.get(c, q)) for c, q in cents]
     finally:
         qv.unpersist()
+    # as_rows: the centroids ARE driver state between rounds — return
+    # them as-is for callers feeding _assign_exact/ivf_exact_topk (r14:
+    # skips a createDataFrame → collect round trip per chain); the
+    # DataFrame form stays the default public contract.
+    if as_rows:
+        return [(c, list(q)) for c, q in cents]
     return spark.createDataFrame(
         [(c, q) for c, q in cents], "cell INT, q ARRAY<BIGINT>"
     )
@@ -778,7 +842,7 @@ def kmeans_fit_exact(
 def ivf_exact_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    cents: DataFrame,
+    cents,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

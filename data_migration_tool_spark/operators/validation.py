@@ -181,40 +181,98 @@ def schema_validation(
 # Column validation (dvt/main.py:63-75 `validate column`)
 # ---------------------------------------------------------------------------
 
-def _agg_exprs(df: DataFrame, spec: ValidationSpec) -> list[tuple[str, str, Column]]:
+def _agg_exprs(
+    df: DataFrame, spec: ValidationSpec, name=None
+) -> list[tuple[str, str, Column]]:
     """(agg_type, column, expr) triples for one side.
 
     Numeric double columns aggregate through the exact-decimal pattern
     (see functions.scalars) so source/target compare is bit-stable under
     any partitioning — the engine-level fix for the reference's
     ``--cast-to-bigint`` band-aid.
+
+    ``name``: optional logical→physical column mapper — the fused
+    single-scan path (``column_validation_inflight``) materializes both
+    sides' measure columns in ONE frame under prefixed names, so the
+    same spec builds both agg lists against it.
     """
+    name = name or (lambda c: c)
     dtypes = dict(df.dtypes)
 
     def _num(c: str) -> Column:
-        col = F.col(c)
+        col = F.col(name(c))
         if spec.cast_to_bigint:
             return col.cast("bigint")
-        if dtypes.get(c) in ("double", "float"):
+        if dtypes.get(name(c)) in ("double", "float"):
             return col.cast("decimal(30,6)")
         return col
 
     out: list[tuple[str, str, Column]] = []
     for c in spec.count_cols:
-        out.append(("count", c, F.count(F.lit(1)) if c == "*" else F.count(c)))
+        out.append(
+            ("count", c, F.count(F.lit(1)) if c == "*" else F.count(name(c)))
+        )
     for c in spec.sum_cols:
         out.append(("sum", c, F.sum(_num(c)).cast("double")))
     for c in spec.min_cols:
-        out.append(("min", c, F.min(F.col(c)).cast("double")))
+        out.append(("min", c, F.min(F.col(name(c))).cast("double")))
     for c in spec.max_cols:
-        out.append(("max", c, F.max(F.col(c)).cast("double")))
+        out.append(("max", c, F.max(F.col(name(c))).cast("double")))
     for c in spec.avg_cols:
         out.append(
-            ("avg", c, (F.sum(_num(c)).cast("double") / F.count(c).cast("double")))
+            (
+                "avg",
+                c,
+                (
+                    F.sum(_num(c)).cast("double")
+                    / F.count(name(c)).cast("double")
+                ),
+            )
         )
     if not out:
         out.append(("count", "*", F.count(F.lit(1))))
     return out
+
+
+def _column_result_rows(
+    frame: DataFrame,
+    aggs: list[tuple[str, str, Column]],
+    names: list[str],
+    sv_of,
+    tv_of,
+    group_json: Column,
+    spec: ValidationSpec,
+) -> DataFrame:
+    """Unpivot one row per (aggregate, column, group) — the shared tail
+    of both column-validation paths."""
+    per_agg = []
+    for (atype, col, _), n in zip(aggs, names):
+        sv = sv_of(n).cast("double")
+        tv = tv_of(n).cast("double")
+        diff = tv - sv
+        pct = F.when(
+            sv.isNotNull() & (sv != 0), F.abs(diff) / F.abs(sv) * 100.0
+        ).otherwise(
+            F.when(sv.eqNullSafe(tv), F.lit(0.0)).otherwise(F.lit(float("inf")))
+        )
+        per_agg.append(
+            F.struct(
+                F.lit(f"{atype}:{col}").alias("validation_name"),
+                F.lit("column").alias("validation_type"),
+                F.lit(spec.source_table).alias("source_table_name"),
+                F.lit(spec.target_table).alias("target_table_name"),
+                F.lit(col).alias("source_column_name"),
+                F.lit(atype).alias("aggregation_type"),
+                group_json.alias("group_by_columns"),
+                sv.cast("string").alias("source_agg_value"),
+                tv.cast("string").alias("target_agg_value"),
+                diff.alias("difference"),
+                pct.alias("pct_difference"),
+                F.lit(spec.threshold).alias("pct_threshold"),
+                _status(pct, F.lit(spec.threshold)).alias("validation_status"),
+            )
+        )
+    return frame.select(F.explode(F.array(*per_agg)).alias("r")).select("r.*")
 
 
 def column_validation(
@@ -254,34 +312,89 @@ def column_validation(
         joined = s.alias("s").crossJoin(t.alias("t"))
         group_json = F.lit(None).cast("string")
 
-    per_agg = []
-    for (atype, col, _), n in zip(aggs, names):
-        sv = F.col(f"s.{n}").cast("double")
-        tv = F.col(f"t.{n}").cast("double")
-        diff = tv - sv
-        pct = F.when(sv.isNotNull() & (sv != 0), F.abs(diff) / F.abs(sv) * 100.0).otherwise(
-            F.when(sv.eqNullSafe(tv), F.lit(0.0)).otherwise(F.lit(float("inf")))
+    return _column_result_rows(
+        joined,
+        aggs,
+        names,
+        lambda n: F.col(f"s.{n}"),
+        lambda n: F.col(f"t.{n}"),
+        group_json,
+        spec,
+    )
+
+
+def column_validation_inflight(
+    source: DataFrame,
+    target_overrides: dict[str, Column],
+    spec: ValidationSpec,
+) -> DataFrame:
+    """``column_validation`` for an IN-FLIGHT row-level transformation:
+    the target is the source with some measure columns rewritten
+    (``target_overrides``: column → expression over the source row), so
+    both sides' aggregates come out of ONE scan and ONE map-side-
+    combined groupBy (r14, guide §1.2 — the two-frame form scans the
+    source twice when target derives from it; at 100 TB "validate the
+    transform you are about to apply" should not cost two corpus
+    passes). Output is row-identical to
+    ``column_validation(source, transformed, spec)``: the group keys
+    come from the same rows, so the full-outer group join the two-frame
+    form pays is the identity here.
+
+    Contract: overrides rewrite MEASURE columns only — group keys and
+    filter inputs must be untouched (enforced); use the two-frame form
+    for genuinely distinct tables."""
+    gcols = spec.grouped_columns
+    bad = [c for c in target_overrides if c in gcols]
+    if bad:
+        raise ValueError(
+            f"column_validation_inflight: overrides rewrite group "
+            f"key(s) {bad} — group identity is what makes the single-"
+            f"scan fusion exact; use column_validation instead"
         )
-        per_agg.append(
-            F.struct(
-                F.lit(f"{atype}:{col}").alias("validation_name"),
-                F.lit("column").alias("validation_type"),
-                F.lit(spec.source_table).alias("source_table_name"),
-                F.lit(spec.target_table).alias("target_table_name"),
-                F.lit(col).alias("source_column_name"),
-                F.lit(atype).alias("aggregation_type"),
-                group_json.alias("group_by_columns"),
-                sv.cast("string").alias("source_agg_value"),
-                tv.cast("string").alias("target_agg_value"),
-                diff.alias("difference"),
-                pct.alias("pct_difference"),
-                F.lit(spec.threshold).alias("pct_threshold"),
-                _status(pct, F.lit(spec.threshold)).alias("validation_status"),
+    if spec.filters:
+        source = source.filter(F.expr(spec.filters))
+
+    mcols = sorted(
+        {
+            c
+            for c in (
+                spec.count_cols
+                + spec.sum_cols
+                + spec.min_cols
+                + spec.max_cols
+                + spec.avg_cols
             )
-        )
-    return joined.select(
-        F.explode(F.array(*per_agg)).alias("r")
-    ).select("r.*")
+            if c != "*"
+        }
+    )
+    fused = source.select(
+        *gcols,
+        *[F.col(c).alias(f"__s_{c}") for c in mcols],
+        *[
+            target_overrides.get(c, F.col(c)).alias(f"__t_{c}")
+            for c in mcols
+        ],
+    )
+    s_aggs = _agg_exprs(fused, spec, name=lambda c: f"__s_{c}")
+    t_aggs = _agg_exprs(fused, spec, name=lambda c: f"__t_{c}")
+    names = [f"{t}__{c}".replace("*", "star") for t, c, _ in s_aggs]
+    agg_cols = [e.alias(f"__sv_{n}") for (_, _, e), n in zip(s_aggs, names)]
+    agg_cols += [e.alias(f"__tv_{n}") for (_, _, e), n in zip(t_aggs, names)]
+    if gcols:
+        agged = fused.groupBy(*gcols).agg(*agg_cols)
+        group_json = F.to_json(F.struct(*[F.col(c).alias(c) for c in gcols]))
+    else:
+        agged = fused.agg(*agg_cols)
+        group_json = F.lit(None).cast("string")
+    return _column_result_rows(
+        agged,
+        s_aggs,
+        names,
+        lambda n: F.col(f"__sv_{n}"),
+        lambda n: F.col(f"__tv_{n}"),
+        group_json,
+        spec,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,21 @@ def _drain_or_raise(
         )
 
 
+def _par_jobs(*thunks) -> list:
+    """Run independent driver actions concurrently (guide §2.6 —
+    overlap independent jobs): Spark's scheduler happily runs several
+    jobs at once, and the IVM lanes' setup writes (base view, initial
+    state, CDC staging) are independent outputs of the same source
+    scan whose sequential tails each left the executors idle. FIFO
+    scheduling back-fills the later jobs into the earlier ones' task
+    gaps. Results in thunk order; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Size the state-store partition count for a test-scale drain.
@@ -915,9 +930,6 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruned read and the final view scan re-pay in listing/open cost
     # (measured: base write 4.7 s → 1.9 s, final agg 1.0 s → 0.5 s).
     base_o = o.filter(F.col("orderkey") % 10 != 0)
-    base_o.join(li, ["orderkey"]).select(
-        "orderkey", "o_orderstatus", "rev", pb
-    ).hint("rebalance", "pb").write.partitionBy("pb").parquet(view_path)
 
     # three CDC batches, one file each: (D %30==3+10g, I %30==10g).
     # ONE pass generates all three (r13 opt, guide §1.2 don't recompute:
@@ -925,7 +937,9 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (orderkey%30) div 10 partitions the same D/I row sets, and the
     # partitioned write lands exactly one file per bi (each bi value
     # hashes to one task), which then moves into the landing dir under
-    # the same cdc_{i} names the loop produced.
+    # the same cdc_{i} names the loop produced. The base-view write and
+    # the CDC write are independent — submitted concurrently so the
+    # join write's task tail back-fills with the CDC job (r14, §2.6).
     km = F.col("orderkey") % 30
     cdc = (
         base_o.filter(km % 10 == 3)
@@ -933,8 +947,15 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(o.filter(km % 10 == 0).withColumn("op", F.lit("I")))
         .withColumn("bi", (km / 10).cast("int"))
     )
-    cdc.repartition("bi").write.partitionBy("bi").parquet(
-        os.path.join(work, "ball")
+    _par_jobs(
+        lambda: base_o.join(li, ["orderkey"])
+        .select("orderkey", "o_orderstatus", "rev", pb)
+        .hint("rebalance", "pb")
+        .write.partitionBy("pb")
+        .parquet(view_path),
+        lambda: cdc.repartition("bi")
+        .write.partitionBy("bi")
+        .parquet(os.path.join(work, "ball")),
     )
     for i in range(3):
         bdir = os.path.join(work, "ball", f"bi={i}")
@@ -949,14 +970,19 @@ def orders_stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_static = li.persist()
 
     def _apply(batch, _bid):
-        d = batch.filter(F.col("op") == "D").drop("op")
-        i = batch.filter(F.col("op") == "I").drop("op")
-        retract = d.join(li_static, ["orderkey"]).select(
-            "orderkey", "o_orderstatus", "rev", pb
+        # ONE batch⋈lineitem join per trigger (r14, guide §1.2): the
+        # former per-op joins (deletes⋈li, inserts⋈li) each scanned the
+        # persisted lineitem cache when the operator materialized its
+        # delta persists — the fused join runs once into a delta-scale
+        # eager checkpoint (blocks freed with the Python ref) and both
+        # op slices are map-side filters of it.
+        j = (
+            batch.join(li_static, ["orderkey"])
+            .select("orderkey", "o_orderstatus", "rev", pb, "op")
+            .localCheckpoint(eager=True)
         )
-        inserts = i.join(li_static, ["orderkey"]).select(
-            "orderkey", "o_orderstatus", "rev", pb
-        )
+        retract = j.filter(F.col("op") == "D").drop("op")
+        inserts = j.filter(F.col("op") == "I").drop("op")
         # retract_anti_keys: the CDC deletes WHOLE orders, so every
         # view row of a retracted orderkey goes — the broadcast-anti
         # fast path is multiset-identical to the exceptAll and saves
@@ -1081,15 +1107,6 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(state_dir)
 
     base = o.filter(F.col("o_orderkey") % 10 != 0)
-    # rebalance-by-bucket write + one-pass CDC generation: same r13
-    # optimizations (and measured rationale) as orders_stream_join_ivm
-    base.select(*o.columns, pb).hint("rebalance", "pb").write.partitionBy(
-        "pb"
-    ).parquet(rows_path)
-    IA.partials(base, keys, "o_totalprice").coalesce(1).write.parquet(
-        os.path.join(state_dir, "v00000")
-    )
-
     km = F.col("o_orderkey") % 30
     cdc = (
         base.filter(km % 10 == 3)
@@ -1097,8 +1114,22 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(o.filter(km % 10 == 0).withColumn("op", F.lit("I")))
         .withColumn("bi", (km / 10).cast("int"))
     )
-    cdc.repartition("bi").write.partitionBy("bi").parquet(
-        os.path.join(work, "ball")
+    # rebalance-by-bucket write + one-pass CDC generation: same r13
+    # optimizations (and measured rationale) as orders_stream_join_ivm.
+    # The three setup writes are independent outputs of the same orders
+    # scan — submitted concurrently so each job's task tail back-fills
+    # with the next job's tasks (r14, guide §2.6).
+    _par_jobs(
+        lambda: base.select(*o.columns, pb)
+        .hint("rebalance", "pb")
+        .write.partitionBy("pb")
+        .parquet(rows_path),
+        lambda: IA.partials(base, keys, "o_totalprice")
+        .coalesce(1)
+        .write.parquet(os.path.join(state_dir, "v00000")),
+        lambda: cdc.repartition("bi")
+        .write.partitionBy("bi")
+        .parquet(os.path.join(work, "ball")),
     )
     for i in range(3):
         bdir = os.path.join(work, "ball", f"bi={i}")
@@ -1145,10 +1176,18 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             # key-grain) and keeps each version at one file, so the
             # per-trigger _latest_state read pays one open instead of
             # shuffle-partition-many (guide §6 small files).
+            # anti_keys: the CDC deletes WHOLE orders and the row table
+            # holds one row per orderkey, so the extreme-recompute
+            # retained slice is a broadcast-anti on the delete keys —
+            # multiset-identical to the exceptAll, minus its two-sided
+            # shuffle of the touched-group rows per trigger (r14; the
+            # general exceptAll path stays oracle-gated by
+            # orders_rollup_minmax_retract)
             new_state = IA.merge_partials(
                 [
                     IA.retract_partials(
-                        prev, d, cur_rows, keys, "o_totalprice"
+                        prev, d, cur_rows, keys, "o_totalprice",
+                        anti_keys=["o_orderkey"],
                     ),
                     IA.partials(i, keys, "o_totalprice"),
                 ],

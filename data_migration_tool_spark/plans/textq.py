@@ -128,7 +128,9 @@ def doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_dedup(d, threshold=0.5)
 
 
-_SEED_VALUES = ", ".join(f"({s}, {a}, {b})" for s, a, b in DD.minhash_params(16))
+_SEED_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, a, b in DD.minhash_params(DD.NUM_HASHES)
+)
 # Reusable CTE chain ending in lsh_pairs(id_a, id_b, jaccard ≥ 0.5) —
 # shared by the pair query and the dup-cluster (connected components)
 # oracle.
@@ -145,9 +147,9 @@ hashed AS (
 ),
 minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY doc_id, seed),
 bands AS (
-  SELECT doc_id, seed // 4 AS band,
+  SELECT doc_id, seed // {DD.BAND_ROWS} AS band,
          md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS band_key
-  FROM minh GROUP BY doc_id, seed // 4
+  FROM minh GROUP BY doc_id, seed // {DD.BAND_ROWS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -303,9 +305,19 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus at sf0.1 — the exact join emits ~1.3M intersection rows
     where LSH banding would verify ~1k candidates. The oracle needs the
     byte-exact full answer, so the twin pins the legacy cap instead;
-    production callers get the derived guard."""
+    production callers get the derived guard.
+
+    r14 (guide §3, VERDICT r13 #6): pair generation goes through the
+    LOSSLESS prefix filter — candidates come from each doc's
+    (df, shingle)-ordered prefix (length n − ⌈0.8·n⌉ + 1 ≈ 0.2·n) plus
+    the den·min ≥ num·max size bound, then exact verification computes
+    the identical Jaccard arithmetic. Same rows byte-for-byte (the
+    prefix theorem guarantees no qualifying pair is pruned; oracle
+    hash-proved), ~0.2² of the former intersection-join volume."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.8, max_join_pairs=50_000_000)
+    return DD.ngram_jaccard_pairs(
+        d, threshold=0.8, max_join_pairs=50_000_000, prefix_filter=True
+    )
 
 
 DOC_NGRAM_JACCARD_SQL = f"""
@@ -1466,15 +1478,16 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic itself stays oracle-gated by doc_minhash_lsh_dedup.
     cand = (
         DD.lsh_candidate_pairs(
-            DD.minhash_signatures(sh, "doc_id", 16, 4), "doc_id"
+            DD.minhash_signatures(sh, "doc_id", DD.NUM_HASHES, DD.BAND_ROWS),
+            "doc_id",
         )
         .withColumn("hit", F.lit(1))
     )
     out = (
         exact.join(cand, ["id_a", "id_b"], "left_outer")
         .agg(
-            F.lit(16).alias("num_hashes"),
-            F.lit(4).alias("band_rows"),
+            F.lit(DD.NUM_HASHES).alias("num_hashes"),
+            F.lit(DD.BAND_ROWS).alias("band_rows"),
             F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
             # degenerate corpus (zero exact pairs): recall is vacuously
             # 1.0 — there is nothing for the banding to miss.  Without
@@ -1515,7 +1528,7 @@ exact AS (
 SELECT num_hashes, band_rows, n_exact_pairs, recall,
        recall >= 0.70 AS meets_bound
 FROM (
-  SELECT 16 AS num_hashes, 4 AS band_rows,
+  SELECT {DD.NUM_HASHES} AS num_hashes, {DD.BAND_ROWS} AS band_rows,
          COUNT(*) AS n_exact_pairs,
          CASE WHEN COUNT(*) = 0 THEN CAST(1.0 AS DOUBLE)
               ELSE round(CAST(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1562,7 +1575,8 @@ def minhash_recall_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops out entirely.
     cand = (
         DD.lsh_candidate_pairs(
-            DD.minhash_signatures(sh, "doc_id", 16, 4), "doc_id"
+            DD.minhash_signatures(sh, "doc_id", DD.NUM_HASHES, DD.BAND_ROWS),
+            "doc_id",
         )
         .filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
         .withColumn("hit", F.lit(1))

@@ -23,22 +23,34 @@ from data_migration_tool_spark.operators.validation import (
 from data_migration_tool_spark.tables import load_table
 
 
+def _li_quantity_drift() -> F.Column:
+    """The ONE drift expression both lineitem-drift consumers share —
+    doubled quantity on ~2% of rows."""
+    return F.when(
+        F.col("l_orderkey") % 50 == 0, F.col("l_quantity") * 2.0
+    ).otherwise(F.col("l_quantity"))
+
+
 def _drifted_lineitem(l: DataFrame) -> DataFrame:
     """Simulated migrated lineitem: doubled quantity on ~2% of rows."""
-    return l.withColumn(
-        "l_quantity",
-        F.when(F.col("l_orderkey") % 50 == 0, F.col("l_quantity") * 2.0).otherwise(
-            F.col("l_quantity")
-        ),
-    )
+    return l.withColumn("l_quantity", _li_quantity_drift())
 
 
 def dvt_column_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped column validation (A6): count/sum/min/max/avg per
     l_returnflag, source vs drifted target, 0.1% threshold.
 
-    At 100 TB: two map-side-combined groupBys + a broadcast-able join on
-    the tiny group domain — no row-level data movement at all."""
+    At 100 TB: ONE map-side-combined groupBy over ONE scan (r14, guide
+    §1.2): the target here is an in-flight row-level transform of the
+    source, so ``column_validation_inflight`` computes both sides'
+    aggregates from the same pass — the former two-frame form scanned
+    lineitem twice and joined the two 3-row aggregates (output
+    row-identical; oracle hash-proved). No row-level data movement at
+    all."""
+    from data_migration_tool_spark.operators.validation import (
+        column_validation_inflight,
+    )
+
     l = load_table(spark, sf_dir, "lineitem")
     spec = ValidationSpec(
         validation_type="column",
@@ -52,7 +64,9 @@ def dvt_column_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_columns=["l_returnflag"],
         threshold=0.1,
     )
-    res = column_validation(l, _drifted_lineitem(l), spec)
+    res = column_validation_inflight(
+        l, {"l_quantity": _li_quantity_drift()}, spec
+    )
     return res.select(
         "validation_name",
         "aggregation_type",

@@ -161,10 +161,13 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed corpus fraction. The oracle replicates multi-probe routing
     in SQL (rn <= 2 on the query-side assignment)."""
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < 8)
-    assigned = SIM.ivf_assign(e, centroids)
+    # one centroid collect for the whole routing chain (r14, VERDICT
+    # r13 #5: ivf_assign and ivf_topk each re-collected the identical
+    # frame — a sequential driver job apiece in a latency-bound chain)
+    cent = SIM.collect_centroids(e.filter(F.col("vec_id") < 8))
+    assigned = SIM.ivf_assign(e, cent)
     queries = e.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
+    return SIM.ivf_topk(queries, assigned, cent, k=3, nprobe=2)
 
 
 IVF_MULTIPROBE_SQL = """
@@ -217,10 +220,12 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = SIM.brute_force_topk(queries, e, k=3).select(
         "query_id", "neighbor_id"
     )
-    centroids = e.filter(F.col("vec_id") < 8)
-    assigned = SIM.ivf_assign(e, centroids)
+    # one centroid collect for the whole routing chain (r14, see
+    # ivf_ann_multiprobe)
+    cent = SIM.collect_centroids(e.filter(F.col("vec_id") < 8))
+    assigned = SIM.ivf_assign(e, cent)
     approx = (
-        SIM.ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
+        SIM.ivf_topk(queries, assigned, cent, k=3, nprobe=2)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -306,10 +311,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own cell — the 1000-executor scale path where each cell is a
     co-located partition."""
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < 8)
-    assigned = SIM.ivf_assign(e, centroids)
+    # one centroid collect for the whole routing chain (r14, see
+    # ivf_ann_multiprobe)
+    cent = SIM.collect_centroids(e.filter(F.col("vec_id") < 8))
+    assigned = SIM.ivf_assign(e, cent)
     queries = e.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(queries, assigned, centroids, k=3)
+    return SIM.ivf_topk(queries, assigned, cent, k=3)
 
 
 IVF_ANN_SQL = """
@@ -349,7 +356,9 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums in partition order and could never be cross-engine exact —
     that lane remains ``kmeans_fit``, unit-tested on separated blobs)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_fit_exact(e, k=8, iters=3)
+    # as_rows: the trained centroids are already driver state — skip
+    # the createDataFrame → collect round trip (r14, VERDICT r13 #5)
+    cents = SIM.kmeans_fit_exact(e, k=8, iters=3, as_rows=True)
     queries = e.filter(F.col("vec_id") < 10)
     return SIM.ivf_exact_topk(queries, e, cents, k=3)
 
@@ -939,7 +948,9 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_tool_spark.operators import pq as PQ
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8)
+    # one centroid collect for both ivf_assign calls (r14, see
+    # ivf_ann_multiprobe)
+    cents = SIM.collect_centroids(e.filter(F.col("vec_id") < 8))
     corpus = PQ.pq_encode(SIM.ivf_assign(e, cents)).select(
         "vec_id", "codes", "cell_id"
     )

@@ -3622,3 +3622,177 @@ def test_fuzzy_oracle_mirrors_refusal():
     )
     rows = con2.sql(PART_NAME_FUZZY_SQL).fetchall()
     assert rows  # w1..w9 etc. are within distance 4 of each other
+
+
+def test_retract_partials_anti_keys_matches_exceptall(spark):
+    """r14: retract_partials' whole-entity anti_keys fast path must be
+    multiset-identical to the default exceptAll path when every base
+    row of each deleted key is being deleted (one-row-per-key base —
+    the stream-rollup CDC contract). Covers every group fate: extreme
+    TOUCHED (recompute runs through the anti-join), untouched
+    (arithmetic), fully deleted, and no-deletes."""
+    from collections import Counter
+
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    rows = [
+        # g=A: min row (id 10) deleted → recompute path
+        (10, "A", "1.00"), (11, "A", "5.00"), (12, "A", "9.00"),
+        # g=B: middle row deleted → subtract path
+        (20, "B", "2.00"), (21, "B", "4.00"), (22, "B", "8.00"),
+        # g=C: everything deleted → vanishes
+        (30, "C", "3.00"), (31, "C", "7.00"),
+        # g=D: untouched
+        (40, "D", "6.00"),
+    ]
+    base = spark.createDataFrame(
+        rows, "id long, g string, x string"
+    ).select("id", "g", F.col("x").cast("decimal(12,2)").alias("x"))
+    deletes = base.filter(F.col("id").isin(10, 21, 30, 31))
+
+    state = IA.partials(base, ["g"], "x")
+    got = IA.retract_partials(
+        state, deletes, base, ["g"], "x", anti_keys=["id"]
+    ).collect()
+    want = IA.retract_partials(state, deletes, base, ["g"], "x").collect()
+    key = lambda r: (r["g"], r["n"], str(r["sx"]), str(r["sxx"]), str(r["mn"]), str(r["mx"]))  # noqa: E731
+    assert Counter(map(key, got)) == Counter(map(key, want))
+    assert {r["g"] for r in got} == {"A", "B", "D"}
+
+
+def test_retract_partials_anti_keys_null_key_raises(spark):
+    """r14 (ADVICE r13 enforcement): a NULL value in an anti_keys
+    column must raise loudly — anti-join NULL semantics would silently
+    retain the rows that key should retract."""
+    import pytest
+
+    from data_migration_tool_spark.operators import incremental_agg as IA
+
+    base = spark.createDataFrame(
+        [(1, "A", 5.0), (None, "A", 1.0), (3, "A", 9.0)],
+        "id long, g string, x double",
+    )
+    # the NULL-id row IS the group min → the extreme-touch probe keeps
+    # the recompute branch (the only consumer of the anti-join), which
+    # must hit the NULL guard while the broadcast key set builds
+    deletes = base.filter(F.col("id").isNull())
+    state = IA.partials(base, ["g"], "x")
+    with pytest.raises(Exception, match="anti_keys"):
+        IA.retract_partials(
+            state, deletes, base, ["g"], "x", anti_keys=["id"]
+        ).collect()
+
+
+def test_apply_view_changes_pruned_anti_keys_null_raises(spark, tmp_path):
+    """r14 (ADVICE r13 enforcement): NULL retract_anti_keys values must
+    raise while the broadcast key set builds, not silently retain the
+    rows."""
+    import pytest
+
+    from data_migration_tool_spark.operators.incremental_agg import (
+        apply_view_changes_pruned,
+    )
+
+    view = spark.createDataFrame(
+        [(1, "a", 0), (None, "b", 0), (3, "c", 1)],
+        "k long, val string, pb long",
+    )
+    path = str(tmp_path / "view_nullkey")
+    view.write.partitionBy("pb").parquet(path)
+    retract = view.filter(F.col("k").isNull())
+    with pytest.raises(Exception, match="retract_anti_keys"):
+        apply_view_changes_pruned(
+            spark, path, retract=retract, bucket_col="pb",
+            retract_anti_keys=["k"],
+        )
+
+
+def test_ngram_jaccard_prefix_filter_identical(spark):
+    """r14 (guide §3): the lossless prefix-filter path must return the
+    SAME rows (ids and double jaccard values, bit-exact) as the direct
+    inverted-index join — the prefix theorem says no qualifying pair
+    can be pruned, and the verify stage reuses the identical double
+    division. Corpus built with heavy shingle overlap so boundary
+    pairs (jaccard exactly at/near the threshold) exist."""
+    from data_migration_tool_spark.operators import dedup as DD
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),     # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),    # exact dup of 1
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),      # near-dup of 4
+        (6, "totally different text with no overlap"),
+        (7, "alpha beta gamma x y z"),                 # partial overlap
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        direct = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.ngram_jaccard_pairs(
+                d, threshold=t, max_join_pairs=None
+            ).collect()
+        )
+        pref = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.ngram_jaccard_pairs(
+                d, threshold=t, max_join_pairs=None, prefix_filter=True
+            ).collect()
+        )
+        assert pref == direct and direct  # non-vacuous
+
+
+def test_ivf_routing_shared_centroids_identical(spark):
+    """r14 (VERDICT r13 #5): the shared-collect routing chain
+    (collect_centroids tuple + driver-side query routing in ivf_topk)
+    must reproduce the DataFrame-centroid path exactly — same
+    assignment rows, same top-k."""
+    import numpy as np
+
+    from data_migration_tool_spark.operators import similarity as SIM
+
+    rows = [
+        (i, [float(np.cos(i * 0.7 + j * 0.3)) for j in range(8)])
+        for i in range(40)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents_df = v.filter(F.col("vec_id") < 3)
+    tup = SIM.collect_centroids(cents_df)
+
+    key = lambda r: tuple(r)  # noqa: E731
+    a_df = sorted(
+        map(key, SIM.ivf_assign(v, cents_df).select("vec_id", "cell_id").collect())
+    )
+    a_tup = sorted(
+        map(key, SIM.ivf_assign(v, tup).select("vec_id", "cell_id").collect())
+    )
+    assert a_df == a_tup
+
+    q = v.filter(F.col("vec_id") < 5)
+    assigned = SIM.ivf_assign(v, tup)
+    t_df = sorted(
+        map(key, SIM.ivf_topk(q, assigned, cents_df, k=2, nprobe=2).collect())
+    )
+    t_tup = sorted(
+        map(key, SIM.ivf_topk(q, assigned, tup, k=2, nprobe=2).collect())
+    )
+    assert t_df == t_tup and t_df
+
+
+def test_kmeans_fit_exact_as_rows_identical(spark):
+    """r14: as_rows returns the identical centroid table the DataFrame
+    form collects — the routing chain skips a createDataFrame→collect
+    round trip, nothing else changes."""
+    from data_migration_tool_spark.operators.similarity import kmeans_fit_exact
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 11.0 - 0.5 for j in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    via_df = sorted(
+        (r["cell"], list(r["q"]))
+        for r in kmeans_fit_exact(df, k=3, iters=2).collect()
+    )
+    via_rows = sorted(kmeans_fit_exact(df, k=3, iters=2, as_rows=True))
+    assert via_rows == via_df

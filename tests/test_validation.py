@@ -450,3 +450,65 @@ def test_guard_event_run_id_default_null(spark, tmp_path):
     got = {r.implied_cost: r.run_id
            for r in a.table("dmt_guard_events").collect()}
     assert got == {5: None, 6: "u-77"}
+
+
+def test_column_validation_inflight_matches_two_frame(spark):
+    """r14 (guide §1.2): the single-scan in-flight fusion must produce
+    row-identical results to column_validation(source, transformed) —
+    the group join the two-frame form pays is the identity when target
+    rows derive 1:1 from source rows."""
+    from pyspark.sql import functions as F
+
+    from data_migration_tool_spark.operators.validation import (
+        ValidationSpec,
+        column_validation,
+        column_validation_inflight,
+    )
+
+    src = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i), float(i * 2)) for i in range(1, 31)],
+        "k long, g string, a double, b double",
+    )
+    drift = F.when(F.col("k") % 5 == 0, F.col("a") * 2.0).otherwise(F.col("a"))
+    spec = ValidationSpec(
+        validation_type="column",
+        source_table="s",
+        target_table="t",
+        count_cols=["*", "a"],
+        sum_cols=["a", "b"],
+        min_cols=["a"],
+        max_cols=["b"],
+        avg_cols=["a"],
+        grouped_columns=["g"],
+        threshold=0.1,
+    )
+    two = sorted(
+        map(tuple, column_validation(src, src.withColumn("a", drift), spec).collect())
+    )
+    one = sorted(
+        map(tuple, column_validation_inflight(src, {"a": drift}, spec).collect())
+    )
+    assert one == two and one
+
+    # ungrouped form too
+    spec2 = ValidationSpec(
+        validation_type="column",
+        source_table="s",
+        target_table="t",
+        sum_cols=["a"],
+        threshold=0.1,
+    )
+    two2 = sorted(
+        map(tuple, column_validation(src, src.withColumn("a", drift), spec2).collect())
+    )
+    one2 = sorted(
+        map(tuple, column_validation_inflight(src, {"a": drift}, spec2).collect())
+    )
+    assert one2 == two2
+
+    # rewriting a group key is refused — group identity is the fusion's
+    # exactness argument
+    import pytest
+
+    with pytest.raises(ValueError, match="group"):
+        column_validation_inflight(src, {"g": F.lit("x")}, spec)
