@@ -88,6 +88,34 @@ def _par_jobs(*thunks) -> list:
 
 
 @contextmanager
+def _no_data_batches_off(spark: SparkSession):
+    """Skip the trailing NO-DATA micro-batch for drains whose sink
+    content cannot depend on it (r14, VERDICT r13 #3 — drain fixed
+    cost). After the last data batch, the engine normally runs one
+    empty batch for eager state maintenance (watermark-driven eviction
+    + emission); a profiled inner interval join spent 0.8 s of its
+    2.4 s drain there (state commit + re-planning) producing ZERO
+    output rows — inner-join matches emit in the data batch itself,
+    and an AvailableNow drain tears the state down right after. Apply
+    ONLY where the no-data batch provably cannot add sink rows: inner
+    stream-stream joins (no watermark-gated emission), complete-mode
+    aggregates (the batch re-emits the identical aggregate from
+    unchanged state), and NoTimeout stateful processors (all emission
+    is data-driven). The left-outer join MUST keep it — its NULL
+    emissions fire exactly in that watermark-advancing batch (the
+    oracle pins this: removing them hash-fails) — and any future
+    timeout/timer-driven processor would too. Restores the session
+    value afterwards."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Size the state-store partition count for a test-scale drain.
 
@@ -133,7 +161,9 @@ def events_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_daily_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # complete-mode agg: the no-data maintenance batch recomputes the
+    # identical aggregate from unchanged state — skip it (r14)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             windowed_event_counts(stream, window="1 day", watermark="1 day")
             .writeStream.outputMode("complete")
@@ -181,7 +211,9 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_sessions_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # NoTimeout stateful processor: emission is data-driven only, the
+    # no-data batch cannot add sink rows — skip it (r14)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             sessionize_stream(stream)
             .writeStream.outputMode("update")
@@ -307,7 +339,9 @@ def events_stream_user_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_timestamps(stream)
 
     sink = f"events_quota_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # NoTimeout stateful processor: emission is data-driven only, the
+    # no-data batch cannot add sink rows — skip it (r14)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             quota_stream(stream)
             .writeStream.outputMode("update")
@@ -403,7 +437,11 @@ def events_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
 
     sink = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # inner join: matches emit in the data batch itself, so the
+    # trailing no-data state-maintenance batch adds nothing to the
+    # sink — skip it (r14; the left-outer twin keeps it, its NULL
+    # rows emit exactly there)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -511,7 +549,9 @@ def events_stream_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
 
     sink = f"events_seg_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # complete-mode agg: the no-data maintenance batch recomputes the
+    # identical aggregate from unchanged state — skip it (r14)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             joined.groupBy("c_mktsegment", "event_type")
             .agg(
@@ -581,7 +621,9 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # complete-mode agg over watermark-deduped input: the no-data batch
+    # only evicts expired dedup state, emission is unchanged — skip (r14)
+    with _stream_shuffle(spark), _no_data_batches_off(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
