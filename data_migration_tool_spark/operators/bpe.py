@@ -125,32 +125,45 @@ def bpe_train(
     Ties at equal pair frequency break lexicographically on
     (left, right) so the learned merge sequence is deterministic at any
     parallelism and any engine."""
+    from data_migration_tool_spark.partitioning import (
+        scoped_shuffle_partitions,
+        scoped_static_plans,
+    )
+
     spark = df.sparkSession
-    # Lazy checkpoints (r13, guide §1.2/§5): each round's argmax action
-    # materializes the previous round's merged vocab as part of the SAME
-    # job, so k rounds cost k jobs instead of 2k — and the final merge
-    # (whose vocab no round ever reads) is never materialized at all.
-    # Lineage still truncates at every materialized checkpoint, so round
-    # N's plan stays O(1).
-    vocab = word_freq_table(df, text_col).localCheckpoint(eager=False)
+    # The corpus-scale vocab derivation materializes EAGERLY at session
+    # parallelism (AQE on — it wants the coalescing), so the merge loop
+    # below can run under pinned partitions + static plans (r14, the
+    # pagerank_exact rationale): each round is a vocabulary-grain
+    # explode + argmax whose plan is fully known, and AQE only added
+    # per-exchange stage-jobs and re-planning to every round's first()
+    # (interleaved mins on doc_bpe_encoded_lengths at sf0.1: 2.61-3.08
+    # → 2.41-2.75 s). Per-round checkpoints stay LAZY (r13, guide
+    # §1.2/§5): each round's argmax materializes the previous round's
+    # merged vocab inside the same job, so k rounds cost k loop jobs —
+    # and the final merge (whose vocab no round ever reads) is never
+    # materialized at all. Lineage still truncates at every
+    # materialized checkpoint, so round N's plan stays O(1).
+    vocab = word_freq_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        pairs = vocab.select(
-            "cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("pair"))
-            .first()
-        )
-        if top is None:
-            break
-        left, right = top["pair"].split(_SEP)
-        merges.append((rank, left, right, int(top["freq"])))
-        vocab = vocab.withColumn(
-            "syms", _apply_merge(F.col("syms"), left, right)
-        ).localCheckpoint(eager=False)
+    with scoped_shuffle_partitions(spark, 8), scoped_static_plans(spark):
+        for rank in range(1, num_merges + 1):
+            pairs = vocab.select(
+                "cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("pair")
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("pair"))
+                .first()
+            )
+            if top is None:
+                break
+            left, right = top["pair"].split(_SEP)
+            merges.append((rank, left, right, int(top["freq"])))
+            vocab = vocab.withColumn(
+                "syms", _apply_merge(F.col("syms"), left, right)
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, freq BIGINT"
     )

@@ -267,6 +267,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 50,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: (id, cluster_id) where
     cluster_id = min id in the connected component. The survivor-
@@ -319,31 +320,59 @@ def dup_clusters(
     # instead of 2 (lineage still truncates at every materialized
     # checkpoint; values are unchanged — the fixpoint doesn't see the
     # job boundary).
-    labels = (
-        edges.groupBy(F.col("u").alias("id"))
-        .agg(F.min("v").alias("_mv"))
-        .select("id", F.least(F.col("id"), F.col("_mv")).alias("label"))
-        .localCheckpoint(eager=False)
+    # loop_shuffle_partitions: callers whose pair input is CANDIDATE-
+    # scale by contract (every LSH/near-dup consumer) pin the loop's
+    # shuffle grain and freeze its plans (r14, the pagerank_exact
+    # rationale — scoped_static_plans docstring has the measurements):
+    # each round's join+groupBy plan is fully known, so AQE only adds
+    # per-exchange stage-jobs and re-planning to every convergence
+    # count (interleaved at sf0.1: part_entity_resolution 1.67-2.17 →
+    # 1.39-1.55 s, doc_dup_clusters 1.94 → 1.47-1.49 s). Labels are
+    # min-folds — partition-count-independent, oracle-proved.
+    from contextlib import ExitStack
+
+    from data_migration_tool_spark.partitioning import (
+        scoped_shuffle_partitions,
+        scoped_static_plans,
     )
-    for _ in range(max_iters):
-        own = labels.select("id", "label", F.lit(True).alias("own"))
-        nbr = edges.join(labels, edges.v == labels.id).select(
-            F.col("u").alias("id"), "label", F.lit(False).alias("own")
-        )
-        new_labels = (
-            own.unionByName(nbr)
-            .groupBy("id")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
+
+    with ExitStack() as stack:
+        if loop_shuffle_partitions:
+            stack.enter_context(
+                scoped_shuffle_partitions(
+                    pairs.sparkSession, loop_shuffle_partitions
+                )
             )
-            .select("id", "label", (F.col("label") < F.col("prev")).alias("moved"))
+            stack.enter_context(scoped_static_plans(pairs.sparkSession))
+        labels = (
+            edges.groupBy(F.col("u").alias("id"))
+            .agg(F.min("v").alias("_mv"))
+            .select("id", F.least(F.col("id"), F.col("_mv")).alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("moved").count()
-        labels = new_labels.drop("moved", "prev")
-        if changed == 0:
-            break
+        for _ in range(max_iters):
+            own = labels.select("id", "label", F.lit(True).alias("own"))
+            nbr = edges.join(labels, edges.v == labels.id).select(
+                F.col("u").alias("id"), "label", F.lit(False).alias("own")
+            )
+            new_labels = (
+                own.unionByName(nbr)
+                .groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
+                )
+                .select(
+                    "id",
+                    "label",
+                    (F.col("label") < F.col("prev")).alias("moved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.filter("moved").count()
+            labels = new_labels.drop("moved", "prev")
+            if changed == 0:
+                break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
@@ -352,6 +381,7 @@ def dup_clusters_two_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -373,7 +403,51 @@ def dup_clusters_two_star(
     # lazy checkpoints throughout (r13, guide §5): the fingerprint agg
     # that follows each checkpoint materializes it within the same job
     # — 1 job per round instead of 2; the checkpointed blocks then
-    # serve the round's two bidirectional references
+    # serve the round's two bidirectional references.
+    # loop_shuffle_partitions: same candidate-scale pin + static plans
+    # as ``dup_clusters`` (r14; see that loop's comment for the
+    # measurements) — the star-collapse arithmetic is min-folds,
+    # partition-count-independent.
+    from contextlib import ExitStack
+
+    from data_migration_tool_spark.partitioning import (
+        scoped_shuffle_partitions,
+        scoped_static_plans,
+    )
+
+    with ExitStack() as stack:
+        if loop_shuffle_partitions:
+            stack.enter_context(
+                scoped_shuffle_partitions(
+                    pairs.sparkSession, loop_shuffle_partitions
+                )
+            )
+            stack.enter_context(scoped_static_plans(pairs.sparkSession))
+        edges, fp, converged = _two_star_loop(pairs, max_iters)
+    if not converged:
+        # a non-fixpoint edge list is NOT a star forest — emitting
+        # labels from it would silently return multiple conflicting
+        # cluster_ids per node
+        raise RuntimeError(
+            f"dup_clusters_two_star did not converge in {max_iters} "
+            f"rounds; raise max_iters (components this deep imply "
+            f"~2^{max_iters} nodes — check the pair input)"
+        )
+    # fixpoint = one star per component centered at the component min
+    members = edges.select(F.col("a").alias(id_col), F.col("b").alias("cluster_id"))
+    centers = (
+        edges.select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return members.unionByName(centers)
+
+
+def _two_star_loop(pairs: DataFrame, max_iters: int):
+    """The alternating large-star/small-star rounds of
+    ``dup_clusters_two_star`` — split out so the caller can scope the
+    loop's execution confs; returns (final edges, fingerprint,
+    converged)."""
     edges = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("a"),
@@ -428,23 +502,7 @@ def dup_clusters_two_star(
             converged = True
             break
         fp = new_fp
-    if not converged:
-        # a non-fixpoint edge list is NOT a star forest — emitting
-        # labels from it would silently return multiple conflicting
-        # cluster_ids per node
-        raise RuntimeError(
-            f"dup_clusters_two_star did not converge in {max_iters} "
-            f"rounds; raise max_iters (components this deep imply "
-            f"~2^{max_iters} nodes — check the pair input)"
-        )
-    # fixpoint = one star per component centered at the component min
-    members = edges.select(F.col("a").alias(id_col), F.col("b").alias("cluster_id"))
-    centers = (
-        edges.select(F.col("b").alias(id_col))
-        .distinct()
-        .withColumn("cluster_id", F.col(id_col))
-    )
-    return members.unionByName(centers)
+    return edges, fp, converged
 
 
 def simhash(

@@ -783,6 +783,7 @@ def kmeans_fit_exact(
     default."""
     from data_migration_tool_spark.partitioning import (
         scoped_shuffle_partitions,
+        scoped_static_plans,
     )
 
     spark = corpus.sparkSession
@@ -792,7 +793,14 @@ def kmeans_fit_exact(
         .persist()
     )
     try:
-        with scoped_shuffle_partitions(spark, 8):
+        # static plans inside the pinned-partition loop (r14, same
+        # rationale as pagerank_exact): the round plan is fully known
+        # (centroids are in-row literals, shuffles pinned to the
+        # cell×dim state grain), so AQE only adds per-exchange
+        # stage-jobs and re-planning to each Lloyd round's collect
+        with scoped_shuffle_partitions(spark, 8), scoped_static_plans(
+            spark
+        ):
             init = (
                 qv.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
                 .orderBy("__h")

@@ -360,11 +360,14 @@ def resolve_entities(
     # twice more through the sizes self-join's two references)
     names = df.select(F.col(name_col).alias("name")).distinct().persist()
     pairs = fuzzy_name_pairs(names, "name", **fuzzy_kwargs)
+    # the CC input is dictionary-grain (fuzzy pairs over distinct
+    # names) — pin the loop and freeze its plans (r14, see dup_clusters)
     cc = dup_clusters(
         pairs.select(
             F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
         ),
         id_col="name",
+        loop_shuffle_partitions=8,
     )
     resolved = names.join(cc, "name", "left_outer").select(
         "name",

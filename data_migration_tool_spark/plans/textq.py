@@ -188,7 +188,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition of the same clustering."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
-    return DD.dup_clusters(pairs)
+    return DD.dup_clusters(pairs, loop_shuffle_partitions=8)
 
 
 def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, value-checked against the identical recursive-CTE oracle."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
-    return DD.dup_clusters_two_star(pairs)
+    return DD.dup_clusters_two_star(pairs, loop_shuffle_partitions=8)
 
 
 # CTE chain ending in clusters(doc_id, cluster_id) — the recursive-CTE
@@ -246,7 +246,7 @@ def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, threshold=0.5)
-    clusters = DD.dup_clusters(pairs)
+    clusters = DD.dup_clusters(pairs, loop_shuffle_partitions=8)
     sized = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
     # argmax by (n_chars DESC, doc_id ASC) as a struct MAX: negate the
     # id so lexicographic struct ordering applies the tie-break.

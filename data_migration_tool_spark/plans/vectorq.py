@@ -596,7 +596,7 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash document path; the oracle states the identical clustering
     declaratively as a recursive CTE over the identical pair set."""
     pairs = emb_lsh_near_dups(spark, sf_dir)
-    return DD.dup_clusters(pairs, id_col="vec_id")
+    return DD.dup_clusters(pairs, id_col="vec_id", loop_shuffle_partitions=8)
 
 
 EMB_DUP_CLUSTERS_SQL = f"""

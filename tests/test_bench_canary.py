@@ -210,3 +210,41 @@ def test_steal_pct_detector():
     # the live reader returns a sane pair on this box
     steal, total = bench.read_cpu_stat()
     assert total > 0 and steal >= 0
+
+
+def test_payload_full_roundtrip_one_line():
+    """VERDICT r13 #4 insurance: the bench's one-JSON-line contract,
+    exercised on a MAXIMAL payload — timings, null (error) samples,
+    suspects, errors, ambient flag, and the steal fields all at once —
+    must round-trip json.loads and contain no newline (the r12 driver
+    parse failure was driver-side, but the artifact's own shape must
+    stay provably parseable)."""
+    canary = [0.45, 0.46, 2.9, 0.48]  # loud median + a contended segment
+    samples = {
+        "clean_q": [(1.0, 0), (0.9, 1)],
+        "sus_q": [(2.0, 2)],
+        "err_q": [(None, 0), (None, 1)],
+    }
+    line = bench.build_payload(
+        samples,
+        canary,
+        {"err_q": "Boom: exploded"},
+        0.1,
+        cpu_window=((0, 1000), (50, 2000)),
+    )
+    assert "\n" not in line
+    payload = json.loads(line)
+    assert payload["value"] == 2.9  # 0.9 + 2.0; err_q contributes None
+    assert payload["queries"]["err_q"] is None
+    assert payload["suspect"] == ["sus_q"]
+    assert payload["errors"] == {"err_q": "Boom: exploded"}
+    assert payload["ambient_inflated"] is True
+    assert payload["steal_pct"] == 5.0 and payload["steal_inflated"] is True
+    assert payload["canary"]["idle_band"] == [0.2, 0.4]
+    # and the line is byte-stable under a second serialization
+    assert json.loads(line) == json.loads(
+        bench.build_payload(
+            samples, canary, {"err_q": "Boom: exploded"}, 0.1,
+            cpu_window=((0, 1000), (50, 2000)),
+        )
+    )
