@@ -194,19 +194,33 @@ def pagerank_exact(
     # coalesce(NULL, 0) on rows that cannot exist. One node-grain
     # distinct count over the cached edges decides it up front;
     # results are bit-identical (the oracle proves it).
-    full_coverage = ef.select("dst").distinct().count() == n
-    # Dangling-node short-circuit (r13 opt, guide §1.2 — don't compute
-    # what you can prove is zero): when EVERY node has an out-edge
-    # (symmetric graphs — co-occurrence, similarity — always qualify),
-    # the dangling mass m is identically 0 in every round, so the
-    # per-round anti-join + aggregate + 1-row broadcast subtree is
-    # dead weight. One node-grain anti-join count over the two cached
-    # frames decides it up front; the m ≡ 0 arithmetic is exactly the
-    # recurrence's (0·85) div (100·n) = 0 term, so results are
-    # bit-identical (oracle-proved).
-    n_dangling = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).count()
+    # Both probes read only the now-populated caches and are
+    # independent — submit them concurrently so the second back-fills
+    # the first's task tail (r14, guide §2.6; same _par_jobs pattern
+    # as the stream IVM setup writes).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cov_f = pool.submit(
+            lambda: ef.select("dst").distinct().count()
+        )
+        dang_f = pool.submit(
+            lambda: nodes.join(
+                out_deg, nodes.node == out_deg.src, "left_anti"
+            ).count()
+        )
+        full_coverage = cov_f.result() == n
+        # Dangling-node short-circuit (r13 opt, guide §1.2 — don't
+        # compute what you can prove is zero): when EVERY node has an
+        # out-edge (symmetric graphs — co-occurrence, similarity —
+        # always qualify), the dangling mass m is identically 0 in
+        # every round, so the per-round anti-join + aggregate + 1-row
+        # broadcast subtree is dead weight. One node-grain anti-join
+        # count over the two cached frames decides it up front; the
+        # m ≡ 0 arithmetic is exactly the recurrence's
+        # (0·85) div (100·n) = 0 term, so results are bit-identical
+        # (oracle-proved).
+        n_dangling = dang_f.result()
     base = (scale * 15) // (100 * n)
 
     from contextlib import ExitStack, nullcontext
@@ -235,9 +249,13 @@ def pagerank_exact(
         )
         stack.enter_context(scoped_static_plans(edges.sparkSession))
     scope = stack if loop_shuffle_partitions else nullcontext()
+    # rank-init checkpoint LAZY (r14): it materializes inside the
+    # final eager chain job (in-scope, caches alive) — the former
+    # eager form paid one extra driver-scheduled job for a node-grain
+    # projection
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     with scope:
         for it in range(iters):

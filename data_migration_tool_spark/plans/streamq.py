@@ -1210,14 +1210,20 @@ def orders_stream_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(vpath, ignore_errors=True)  # partial crash debris
             prev = spark.read.parquet(_latest_state())
             cur_rows = spark.read.parquet(rows_path).drop("pb")
-            # The localCheckpoint is load-bearing (measured r13: its
-            # removal DOUBLED the query — retract_partials references
-            # its state⋈delta frame three times, and uncheckpointed
-            # the write job re-executes that subtree per reference);
-            # coalesce(1) after it costs nothing (the state is
-            # key-grain) and keeps each version at one file, so the
-            # per-trigger _latest_state read pays one open instead of
-            # shuffle-partition-many (guide §6 small files).
+            # The eager localCheckpoint stays (r14 re-measured): its
+            # original r13 rationale (retract_partials referencing the
+            # state⋈delta subtree 3×) is gone now that the operator
+            # checkpoints that join internally — but the checkpoint is
+            # STILL load-bearing for the coalesce(1) below: coalesce is
+            # a narrow dependency, so on an un-checkpointed plan it
+            # collapses every upstream stage to ONE task (removal
+            # measured +0.3-0.7 s/run interleaved despite −9 jobs);
+            # checkpointed, the state computes at loop parallelism and
+            # only the final 1-file write is serial. coalesce(1) after
+            # it costs nothing (the state is key-grain) and keeps each
+            # version at one file, so the per-trigger _latest_state
+            # read pays one open instead of shuffle-partition-many
+            # (guide §6 small files).
             # anti_keys: the CDC deletes WHOLE orders and the row table
             # holds one row per orderkey, so the extreme-recompute
             # retained slice is a broadcast-anti on the delete keys —
